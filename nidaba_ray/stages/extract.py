@@ -1,0 +1,122 @@
+"""Candidate extraction stage — payload sniff + parse → scored block
+spans. The recognize-stage analog (ocr.tesseract / ocr.kraken,
+SURVEY.md §2.2): per-block text extraction for HTML, PDF parse for
+binary payloads, behind ONE dispatching actor-pool stage.
+
+Why one stage instead of two filtered branches + union: Ray Data does
+not share a common upstream between branches of a DAG — two
+``ds.filter`` branches over the same read would execute the read (and
+ship every multi-MB payload) twice. PDF rows are a small fraction
+(~3%), so dispatching on a magic-number sniff inside one pass over the
+payload column moves each byte through the object store exactly once.
+
+Actor pool: the parser state (compiled regexes, parser tables — the
+"model load" of the recognizer analog) is built once per actor in
+``__init__``; ``__call__`` handles one Arrow batch. Per-row errors are
+caught and emitted as quarantine rows (``error`` column) — a poison
+payload never kills the task (SURVEY.md §4.1 retries row).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from nidaba_ray.algorithms.strings import sanitize
+from nidaba_ray.stages import pdf as pdfmod
+from nidaba_ray.stages import score as scoremod
+from nidaba_ray.stages.segment import segment_html
+from nidaba_ray.record import SPAN_TYPE
+
+__all__ = ["ExtractCandidates", "extract_row"]
+
+
+def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
+    """One payload → (kind, spans, error). Pure; unit-testable."""
+    try:
+        if pdfmod.is_pdf(payload):
+            blocks = pdfmod.extract_pdf_blocks(payload)
+            spans = [
+                {
+                    "block_id": i,
+                    "kind": "pdf",
+                    "depth": 0,
+                    "text_density": float(len(t)),
+                    "link_density": 0.0,
+                    "score": float(len(t)),
+                    "text": sanitize(t),
+                    "start": -1,
+                    "end": -1,
+                }
+                for i, t in enumerate(blocks)
+            ]
+            if not spans:
+                return "pdf", [], "pdf: no text operators found"
+            return "pdf", spans, ""
+        # HTML path: strict decode first — payloads that are neither PDF
+        # nor valid UTF-8 text are quarantined.
+        text = payload.decode("utf-8")
+        low = text[:512].lower()
+        if "<" not in text:
+            return "invalid", [], "payload is not markup"
+        if "<html" not in low and "<!doctype" not in low and "<body" not in low \
+                and "<p" not in low and "<div" not in low:
+            return "invalid", [], "payload has no recognizable html structure"
+        blocks = segment_html(sanitize(text, "NFC"))
+        if not blocks:
+            return "html", [], "html: no text blocks"
+        feat = scoremod.block_features(blocks)
+        scores = scoremod.smooth_scores(scoremod.block_scores(feat), feat)
+        spans = [
+            {
+                "block_id": i,
+                "kind": b.kind,
+                "depth": b.depth,
+                "text_density": float(feat["text_density"][i]),
+                "link_density": float(feat["link_density"][i]),
+                "score": float(scores[i]),
+                "text": b.text,
+                "start": -1,
+                "end": -1,
+            }
+            for i, b in enumerate(blocks)
+        ]
+        return "html", spans, ""
+    except UnicodeDecodeError:
+        return "invalid", [], "payload is neither PDF nor valid UTF-8"
+    except Exception as e:  # per-row isolation: never kill the task
+        return "invalid", [], f"extract error: {type(e).__name__}: {e}"
+
+
+class ExtractCandidates:
+    """Actor-pool ``map_batches`` callable: pages batch → spans batch.
+
+    Usage:
+        ds.map_batches(ExtractCandidates, batch_format="pyarrow",
+                       batch_size=64, concurrency=(2, 8), num_cpus=1)
+
+    Batch size stays small because ``html`` payloads are wide binary
+    rows (SURVEY.md §7 hard parts — cap batch bytes, not just rows).
+    """
+
+    def __init__(self) -> None:
+        # Parser state built once per actor (module import compiles the
+        # PDF regexes; HTMLParser tables are per-parse but cheap).
+        self._pdf = pdfmod
+        self._segment = segment_html
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["html"].to_pylist()
+        kinds, spans_col, errors = [], [], []
+        for p in payloads:
+            kind, spans, err = extract_row(p or b"")
+            kinds.append(kind)
+            spans_col.append(spans)
+            errors.append(err)
+        cols = {}
+        for name in ("doc_id", "url", "warc_ts", "text", "lang"):
+            if name in batch.column_names:
+                cols[name] = batch[name]
+        cols["payload_kind"] = pa.array(kinds, pa.string())
+        cols["spans"] = pa.array(spans_col, SPAN_TYPE)
+        cols["error"] = pa.array(errors, pa.string())
+        return pa.table(cols)

@@ -1,0 +1,128 @@
+"""Threshold variants + candidate alignment/vote — the
+binarize-variant fan-out and merge_hocr.merge analog (SURVEY.md §2.5).
+
+nidaba fans each page out through K binarization × OCR variants as
+separate Celery branches, then blend_hocr aligns the K hOCR files by
+bbox and votes per word. Here the variants are *columns of one row* —
+no barrier, no shuffle, no filesystem:
+
+    variant A: global Otsu-style threshold over the block-score histogram
+    variant B: local Sauvola-style adaptive threshold
+    variant C: the input ``text`` column (the pre-existing candidate
+               extraction, the "other engine's output")
+
+``align_and_vote`` runs per row inside a stateless ``map_batches``:
+token-level majority vote over LCS-aligned candidates, with the
+deterministic total order required for byte-identical output across
+parallelism levels (SURVEY.md §7 hard parts): vote count desc → token
+asc; backbone priority: variant score desc → variant index asc.
+
+A ``groupby('url')`` shuffle is only needed in multi-crawl mode (same
+url from several snapshots) — see pipelines/dedup.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from nidaba_ray.algorithms.strings import align_vote
+from nidaba_ray.record import SPAN_SEP, SPAN_TYPE, PROVENANCE_STRUCT
+from nidaba_ray.stages import score as scoremod
+
+__all__ = ["threshold_and_vote", "vote_row", "MAX_ALIGN_TOKENS"]
+
+# Beyond this many tokens a 3-way disagreement falls back to the
+# highest-priority candidate instead of O(n·m) alignment: bounded
+# per-row cost so one pathological page can't stall a block.
+MAX_ALIGN_TOKENS = 4000
+
+VARIANT_PRIORITY = [("threshold", "otsu", 2.0), ("threshold", "sauvola", 1.5),
+                    ("input", "text", 1.0)]
+
+
+def vote_row(
+    spans: list[dict], cand_text: str | None, payload_kind: str = "html"
+) -> tuple[str, list[dict], list[dict], int, int]:
+    """One row → (final_text, kept_spans_with_offsets, provenance,
+    n_blocks, n_kept)."""
+    n_blocks = len(spans)
+    if n_blocks == 0:
+        return "", [], [{"stage": "extract", "variant": "empty"}], 0, 0
+    scores = np.fromiter((s["score"] for s in spans), dtype=np.float64, count=n_blocks)
+    if payload_kind == "pdf":
+        # The layout parse already yields content blocks only — a PDF
+        # page has no DOM chrome to binarize away; both variants keep
+        # everything (nidaba likewise binarizes *images*, not the
+        # recognizer's own output).
+        keep_a = scores >= 0
+        keep_b = keep_a
+    else:
+        keep_a = scoremod.keep_global_otsu(scores)
+        keep_b = scoremod.keep_local_sauvola(scores)
+    cand_a = SPAN_SEP.join(spans[i]["text"] for i in range(n_blocks) if keep_a[i])
+    cand_b = SPAN_SEP.join(spans[i]["text"] for i in range(n_blocks) if keep_b[i])
+    candidates = [cand_a, cand_b]
+    if cand_text:
+        candidates.append(cand_text)
+    prov = [{"stage": "threshold", "variant": "otsu"},
+            {"stage": "threshold", "variant": "sauvola"}]
+    if cand_a == cand_b:
+        final = cand_a
+        prov.append({"stage": "merge", "variant": "agree"})
+    else:
+        toks = [c.split(SPAN_SEP) if c else [] for c in candidates]
+        if max(len(t) for t in toks) > MAX_ALIGN_TOKENS:
+            final = cand_a
+            prov.append({"stage": "merge", "variant": "backbone"})
+        else:
+            voted = align_vote(toks, scores=[v[2] for v in VARIANT_PRIORITY[: len(toks)]])
+            final = SPAN_SEP.join(voted)
+            prov.append({"stage": "merge", "variant": "vote"})
+    # kept spans = variant A's blocks, offsets assigned against final
+    # text where the span text occurs in sequence (bbox analog).
+    kept = []
+    pos = 0
+    for i in range(n_blocks):
+        if not keep_a[i]:
+            continue
+        s = dict(spans[i])
+        idx = final.find(s["text"], pos)
+        if idx >= 0:
+            s["start"], s["end"] = idx, idx + len(s["text"])
+            pos = s["end"]
+        kept.append(s)
+    return final, kept, prov, n_blocks, len(kept)
+
+
+def threshold_and_vote(batch: pa.Table) -> pa.Table:
+    """Stateless ``map_batches`` body (fuses with neighbors)."""
+    spans_col = batch["spans"].to_pylist()
+    cand_texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(spans_col)
+    errors = batch["error"].to_pylist()
+    kinds = batch["payload_kind"].to_pylist()
+    finals, kepts, provs, n_blocks_l, n_kept_l = [], [], [], [], []
+    for spans, cand, err, kind in zip(spans_col, cand_texts, errors, kinds):
+        if err:
+            finals.append("")
+            kepts.append([])
+            provs.append([{"stage": "quarantine", "variant": "error"}])
+            n_blocks_l.append(0)
+            n_kept_l.append(0)
+            continue
+        f, k, p, nb, nk = vote_row(spans, cand, kind)
+        finals.append(f)
+        kepts.append(k)
+        provs.append(p)
+        n_blocks_l.append(nb)
+        n_kept_l.append(nk)
+    cols = {}
+    for name in ("doc_id", "url", "warc_ts", "lang", "payload_kind", "error"):
+        if name in batch.column_names:
+            cols[name] = batch[name]
+    cols["text"] = pa.array(finals, pa.string())
+    cols["spans"] = pa.array(kepts, SPAN_TYPE)
+    cols["provenance"] = pa.array(provs, pa.list_(PROVENANCE_STRUCT))
+    cols["n_blocks"] = pa.array(n_blocks_l, pa.int32())
+    cols["n_kept"] = pa.array(n_kept_l, pa.int32())
+    return pa.table(cols)

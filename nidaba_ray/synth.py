@@ -1,0 +1,226 @@
+"""Deterministic synthetic Common-Crawl-style pages table (seed=42).
+
+This is the in-repo substitute for the absent reference corpus
+(SURVEY.md §0): every page's ground-truth main content is known by
+construction, so "byte-identical extracted text per url"
+(BASELINE.json:input_hint) is checkable both against frozen goldens and
+— for pages derived from the driver's ``documents`` table — against a
+DuckDB oracle (extraction is an identity on ``documents.text``).
+
+Schema (authoritative, BASELINE.json:input_hint):
+    pages(url: string, warc_ts: timestamp[us], html: binary,
+          text: string, lang: string)
+
+Payload kinds are keyed on deterministic doc_id rules so the oracle SQL
+can express them (tests + __ray_entry__ contract):
+    doc_id % 29 == 7   → PDF payload (%PDF magic, text in `(..) Tj` ops)
+    doc_id % 97 == 13  → invalid payload (quarantine path)
+    otherwise          → HTML payload with nav/aside/footer boilerplate
+
+The ``text`` column is a character-noised candidate extraction (the
+"other OCR engine" for the merge/vote stage, FIXTURES.md F1).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import numpy as np
+import pyarrow as pa
+
+SEED = 42
+PDF_MOD, PDF_REM = 29, 7
+INVALID_MOD, INVALID_REM = 97, 13
+BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in microseconds
+
+# ~50 hosts, zipfian-hot (FIXTURES.md F1) to exercise salted-key skew.
+_HOSTS = [f"site{i:02d}.example.{'com' if i % 3 else 'org'}" for i in range(50)]
+_ZIPF_S = 1.2
+
+_NAV_WORDS = ["Home", "About", "Products", "Blog", "Contact", "Careers", "Pricing", "Docs"]
+_ASIDE_WORDS = ["Trending", "Related", "Sponsored", "Popular", "Archive", "Newsletter",
+                "Subscribe", "Promo", "Deals", "Partners"]
+
+
+def host_for(doc_id: int) -> str:
+    """Deterministic zipfian host assignment (hot hosts get most urls)."""
+    h = int(hashlib.md5(f"host-{SEED}-{doc_id}".encode()).hexdigest()[:8], 16)
+    u = (h % 10_000_000) / 10_000_000.0
+    ranks = np.arange(1, len(_HOSTS) + 1, dtype=np.float64)
+    w = ranks ** (-_ZIPF_S)
+    cdf = np.cumsum(w / w.sum())
+    return _HOSTS[int(np.searchsorted(cdf, u))]
+
+
+def url_for(doc_id: int) -> str:
+    return f"https://{host_for(doc_id)}/doc-{doc_id}"
+
+
+def paragraphs_for(doc_id: int, text: str) -> list[str]:
+    """Split a document's text into paragraphs at deterministic word
+    boundaries (chunk size varies by doc_id). Joining the paragraphs
+    back with a single space reproduces the text byte-identically."""
+    words = text.split(" ")
+    chunk = 20 + (doc_id % 5) * 10
+    return [" ".join(words[i : i + chunk]) for i in range(0, len(words), chunk)]
+
+
+def _chrome(rng: random.Random, host: str) -> tuple[str, str, str]:
+    """Boilerplate: header+nav, aside link farm, footer — high link
+    density, the stuff the extractor must classify out."""
+    nav_items = "".join(
+        f'<li><a href="/{w.lower()}">{w}</a></li>'
+        for w in rng.sample(_NAV_WORDS, k=5)
+    )
+    header = (
+        f"<header><h1>{host} portal</h1>"
+        f"<nav><ul>{nav_items}</ul></nav></header>"
+    )
+    aside_items = "".join(
+        f'<li><a href="/t/{w.lower()}">{w} {rng.randint(1, 99)}</a></li>'
+        for w in rng.sample(_ASIDE_WORDS, k=6)
+    )
+    aside = f'<aside class="sidebar"><h3>More</h3><ul>{aside_items}</ul></aside>'
+    footer = (
+        '<footer><p><a href="/privacy">Privacy</a> <a href="/terms">Terms</a> '
+        f"© 2024 {host}</p></footer>"
+    )
+    return header, aside, footer
+
+
+def make_html(doc_id: int, text: str, lang: str) -> bytes:
+    """Templated page: known main content wrapped in boilerplate."""
+    rng = random.Random(f"html-{SEED}-{doc_id}")
+    host = host_for(doc_id)
+    header, aside, footer = _chrome(rng, host)
+    paras = "".join(f"<p>{p}</p>" for p in paragraphs_for(doc_id, text))
+    return (
+        f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+        f"<title>doc {doc_id}</title></head><body>{header}"
+        f"<main><article>{paras}</article></main>{aside}{footer}</body></html>"
+    ).encode("utf-8")
+
+
+def pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def make_pdf(doc_id: int, text: str) -> bytes:
+    """Minimal deterministic PDF-like payload: real `%PDF` magic and
+    text in `(..) Tj` operators. The in-repo PdfExtractor parses exactly
+    this subset; real-world decode would swap in a pdf library behind
+    the same actor interface (SURVEY.md §2.2 ocr.kraken analog)."""
+    body = "\n".join(f"BT /F1 12 Tf 72 {700 - 14 * i} Td ({pdf_escape(p)}) Tj ET"
+                     for i, p in enumerate(paragraphs_for(doc_id, text)))
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        f"3 0 obj << /Length {len(body)} >> stream\n{body}\nendstream endobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("utf-8")
+
+
+def make_invalid(doc_id: int) -> bytes:
+    rng = random.Random(f"bad-{SEED}-{doc_id}")
+    return bytes([rng.randint(0, 255) for _ in range(rng.randint(5, 64))])
+
+
+def noisy_text(doc_id: int, text: str, rate: float = 0.02) -> str:
+    """Character-noised candidate extraction (the third voter)."""
+    rng = random.Random(f"noise-{SEED}-{doc_id}")
+    chars = list(text)
+    n = max(1, int(len(chars) * rate))
+    for _ in range(n):
+        i = rng.randrange(len(chars))
+        if chars[i] != " ":
+            chars[i] = chr(ord("a") + rng.randrange(26))
+    return "".join(chars)
+
+
+def payload_kind(doc_id: int) -> str:
+    if doc_id % INVALID_MOD == INVALID_REM:
+        return "invalid"
+    if doc_id % PDF_MOD == PDF_REM:
+        return "pdf"
+    return "html"
+
+
+def make_page(doc_id: int, text: str, lang: str) -> dict:
+    kind = payload_kind(doc_id)
+    if kind == "invalid":
+        html = make_invalid(doc_id)
+    elif kind == "pdf":
+        html = make_pdf(doc_id, text)
+    else:
+        html = make_html(doc_id, text, lang)
+    return {
+        "url": url_for(doc_id),
+        "warc_ts": BASE_TS_US + doc_id * 1_000_000,
+        "html": html,
+        "text": noisy_text(doc_id, text),
+        "lang": lang,
+    }
+
+
+def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
+    """Vectorizable wrapper: a documents batch → a pages batch.
+
+    Runs inside ``map_batches`` so page synthesis is itself distributed
+    (no driver-side loop; sf0.1 = 5e4 pages, 100 TB-scale would stream).
+    doc_id is carried through for oracle joins."""
+    doc_ids = batch["doc_id"].to_pylist()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    rows = [make_page(d, t, l) for d, t, l in zip(doc_ids, texts, langs)]
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        }
+    )
+
+
+def pages_dataset_from_documents(sf_dir: str):
+    """documents.parquet → Dataset of pages (distributed synthesis)."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return docs.map_batches(pages_batch_from_documents, batch_format="pyarrow")
+
+
+def pages_table(n: int = 500, dup_frac: float = 0.05) -> pa.Table:
+    """Standalone small pages table for unit/golden tests: n synthetic
+    docs with seeded token text, plus ``dup_frac`` re-crawls (same url,
+    later warc_ts, same content) for dedup keep-latest tests."""
+    rng = random.Random(f"pages-{SEED}")
+    vocab = [f"word{i:03d}" for i in range(200)]
+    langs = ["en", "de", "es", "fr", "zh"]
+    rows = []
+    for doc_id in range(n):
+        nw = rng.randint(12, 160)
+        text = " ".join(rng.choice(vocab) for _ in range(nw))
+        lang = langs[doc_id % len(langs)]
+        rows.append(make_page(doc_id, text, lang) | {"doc_id": doc_id, "golden": text})
+    n_dup = int(n * dup_frac)
+    for doc_id in range(n_dup):  # re-crawl of the first n_dup docs
+        r = dict(rows[doc_id])
+        r["warc_ts"] = r["warc_ts"] + 86_400_000_000  # +1 day
+        rows.append(r)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+            "url": pa.array([r["url"] for r in rows], pa.string()),
+            "warc_ts": pa.array([r["warc_ts"] for r in rows], pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in rows], pa.binary()),
+            "text": pa.array([r["text"] for r in rows], pa.string()),
+            "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            "golden": pa.array([r["golden"] for r in rows], pa.string()),
+        }
+    )
