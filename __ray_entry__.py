@@ -1,16 +1,15 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the nidaba_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2
+(plus the training-data ops); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query — keys without an oracle
+entry are non-SQL-expressible (LSH/SimHash near-dup, approximate ANN,
+language-ID, winnowing fingerprints) and get the weaker rows-only
+check.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or anywhere in nidaba_ray.
 """
 
 from __future__ import annotations
@@ -20,25 +19,82 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: synthesize CC-style
+    pages from the documents table (distributed map_batches), run
+    extract → threshold/vote → spell-annotate, return the Dataset."""
+    from nidaba_ray.pipelines.extract import extract_pipeline
+    from nidaba_ray.synth import pages_dataset_from_documents
+
+    pages = pages_dataset_from_documents("/root/testdata/sf0.001")
+    return extract_pipeline(pages)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from nidaba_ray.functions import ann, dedup, textops
+    from nidaba_ray.pipelines import conformance
+    from nidaba_ray.relational import queries as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
+        "q1_pricing_summary": rel.q1_pricing_summary,
+        "filter_high_value": rel.filter_high_value,
+        "join_customer_orders": rel.join_customer_orders,
+        "join_lineitem_orders": rel.join_lineitem_orders,
+        "topk_orders": rel.topk_orders,
+        "distinct_segments": rel.distinct_segments,
+        "union_names": rel.union_names,
+        "events_hourly": rel.events_hourly,
+        "latest_event_per_user": rel.latest_event_per_user,
+        # --- text analysis over documents (driver instruction)
+        "quality_metrics": textops.quality_metrics,
+        "token_stats_per_lang": textops.token_stats_per_lang,
+        "subword_token_count": textops.subword_token_count,
+        "fingerprint_md5": textops.fingerprint_md5,
+        "lang_id": textops.lang_id,
+        "doc_winnow": textops.doc_winnow,
+        # --- dedup family (exact + near)
+        "exact_dedup": dedup.exact_dedup,
+        "dup_groups": dedup.dup_groups,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        # --- similarity search over embeddings
+        "ann_topk": ann.ann_topk_bruteforce,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+        "embedding_near_dup": ann.embedding_near_dup_pairs,
+        # --- flagship extraction pipeline (byte-identity gate)
+        "extract_documents": conformance.extract_documents,
+        "extract_stats": conformance.extract_stats,
+        "extract_quarantine": conformance.extract_quarantine,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from nidaba_ray.functions import ann, dedup, textops
+    from nidaba_ray.pipelines import conformance
+    from nidaba_ray.relational import queries as rel
+
+    return {
+        "q1_pricing_summary": rel.Q1_SQL,
+        "filter_high_value": rel.FILTER_SQL,
+        "join_customer_orders": rel.JOIN_CUSTOMER_SQL,
+        "join_lineitem_orders": rel.JOIN_LARGE_SQL,
+        "topk_orders": rel.TOPK_SQL,
+        "distinct_segments": rel.DISTINCT_SQL,
+        "union_names": rel.UNION_SQL,
+        "events_hourly": rel.EVENTS_HOURLY_SQL,
+        "latest_event_per_user": rel.LATEST_EVENT_SQL,
+        "quality_metrics": textops.QUALITY_SQL,
+        "token_stats_per_lang": textops.TOKEN_STATS_SQL,
+        "subword_token_count": textops.SUBWORD_SQL,
+        "fingerprint_md5": textops.FINGERPRINT_SQL,
+        "exact_dedup": dedup.EXACT_DEDUP_SQL,
+        "dup_groups": dedup.DUP_GROUPS_SQL,
+        "ann_topk": ann.ann_topk_sql(),
+        "extract_documents": conformance.EXTRACT_SQL,
+        "extract_stats": conformance.EXTRACT_STATS_SQL,
+        "extract_quarantine": conformance.EXTRACT_QUARANTINE_SQL,
+        # no oracle (non-SQL-expressible → rows-only check):
+        #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
+        #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup
+    }

@@ -1,0 +1,209 @@
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+    {"metric": "e2e_extract_sec", "value": <headline seconds>,
+     "unit": "sec", "queries": {...per-query sec...}, "sf": ...,
+     "num_cpus": N, "rows": R, "docs_per_sec": ...}
+
+Headline = flagship extraction pipeline (read pages parquet →
+ExtractCandidates actor pool → threshold/vote → SpellFilter →
+write_parquet) over a deterministic synthetic pages corpus derived
+from $GRAFT_SF_DIR/documents.parquet, amplified ×$GRAFT_AMPLIFY
+(default 40) so the job is long enough for scaling measurements. The
+corpus is synthesized once per (sf, amplify) and cached under /tmp.
+
+--scaling: runs the headline twice in FRESH processes at
+RAY_GRAFT_CPUS=8 and 32 on the same cached input and reports both
+throughputs + efficiency (sandbox evidence for the N→4N criterion,
+BASELINE.md protocol).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+AMPLIFY = int(os.environ.get("GRAFT_AMPLIFY", "40"))
+
+# queries worth timing per round (one per operator family)
+TIMED_QUERIES = [
+    "q1_pricing_summary",
+    "filter_high_value",
+    "join_customer_orders",
+    "join_lineitem_orders",
+    "topk_orders",
+    "events_hourly",
+    "latest_event_per_user",
+    "quality_metrics",
+    "token_stats_per_lang",
+    "fingerprint_md5",
+    "exact_dedup",
+    "minhash_dedup_pairs",
+    "simhash_dup_pairs",
+    "ann_topk",
+    "ann_topk_lsh",
+    "extract_documents",
+]
+
+
+def pages_cache_dir() -> str:
+    tag = SF_DIR.strip("/").replace("/", "_")
+    return f"/tmp/nidaba_ray_bench/pages_{tag}_x{AMPLIFY}"
+
+
+def ensure_pages(cpus: int) -> str:
+    """Synthesize the amplified pages corpus once (distributed) and
+    cache it; reruns at other parallelism levels reuse the same bytes."""
+    out = pages_cache_dir()
+    done = os.path.join(out, "_SYNTH_DONE")
+    if os.path.exists(done):
+        return out
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nidaba_ray.synth import pages_batch_from_documents
+
+    docs = rd.read_parquet(
+        f"{SF_DIR}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=cpus * 2,
+    )
+
+    def amplify(batch: pa.Table) -> pa.Table:
+        tables = []
+        for r in range(AMPLIFY):
+            t = batch.set_column(
+                batch.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.array([d + r * 10_000_000 for d in batch["doc_id"].to_pylist()],
+                         pa.int64()),
+            )
+            tables.append(pages_batch_from_documents(t))
+        return pa.concat_tables(tables)
+
+    pages = docs.map_batches(amplify, batch_format="pyarrow", batch_size=256)
+    pages.write_parquet(out)
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def run_headline(cpus: int) -> dict:
+    import ray
+    import ray.data as rd
+
+    from nidaba_ray.pipelines.extract import extract_pipeline
+
+    pages_dir = ensure_pages(cpus)
+    # warm the OS page cache so we measure compute+shuffle, not cold IO
+    warm = rd.read_parquet(pages_dir)
+    n_rows = warm.count()
+
+    out_dir = f"/tmp/nidaba_ray_bench/out_{cpus}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ds = rd.read_parquet(pages_dir, override_num_blocks=cpus * 4)
+    result = extract_pipeline(
+        ds,
+        extract_batch_size=128,
+        extract_concurrency=(1, cpus),
+        spell_batch_size=512,
+        spell_concurrency=(1, max(2, cpus // 2)),
+    )
+    result.write_parquet(out_dir, min_rows_per_file=max(1000, n_rows // (cpus * 2)))
+    wall = time.time() - t0
+    return {"sec": wall, "rows": n_rows, "docs_per_sec": round(n_rows / wall, 1)}
+
+
+def run_queries() -> dict[str, float]:
+    import __ray_entry__ as em
+
+    qs = em.queries()
+    out = {}
+    for name in TIMED_QUERIES:
+        t0 = time.time()
+        r = qs[name](SF_DIR)
+        if hasattr(r, "to_pandas"):
+            r.to_pandas() if not hasattr(r, "materialize") else r.materialize()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+
+    ctx = rd.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    head = run_headline(NUM_CPUS)
+    queries = run_queries() if os.environ.get("GRAFT_SKIP_QUERIES") != "1" else {}
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "e2e_extract_sec",
+                "value": round(head["sec"], 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "rows": head["rows"],
+                "docs_per_sec": head["docs_per_sec"],
+            }
+        )
+    )
+
+
+def scaling() -> None:
+    """Fresh-process runs at 8 and 32 CPUs on the same cached input."""
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": r_lo["value"],
+                "sec_32": r_hi["value"],
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "rows": r_hi["rows"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -1,0 +1,181 @@
+"""Similarity search over the embeddings table — brute-force cosine
+top-k as the exact baseline, random-hyperplane LSH bucketing as the
+scale path (driver instruction: first-class ANN ops).
+
+Scale notes: the query matrix is broadcast once (closure capture of a
+small numpy array — for many-query batches use ray.put); each batch
+does one float64 matmul; the global top-k is a per-batch partial top-k
+followed by a driver-side merge of ≤ k rows per batch (never a full
+sort of the corpus).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from nidaba_ray.functions.compat import round_like_sql
+
+
+def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", vec_id)],
+    )
+    return np.asarray(t["embedding"].to_pylist()[0], dtype=np.float64)
+
+
+def ann_topk_bruteforce(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
+    """Exact cosine top-k against one query vector.
+
+    float64 accumulation on both sides (the oracle CASTs to DOUBLE[])
+    so rounding to 6 decimals is stable; ties at the k-boundary broken
+    by vec_id."""
+    q = _query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        cos = (m @ qn) / np.where(norms > 0, norms, 1.0)
+        cos = round_like_sql(cos, 6)
+        ids = np.asarray(batch["vec_id"])
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "cos_sim": pa.array(cos[order], pa.float64()),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()  # ≤ k rows per batch — tiny merge
+    )
+    out = parts.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def ann_topk_sql(k: int = 10, query_vec_id: int = 0) -> str:
+    return f"""
+SELECT vec_id,
+       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = {query_vec_id})), 6) AS cos_sim
+FROM embeddings
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}
+"""
+
+
+N_PLANES = 12
+
+
+def _planes(dim: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def lsh_bucket_ids(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint32) << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
+
+
+def ann_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
+    """Approximate top-k: random-hyperplane LSH; candidates = vectors
+    whose bucket code is within Hamming ≤ 2 of the query's (multi-probe
+    LSH). One narrow pass — the bucket filter is vectorized per batch;
+    only candidates pay the cosine. Rows-only check (approximate by
+    construction); recall vs the brute-force baseline is unit-tested."""
+    q = _query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    planes = _planes(len(q))
+    q_code = int(lsh_bucket_ids(qn[None, :], planes)[0])
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        codes = lsh_bucket_ids(m, planes)
+        ham = np.zeros(len(codes), dtype=np.int32)
+        x = codes ^ np.uint32(q_code)
+        while x.any():
+            ham += (x & 1).astype(np.int32)
+            x >>= 1
+        mask = ham <= 2
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
+        sel = m[mask]
+        norms = np.linalg.norm(sel, axis=1)
+        cos = round_like_sql((sel @ qn) / np.where(norms > 0, norms, 1.0), 6)
+        ids = np.asarray(batch["vec_id"])[mask]
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cos_sim": pa.array(cos[order], pa.float64())})
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(candidates, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    out = parts.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
+
+
+def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
+    """Embedding-cosine near-dup pairs via LSH blocking: vectors
+    sharing a bucket are candidates; exact cosine verifies. The
+    groupby shuffles (bucket, vec_id, embedding) — at 10^12 scale the
+    embedding column dominates, so production would shuffle
+    (bucket, vec_id) and re-join vectors per bucket."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        planes = _planes(m.shape[1])
+        codes = lsh_bucket_ids(m, planes)
+        return pa.table(
+            {
+                "bucket": pa.array(codes.astype(np.int64)),
+                "vec_id": batch["vec_id"],
+                "embedding": batch["embedding"],
+            }
+        )
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        recs = g.drop_duplicates("vec_id")
+        m = np.array(list(recs["embedding"]), dtype=np.float64)
+        ids = recs["vec_id"].to_numpy()
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+        sim = mn @ mn.T
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if sim[i, j] >= threshold:
+                    a, b = sorted((int(ids[i]), int(ids[j])))
+                    rows.append((a, b, round_like_sql(float(sim[i, j]), 6)))
+        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"]).astype(
+            {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
+        )
+
+    out = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "vec_a" not in out.columns:  # all groups empty → schema lost
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+    out = (
+        out.drop_duplicates(["vec_a", "vec_b"])
+        .sort_values(["vec_a", "vec_b"])
+        .reset_index(drop=True)
+        .astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1,0 +1,378 @@
+"""Deduplication operators — exact, MinHash+LSH, SimHash, n-gram
+Jaccard (driver instruction: first-class training-data-pipeline ops).
+
+Scale notes: the exact path is hash-partition + per-group reduce (one
+shuffle of (fp, doc_id) pairs — NOT the payloads). The near-dup paths
+shuffle only (band_id, band_hash, doc_id) rows — a few dozen bytes per
+doc regardless of document size. Pair verification here broadcasts the
+corpus texts (fine ≤ a few GB); at 10^12 scale verification becomes
+two hash-joins of the candidate-pair list against the corpus — the
+pair list is tiny relative to the corpus, so both joins broadcast the
+PAIRS, not the documents.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.util import join_partitions
+
+MERSENNE = (1 << 61) - 1
+N_PERM = 64
+N_BANDS = 16  # 16 bands × 4 rows
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _md5_64(s: str) -> int:
+    return int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
+
+
+def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Token n-gram shingle set as uint64 hashes (sorted, unique)."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return np.array([_md5_64(text)], dtype=np.uint64)
+    hs = {_md5_64(" ".join(toks[i : i + n])) for i in range(len(toks) - n + 1)}
+    return np.fromiter(hs, dtype=np.uint64, count=len(hs))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(sf_dir: str) -> rd.Dataset:
+    """doc_id → canonical doc (min doc_id among byte-identical texts).
+    Content hash computed vectorized per batch; the groupby shuffles
+    only (fp, doc_id)."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fp, pa.string())})
+
+    # vectorized grouped-min + hash join back — NOT map_groups (at
+    # corpus scale nearly every fp group has one member, and per-group
+    # pandas overhead dominates; aggregate+join stays vectorized)
+    from ray.data.aggregate import Min
+
+    sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_fp, batch_format="pyarrow"
+    )
+    mins = sigs.groupby("fp").aggregate(Min("doc_id", alias_name="canonical_id"))
+    joined = sigs.join(mins, "inner", join_partitions(16), on=("fp",))
+    return joined.map_batches(
+        lambda t: t.select(["doc_id", "canonical_id"]), batch_format="pyarrow"
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+FROM documents
+"""
+
+
+def dup_groups(sf_dir: str) -> pa.Table:
+    """Groups of byte-identical documents (size > 1)."""
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fp, pa.string())})
+
+    from ray.data.aggregate import Count, Min
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(add_fp, batch_format="pyarrow")
+        .groupby("fp")
+        .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc"))
+        .to_pandas()
+    )
+    out = out[out["n_docs"] > 1].reset_index(drop=True)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+DUP_GROUPS_SQL = """
+SELECT md5(text) AS fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup
+# ---------------------------------------------------------------------------
+
+def _perm_params(n_perm: int = N_PERM, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    # a,b < 2^30 and 32-bit shingle hashes keep a·h+b < 2^63 — the whole
+    # permutation matrix stays in int64 (vectorized, no object math)
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 30, size=n_perm, dtype=np.int64)
+    b = rng.integers(0, 1 << 30, size=n_perm, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """sig[i] = min((a_i·h32 + b_i) mod M) over the 32-bit shingle
+    hashes — one broadcasted (n_perm × n_shingle) int64 matrix op."""
+    h32 = (sh & np.uint64(0xFFFFFFFF)).astype(np.int64)  # (S,)
+    m = (a[:, None] * h32[None, :] + b[:, None]) % np.int64(MERSENNE)
+    return m.min(axis=1).astype(np.uint64)
+
+
+class MinHasher:
+    """Actor-pool stage: permutation params built once per actor."""
+
+    def __init__(self, n: int = 3) -> None:
+        self.a, self.b = _perm_params()
+        self.n = n
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_band, rows_hash, rows_doc = [], [], []
+        r = N_PERM // N_BANDS
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sig = minhash_signature(shingle_hashes(text, self.n), self.a, self.b)
+            for band in range(N_BANDS):
+                # md5, not builtin hash(): stable across processes and
+                # Python versions (determinism invariant)
+                bh = int.from_bytes(
+                    hashlib.md5(sig[band * r : (band + 1) * r].tobytes()).digest()[:8],
+                    "big",
+                ) & 0x7FFFFFFFFFFFFFFF
+                rows_band.append(band)
+                rows_hash.append(bh)
+                rows_doc.append(doc_id)
+        return pa.table(
+            {
+                "band_id": pa.array(rows_band, pa.int32()),
+                "band_hash": pa.array(rows_hash, pa.int64()),
+                "doc_id": pa.array(rows_doc, pa.int64()),
+            }
+        )
+
+
+def minhash_candidates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
+    """(band_id, band_hash) buckets → unordered candidate pairs via a
+    hash-partitioned SELF-JOIN on the band key.
+
+    Why not ``groupby().map_groups``: almost every band bucket has one
+    member, and map_groups pays pandas overhead per group — measured
+    ~40 s for 80 k tiny groups where the join takes ~2 s. The join is
+    vectorized per partition and scales with the shuffle, and its
+    output is exactly the pair list after an a<b filter."""
+    sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
+    )
+    joined = sigs.join(
+        sigs,
+        "inner",
+        join_partitions(num_partitions),
+        on=("band_id", "band_hash"),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id_a"], batch["doc_id_b"])
+        b = batch.filter(mask)
+        return pa.table({"doc_a": b["doc_id_a"], "doc_b": b["doc_id_b"]})
+
+    return joined.map_batches(to_pairs, batch_format="pyarrow")
+
+
+def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """End-to-end MinHash-LSH near-dup: candidates from band buckets,
+    deduplicated, then EXACT n-gram Jaccard verification (so the output
+    has no LSH false positives; false negatives bounded by the band
+    curve). Verification broadcasts the corpus texts via ray.put —
+    see module docstring for the 10^12-scale variant."""
+    cands = minhash_candidates(sf_dir).to_pandas()
+    if len(cands):
+        cands = cands.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
+    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        texts = ray.get(texts_ref)
+        out_a, out_b, out_j = [], [], []
+        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
+            sa = set(shingle_hashes(texts[a_id]).tolist())
+            sb = set(shingle_hashes(texts[b_id]).tolist())
+            j = len(sa & sb) / max(1, len(sa | sb))
+            if j >= threshold:
+                out_a.append(a_id)
+                out_b.append(b_id)
+                out_j.append(round_like_sql(j, 4))
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "jaccard": pa.array(out_j, pa.float64()),
+            }
+        )
+
+    if not len(cands):
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+             "jaccard": pa.array([], pa.float64())}
+        )
+    verified = rd.from_pandas(cands).map_batches(verify, batch_format="pyarrow")
+    return pa.Table.from_pandas(verified.to_pandas(), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """Charikar SimHash over unigram token hashes (unit weights)."""
+    acc = np.zeros(64, dtype=np.int64)
+    shifts = np.arange(64, dtype=np.uint64)
+    for tok in text.split(" "):
+        uh = np.uint64(_md5_64(tok))
+        bits = (uh >> shifts) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_table(sf_dir: str) -> rd.Dataset:
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
+    """Near-dup pairs by SimHash: block on 4 × 16-bit chunks (any pair
+    within Hamming ≤ 3 of 4 chunks shares at least one exact chunk —
+    pigeonhole), then verify Hamming distance exactly."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc, chunk_id, chunk_val, full = [], [], [], []
+        for d, h in zip(batch["doc_id"].to_pylist(), batch["simhash"].to_pylist()):
+            uh = np.int64(h).astype(np.uint64)
+            for c in range(4):
+                doc.append(d)
+                chunk_id.append(c)
+                chunk_val.append(int((int(uh) >> (16 * c)) & 0xFFFF))
+                full.append(h)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int32()),
+                "chunk_val": pa.array(chunk_val, pa.int32()),
+                "simhash": pa.array(full, pa.int64()),
+            }
+        )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        # vectorized Hamming distance: XOR then popcount via unpackbits
+        mask = pc.less(batch["doc_id_a"], batch["doc_id_b"])
+        b = batch.filter(mask)
+        ha = b["simhash_a"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        hb = b["simhash_b"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
+        d = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+        keep = d <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(np.asarray(b["doc_id_a"])[keep], pa.int64()),
+                "doc_b": pa.array(np.asarray(b["doc_id_b"])[keep], pa.int64()),
+                "hamming": pa.array(d[keep], pa.int64()),
+            }
+        )
+
+    exploded = simhash_table(sf_dir).map_batches(explode, batch_format="pyarrow")
+    # self-join on the 16-bit chunk (pigeonhole blocking), vectorized
+    # pair filter — same rationale as minhash_candidates
+    joined = exploded.join(
+        exploded,
+        "inner",
+        join_partitions(16),
+        on=("chunk_id", "chunk_val"),
+        left_suffix="_a",
+        right_suffix="_b",
+    )
+    out = joined.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
+    if "doc_a" not in out.columns:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    out = (
+        out.drop_duplicates(["doc_a", "doc_b"])
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Blocked exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """Exact token-3-gram Jaccard within (lang, length-bucket) blocks —
+    the quadratic cost is bounded per block; blocking loses only pairs
+    whose lengths differ enough to make `threshold` unreachable."""
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = [t.count(" ") + 1 for t in batch["text"].to_pylist()]
+        bucket = pa.array([int(np.log2(max(1, x))) for x in n], pa.int32())
+        return batch.append_column("len_bucket", bucket)
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        recs = list(g[["doc_id", "text"]].itertuples(index=False))
+        sets = [set(shingle_hashes(t).tolist()) for _, t in recs]
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                inter = len(sets[i] & sets[j])
+                if not inter:
+                    continue
+                jac = inter / len(sets[i] | sets[j])
+                if jac >= threshold:
+                    a, b = sorted((recs[i][0], recs[j][0]))
+                    rows.append((a, b, round_like_sql(jac, 4)))
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+
+    out = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby(["lang", "len_bucket"])
+        .map_groups(block_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if "doc_a" not in out.columns:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "jaccard": pa.array([], pa.float64())})
+    out = (
+        out.sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

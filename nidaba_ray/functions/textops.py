@@ -1,0 +1,250 @@
+"""Text-analysis operators over a generic document corpus
+(driver instruction: language-ID, quality scoring, token counting,
+fingerprinting as first-class ops). All vectorized ``map_batches``
+bodies; no driver-side loops.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nidaba_ray.functions import lexicon
+from nidaba_ray.functions.compat import round_like_sql
+
+STOPWORDS = ("the", "a", "de", "el", "la")
+
+
+def _docs(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring (length / punctuation / stopword ratios)
+# ---------------------------------------------------------------------------
+
+def quality_metrics(sf_dir: str) -> rd.Dataset:
+    """Per-doc quality features, all computable by the SQL oracle:
+    word count, average word length, stopword ratio."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        words = s.str.split(" ")
+        n_words = words.str.len().astype("int64")
+        n_chars_nospace = (s.str.len() - s.str.count(" ")).astype("int64")
+        avg_word_len = round_like_sql(n_chars_nospace / n_words, 2)
+        stop_ratio = round_like_sql(
+            words.map(lambda ws: sum(w in STOPWORDS for w in ws))
+            / n_words.astype("float64"),
+            4,
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "avg_word_len": pa.array(avg_word_len),
+                "stop_ratio": pa.array(stop_ratio),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+QUALITY_SQL = """
+SELECT doc_id,
+       LEN(STRING_SPLIT(text, ' ')) AS n_words,
+       ROUND(CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 2) AS avg_word_len,
+       ROUND(CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                                  x -> x IN ('the', 'a', 'de', 'el', 'la'))) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 4) AS stop_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish subword regex)
+# ---------------------------------------------------------------------------
+
+def token_stats_per_lang(sf_dir: str) -> pa.Table:
+    """Corpus token accounting per language — partial aggregation per
+    batch, tiny final groupby."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({"lang": batch["lang"], "text": batch["text"]}).to_pandas()
+        df["n_tokens"] = df["text"].str.count(" ").astype("int64") + 1
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_tokens", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    out["avg_tokens"] = round_like_sql(out["total_tokens"] / out["n_docs"], 2)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TOKEN_STATS_SQL = """
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS DOUBLE) / COUNT(*), 2)
+         AS avg_tokens
+FROM documents
+GROUP BY lang
+"""
+
+
+def subword_token_count(sf_dir: str) -> rd.Dataset:
+    """BPE-ish token estimate: alnum runs + punctuation marks counted
+    separately via one compiled regex (a deterministic proxy for a
+    real tokenizer's count)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        n_sub = s.str.count(r"[A-Za-z0-9]{1,4}|[^\sA-Za-z0-9]").astype("int64")
+        return pa.table({"doc_id": batch["doc_id"], "n_subwords": pa.array(n_sub)})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+SUBWORD_SQL = r"""
+SELECT doc_id,
+       LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9]{1,4}|[^ A-Za-z0-9]')) AS n_subwords
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Fingerprinting
+# ---------------------------------------------------------------------------
+
+def fingerprint_md5(sf_dir: str) -> rd.Dataset:
+    """Content fingerprint = md5 of the text (exact-dedup key)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest()
+              for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"], "fp": pa.array(fp, pa.string())})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+FINGERPRINT_SQL = "SELECT doc_id, md5(text) AS fp FROM documents"
+
+_WINNOW_K = 5   # shingle length (tokens)
+_WINNOW_W = 4   # winnowing window
+
+
+def winnow_fingerprint(tokens: list[str]) -> list[int]:
+    """Winnowing document fingerprint (Schleimer et al., SIGMOD'03 —
+    public algorithm): rolling hash over k-token shingles, keep the
+    minimum hash of each sliding window (rightmost on ties). Returns
+    a sorted, deduplicated fingerprint set. Deterministic."""
+    if len(tokens) < _WINNOW_K:
+        base = " ".join(tokens)
+        return [int.from_bytes(hashlib.md5(base.encode()).digest()[:8], "big")]
+    hs = [
+        int.from_bytes(
+            hashlib.md5(" ".join(tokens[i : i + _WINNOW_K]).encode()).digest()[:8],
+            "big",
+        )
+        for i in range(len(tokens) - _WINNOW_K + 1)
+    ]
+    out = set()
+    for i in range(max(1, len(hs) - _WINNOW_W + 1)):
+        win = hs[i : i + _WINNOW_W]
+        m = min(win)
+        # rightmost minimum (standard winnowing tie rule)
+        out.add(win[len(win) - 1 - win[::-1].index(m)])
+    return sorted(out)
+
+
+def doc_winnow(sf_dir: str) -> rd.Dataset:
+    """Winnowing fingerprints per doc (rows-only check: not SQL-
+    expressible; unit-tested against known overlap properties)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fps = [winnow_fingerprint(t.split(" ")) for t in batch["text"].to_pylist()]
+        import json
+
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_fingerprints": pa.array([len(f) for f in fps], pa.int64()),
+                # JSON, not list<uint64>: a flat string column survives
+                # every downstream pandas/hashing path untouched
+                "fingerprints": pa.array([json.dumps(f) for f in fps], pa.string()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Language identification (character n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=1)
+def _lang_profiles() -> dict[str, set[str]]:
+    """Char-trigram profiles from the deterministic per-lang lexicons
+    (the public n-gram-profile LangID approach, Cavnar & Trenkle '94).
+    No external data: profiles derive from lexicon wordlists."""
+    profs = {}
+    for lang in ("en", "de", "es", "fr", "zh"):
+        grams: set[str] = set()
+        for w in sorted(lexicon.wordlist(lang)):
+            padded = f" {w} "
+            grams.update(padded[i : i + 3] for i in range(len(padded) - 2))
+        profs[lang] = grams
+    return profs
+
+
+class LangId:
+    """Actor-pool stage: profiles built once per actor; per batch a
+    vectorizable overlap score against each profile."""
+
+    def __init__(self) -> None:
+        self.profiles = _lang_profiles()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds, confs = [], []
+        for t in batch["text"].to_pylist():
+            padded = f" {t} "
+            grams = {padded[i : i + 3] for i in range(len(padded) - 2)}
+            best_lang, best = "und", -1.0
+            for lang in sorted(self.profiles):
+                p = self.profiles[lang]
+                score = len(grams & p) / max(1, len(grams))
+                if score > best:
+                    best_lang, best = lang, score
+            preds.append(best_lang)
+            confs.append(round(best, 4))
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "pred_lang": pa.array(preds, pa.string()),
+                "confidence": pa.array(confs, pa.float64()),
+            }
+        )
+
+
+def lang_id(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )

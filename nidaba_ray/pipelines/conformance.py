@@ -1,0 +1,92 @@
+"""Extraction-pipeline conformance queries.
+
+The synthetic pages table wraps ``documents.text`` in boilerplate
+HTML / PDF payloads (nidaba_ray.synth), so a correct extraction is an
+*identity* on ``documents.text`` — which makes the whole flagship
+pipeline (parse → segment → score → threshold → align/vote →
+serialize) checkable against a trivial DuckDB oracle. Payload kinds
+are keyed on doc_id (synth.payload_kind): %97==13 invalid (quarantine),
+%29==7 PDF, else HTML.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+from nidaba_ray.pipelines.extract import extract_pipeline
+from nidaba_ray.synth import pages_dataset_from_documents
+
+
+def _extracted(sf_dir: str, spell: bool = False) -> rd.Dataset:
+    pages = pages_dataset_from_documents(sf_dir)
+    return extract_pipeline(pages, spell=spell)
+
+
+def extract_documents(sf_dir: str) -> rd.Dataset:
+    """Full pipeline; returns (doc_id, text) for non-quarantined rows.
+    Byte-identity gate: text must equal documents.text exactly."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.equal(batch["error"], ""))
+        return b.select(["doc_id", "text"])
+
+    return _extracted(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+EXTRACT_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 13"
+
+
+def extract_stats(sf_dir: str) -> pa.Table:
+    """Per-lang corpus stats of the extraction output (counts must
+    match the oracle computed from the source texts)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.equal(batch["error"], ""))
+        df = pa.table({"lang": b["lang"], "n_tokens": b["n_tokens"]}).to_pandas()
+        g = df.groupby("lang", as_index=False).agg(
+            n_docs=("n_tokens", "size"), total_tokens=("n_tokens", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _extracted(sf_dir, spell=True)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("total_tokens", alias_name="total_tokens"))
+        .to_pandas()
+    )
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EXTRACT_STATS_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(LEN(STRING_SPLIT(text, ' '))) AS BIGINT) AS total_tokens
+FROM documents WHERE doc_id % 97 <> 13
+GROUP BY lang
+"""
+
+
+def extract_quarantine(sf_dir: str) -> rd.Dataset:
+    """Quarantined doc ids (undecodable payloads) — per-row error
+    isolation must catch exactly the corrupted rows, no more."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.invert(pc.equal(batch["error"], "")))
+        return b.select(["doc_id"])
+
+    return _extracted(sf_dir).map_batches(project, batch_format="pyarrow")
+
+
+EXTRACT_QUARANTINE_SQL = "SELECT doc_id FROM documents WHERE doc_id % 97 = 13"

@@ -1,0 +1,117 @@
+"""Resumable job runner — the ``nidaba batch`` → ``Batch.run()``
+analog (SURVEY.md §3.4), runnable under ``ray job submit``:
+
+    ray job submit -- python -m nidaba_ray.pipelines.runner \
+        <pages_parquet> <out_dir> [n_buckets]
+
+One run = read (pruned to unfinished buckets) → flagship extraction →
+bucketed parquet sink → per-bucket manifests (lineage + counters).
+Re-running after a crash skips every bucket whose manifest is present
+and config-compatible; only unfinished buckets are re-read (the prune
+happens at the read — a vectorized filter, no shuffle).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from functools import partial
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from nidaba_ray.pipelines.extract import extract_pipeline
+from nidaba_ray.state import manifest as mf
+
+DEFAULT_BUCKETS = 64
+
+
+def run_job(
+    input_path: str,
+    out_dir: str,
+    n_buckets: int = DEFAULT_BUCKETS,
+    pipeline_config: dict | None = None,
+) -> dict:
+    """Returns a summary dict {processed_buckets, skipped_buckets,
+    n_rows, n_quarantined}."""
+    config = {"n_buckets": n_buckets, "pipeline": pipeline_config or {}}
+    config_hash = mf.config_fingerprint(config)
+    done = frozenset(mf.done_buckets(out_dir, n_buckets, config_hash))
+
+    pages = rd.read_parquet(input_path)
+    pages = pages.map_batches(
+        partial(mf.add_bucket_column, n_buckets=n_buckets), batch_format="pyarrow"
+    )
+    if done:
+        pages = pages.map_batches(
+            partial(mf.prune_done, done=done), batch_format="pyarrow"
+        )
+
+    out = extract_pipeline(pages, **(pipeline_config or {}))
+    data_dir = os.path.join(out_dir, "data")
+    out.write_parquet(data_dir, partition_cols=["bucket"])
+
+    # Manifest pass: scan ONLY the tiny stat columns of what we just
+    # wrote (columnar pruning — the payload columns never move), roll
+    # up per bucket, then write each manifest atomically.
+    stats = (
+        rd.read_parquet(data_dir, columns=["bucket", "error", "n_kept"])
+        .map_batches(_bucket_partials, batch_format="pyarrow")
+        .to_pandas()
+    )
+    summary = {"processed_buckets": 0, "skipped_buckets": len(done),
+               "n_rows": 0, "n_quarantined": 0}
+    if len(stats):
+        rollup = stats.groupby("bucket", as_index=False).sum()
+        for row in rollup.itertuples(index=False):
+            b = int(row.bucket)
+            if b in done:
+                continue  # pre-existing bucket from a prior run
+            mf.write_manifest(
+                out_dir,
+                mf.BucketManifest(
+                    bucket=b,
+                    n_rows=int(row.n_rows),
+                    n_quarantined=int(row.n_quarantined),
+                    counters={"n_spans_kept": int(row.n_spans_kept)},
+                    input_fingerprint=mf.config_fingerprint({"input": input_path}),
+                    config_hash=config_hash,
+                ),
+                n_buckets,
+            )
+            summary["processed_buckets"] += 1
+            summary["n_rows"] += int(row.n_rows)
+            summary["n_quarantined"] += int(row.n_quarantined)
+    return summary
+
+
+def _bucket_partials(batch: pa.Table) -> pa.Table:
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "bucket": batch["bucket"].to_pandas(),
+            "n_rows": 1,
+            "n_quarantined": pc.invert(pc.equal(batch["error"], "")).to_pandas().astype(int),
+            "n_spans_kept": batch["n_kept"].to_pandas(),
+        }
+    )
+    g = df.groupby("bucket", as_index=False).sum()
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def main(argv: list[str]) -> None:
+    import ray
+
+    if not ray.is_initialized():  # standalone script owns its session
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    input_path, out_dir = argv[0], argv[1]
+    n_buckets = int(argv[2]) if len(argv) > 2 else DEFAULT_BUCKETS
+    summary = run_job(input_path, out_dir, n_buckets)
+    print(summary)
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

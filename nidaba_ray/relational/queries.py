@@ -1,0 +1,380 @@
+"""Relational pipelines over the driver-provided parquet tables.
+
+Conventions (driver contract):
+  * every function takes ``sf_dir`` and returns a Dataset / pyarrow
+    Table / pandas DataFrame;
+  * computed/aggregate column names match the oracle SQL exactly;
+  * float aggregates are rounded to 2 decimals on BOTH sides so that
+    parallel-summation order (Ray) vs sequential order (DuckDB) cannot
+    flip the hash — the residual error of a 60 k-row double sum is
+    ~1e-6, far below the rounding quantum;
+  * Ray is initialised by the caller (never here).
+
+Scale notes are on each op: which ones shuffle, which broadcast,
+which pre-aggregate (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.util import join_partitions
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation with partial pre-aggregation (TPC-H Q1 analog)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """Grouped aggregate over lineitem with per-batch partial
+    aggregation: each batch emits one row per (returnflag, linestatus)
+    — the groupby then shuffles ~K rows per block instead of every
+    input row (SURVEY.md §2.5 'pre-aggregate inside map_batches')."""
+    cols = ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_tax", "l_shipdate"]
+
+    cutoff = pa.scalar(pd.Timestamp("1998-09-02"), pa.timestamp("us"))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(batch["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        charge = pc.multiply(disc_price, pc.add(pa.scalar(1.0), batch["l_tax"]))
+        t = batch.select(["l_returnflag", "l_linestatus", "l_quantity",
+                          "l_extendedprice", "l_discount"])
+        t = t.append_column("disc_price", disc_price).append_column("charge", charge)
+        df = t.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_base_price=("l_extendedprice", "sum"),
+            sum_disc_price=("disc_price", "sum"),
+            sum_charge=("charge", "sum"),
+            sum_disc=("l_discount", "sum"),
+            count_order=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = _read(sf_dir, "lineitem", cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    )
+    from ray.data.aggregate import Sum
+
+    final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_base_price", alias_name="sum_base_price"),
+        Sum("sum_disc_price", alias_name="sum_disc_price"),
+        Sum("sum_charge", alias_name="sum_charge"),
+        Sum("sum_disc", alias_name="sum_disc"),
+        Sum("count_order", alias_name="count_order"),
+    )
+    df = final.to_pandas()  # K rows — tiny
+    n = df["count_order"].astype("int64")
+    out = pd.DataFrame(
+        {
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty": round_like_sql(df["sum_qty"], 2),
+            "sum_base_price": round_like_sql(df["sum_base_price"], 2),
+            "sum_disc_price": round_like_sql(df["sum_disc_price"], 2),
+            "sum_charge": round_like_sql(df["sum_charge"], 2),
+            "avg_qty": round_like_sql(df["sum_qty"] / n, 2),
+            "avg_price": round_like_sql(df["sum_base_price"] / n, 2),
+            "avg_disc": round_like_sql(df["sum_disc"] / n, 2),
+            "count_order": n,
+        }
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(SUM(l_quantity) / COUNT(*), 2)                         AS avg_qty,
+       ROUND(SUM(l_extendedprice) / COUNT(*), 2)                    AS avg_price,
+       ROUND(SUM(l_discount) / COUNT(*), 2)                         AS avg_disc,
+       COUNT(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Filter + projection (vectorized predicate inside map_batches)
+# ---------------------------------------------------------------------------
+
+def filter_high_value(sf_dir: str) -> rd.Dataset:
+    """Narrow, shuffle-free: vectorized filter + computed column."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.greater(batch["l_quantity"], 30.0),
+                       pc.less(batch["l_discount"], 0.03))
+        b = batch.filter(mask)
+        revenue = pa.array(
+            round_like_sql(
+                pc.multiply(
+                    b["l_extendedprice"],
+                    pc.subtract(pa.scalar(1.0), b["l_discount"]),
+                ).to_numpy(zero_copy_only=False),
+                2,
+            )
+        )
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"],
+                "l_quantity": b["l_quantity"],
+                "revenue": revenue,
+            }
+        )
+
+    return _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+FILTER_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity,
+       ROUND(l_extendedprice * (1 - l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_quantity > 30 AND l_discount < 0.03
+"""
+
+
+# ---------------------------------------------------------------------------
+# Broadcast join (small dimension side via ray.put — no shuffle)
+# ---------------------------------------------------------------------------
+
+def join_customer_orders(sf_dir: str) -> pa.Table:
+    """orders ⋈ customer, customer broadcast: the dimension table goes
+    into the object store ONCE (ray.put) and every map task reads the
+    same reference — the 100 TB pattern for small-side joins
+    (SURVEY.md §2.4), vs. shipping it per batch or shuffling orders."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seg_map = ray.get(cust_ref)  # zero-copy shared read per worker
+        df = batch.to_pandas()
+        df["c_mktsegment"] = df["o_custkey"].map(seg_map)
+        g = df.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_orderkey", "size"), total_price=("o_totalprice", "sum")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_price", alias_name="total_price"))
+        .to_pandas()
+    )
+    out["total_price"] = round_like_sql(out["total_price"], 2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+JOIN_CUSTOMER_SQL = """
+SELECT c_mktsegment,
+       COUNT(*)                    AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+# ---------------------------------------------------------------------------
+# Large-large hash join (Dataset.join — explicit shuffle on the key)
+# ---------------------------------------------------------------------------
+
+def join_lineitem_orders(sf_dir: str) -> pa.Table:
+    """lineitem ⋈ orders on orderkey — both sides large, so this is a
+    genuine hash-partitioned shuffle join (Ray Data ``Dataset.join``),
+    followed by a small grouped aggregate. Partitions count is the
+    explicit knob that must scale with cluster size."""
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=join_partitions(16),
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        df = pa.table({"o_orderpriority": batch["o_orderpriority"],
+                       "revenue": rev}).to_pandas()
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("revenue", "size"), revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue", alias_name="revenue"))
+        .to_pandas()
+    )
+    out["revenue"] = round_like_sql(out["revenue"], 2)
+    out["n_items"] = out["n_items"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+JOIN_LARGE_SQL = """
+SELECT o_orderpriority,
+       COUNT(*)                                          AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sort / top-k
+# ---------------------------------------------------------------------------
+
+def topk_orders(sf_dir: str) -> pa.Table:
+    """Top 10 orders by total price. ``sort`` is a full range shuffle;
+    ties broken by o_orderkey so the k-boundary is deterministic."""
+    out = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderdate"])
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_totalprice, o_orderdate
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Distinct / set ops
+# ---------------------------------------------------------------------------
+
+def distinct_segments(sf_dir: str) -> pa.Table:
+    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
+    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+def union_names(sf_dir: str) -> pa.Table:
+    """nation ∪ region names — ``Dataset.union`` keeps both lazy."""
+    n = _read(sf_dir, "nation", ["n_name"]).map_batches(
+        lambda t: pa.table({"name": t["n_name"]}), batch_format="pyarrow")
+    r = _read(sf_dir, "region", ["r_name"]).map_batches(
+        lambda t: pa.table({"name": t["r_name"]}), batch_format="pyarrow")
+    df = n.union(r).to_pandas()
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+UNION_SQL = """
+SELECT n_name AS name FROM nation UNION ALL SELECT r_name AS name FROM region
+"""
+
+
+# ---------------------------------------------------------------------------
+# Events: JSON extraction + time-bucketed aggregate (windowed analog)
+# ---------------------------------------------------------------------------
+
+def events_hourly(sf_dir: str) -> pa.Table:
+    """Tumbling-window aggregate: per (event_type, hour) count, value
+    sum, and sum of the JSON ``props.k`` field. Window = groupby on
+    the truncated timestamp (Ray Data has no event-time windows —
+    SURVEY.md §2.9); JSON decoded per batch, not per row on a driver
+    loop."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        k = np.fromiter((json.loads(p)["k"] for p in batch["props"].to_pylist()),
+                        dtype=np.int64, count=batch.num_rows)
+        df = pa.table({"event_type": batch["event_type"], "hour": hour,
+                       "value": batch["value"],
+                       "k": pa.array(k)}).to_pandas()
+        g = df.groupby(["event_type", "hour"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"), sum_k=("k", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "events", ["event_type", "ts", "value", "props"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"),
+                   Sum("sum_k", alias_name="sum_k"))
+        .to_pandas()
+    )
+    out["sum_value"] = round_like_sql(out["sum_value"], 2)
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_k"] = out["sum_k"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour,
+       COUNT(*)                    AS n_events,
+       ROUND(SUM(value), 2)        AS sum_value,
+       CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def latest_event_per_user(sf_dir: str) -> pa.Table:
+    """Keep-latest dedup: one row per user_id with the max (ts,
+    event_id). groupby + map_groups — the exact-dedup primitive
+    (keep latest warc_ts per url in the pages world, §2.7)."""
+
+    def keep_latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ascending=[False, False])
+        return g.head(1)
+
+    out = (
+        _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        .groupby("user_id")
+        .map_groups(keep_latest, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, ts, event_type
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""

@@ -112,10 +112,11 @@ class ExtractCandidates:
             kinds.append(kind)
             spans_col.append(spans)
             errors.append(err)
-        cols = {}
-        for name in ("doc_id", "url", "warc_ts", "text", "lang"):
-            if name in batch.column_names:
-                cols[name] = batch[name]
+        # generic passthrough: every input column except the consumed
+        # payload survives (bucket ids, user metadata, ...)
+        cols = {
+            name: batch[name] for name in batch.column_names if name != "html"
+        }
         cols["payload_kind"] = pa.array(kinds, pa.string())
         cols["spans"] = pa.array(spans_col, SPAN_TYPE)
         cols["error"] = pa.array(errors, pa.string())

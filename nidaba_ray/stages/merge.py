@@ -116,10 +116,13 @@ def threshold_and_vote(batch: pa.Table) -> pa.Table:
         provs.append(p)
         n_blocks_l.append(nb)
         n_kept_l.append(nk)
-    cols = {}
-    for name in ("doc_id", "url", "warc_ts", "lang", "payload_kind", "error"):
-        if name in batch.column_names:
-            cols[name] = batch[name]
+    # generic passthrough (bucket ids, user metadata); text/spans are
+    # replaced by the voted canonical versions below
+    cols = {
+        name: batch[name]
+        for name in batch.column_names
+        if name not in ("text", "spans")
+    }
     cols["text"] = pa.array(finals, pa.string())
     cols["spans"] = pa.array(kepts, SPAN_TYPE)
     cols["provenance"] = pa.array(provs, pa.list_(PROVENANCE_STRUCT))

@@ -1,0 +1,198 @@
+"""Multimodal column stages — image / audio / video as opaque binary
+columns with typed metadata (driver instruction).
+
+The sandbox has no image/audio libraries, so the *decoders* are
+deterministic fakes behind the real Ray-side plumbing: schema, small
+batch sizes for wide binary rows, actor-pool stage shape, per-row
+error isolation, output layout. Swapping in Pillow/ffmpeg means
+replacing ``_decode_fake_*`` ONLY — every signature stays.
+
+Fake media container (produced by ``synth_media_batch``):
+    b"FAKEIMG\\0" + uint16 width + uint16 height + width*height bytes
+    b"FAKEAUD\\0" + uint32 n_samples + n_samples int8 samples
+    b"FAKEVID\\0" + uint16 n_frames + per-frame FAKEIMG payloads
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "IMG_MAGIC", "AUD_MAGIC", "VID_MAGIC",
+    "synth_media_batch", "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
+]
+
+IMG_MAGIC = b"FAKEIMG\x00"
+AUD_MAGIC = b"FAKEAUD\x00"
+VID_MAGIC = b"FAKEVID\x00"
+
+
+def _bytes_for(key: str, n: int) -> bytes:
+    out = b""
+    i = 0
+    while len(out) < n:
+        out += hashlib.md5(f"{key}:{i}".encode()).digest()
+        i += 1
+    return out[:n]
+
+
+def _fake_img(key: str, w: int, h: int) -> bytes:
+    return IMG_MAGIC + struct.pack("<HH", w, h) + _bytes_for(key, w * h)
+
+
+def synth_media_batch(ids: list[int]) -> pa.Table:
+    """Deterministic media table (media_id, kind, payload, meta)."""
+    kinds, payloads, metas = [], [], []
+    for i in ids:
+        k = ("image", "audio", "video")[i % 3]
+        if k == "image":
+            w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
+            payloads.append(_fake_img(f"img{i}", w, h))
+            metas.append({"width": w, "height": h, "frames": 1})
+        elif k == "audio":
+            n = 1000 + (i % 5) * 500
+            payloads.append(
+                AUD_MAGIC + struct.pack("<I", n)
+                + bytes((b + 128) % 256 for b in _bytes_for(f"aud{i}", n))
+            )
+            metas.append({"width": 0, "height": 0, "frames": n})
+        else:
+            nf = 4 + i % 3
+            frames = b"".join(_fake_img(f"vid{i}f{f}", 16, 16) for f in range(nf))
+            payloads.append(VID_MAGIC + struct.pack("<H", nf) + frames)
+            metas.append({"width": 16, "height": 16, "frames": nf})
+        kinds.append(k)
+    meta_type = pa.struct([("width", pa.int32()), ("height", pa.int32()),
+                           ("frames", pa.int32())])
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "meta": pa.array(metas, meta_type),
+        }
+    )
+
+
+def _decode_fake_img(payload: bytes) -> np.ndarray:
+    """STUB decoder — replace with PIL.Image.open for real images.
+    Raises ValueError on malformed payloads (quarantine path)."""
+    if payload[:8] != IMG_MAGIC:
+        raise ValueError("not a FAKEIMG payload")
+    w, h = struct.unpack("<HH", payload[8:12])
+    px = np.frombuffer(payload[12 : 12 + w * h], dtype=np.uint8)
+    if len(px) != w * h:
+        raise ValueError("truncated image payload")
+    return px.reshape(h, w)
+
+
+class ImageDecoder:
+    """Actor-pool stage: decode + resize + feature-extract images.
+
+    Small batch_size is mandatory — payloads are wide binary rows and
+    batch × concurrency must fit the worker heap (SURVEY.md §4.2)."""
+
+    def __init__(self, thumb: int = 8) -> None:
+        self.thumb = thumb  # real impl: load a vision model here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        widths, heights, means, thumbs, errors = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            try:
+                img = _decode_fake_img(p or b"")
+                h, w = img.shape
+                # nearest-neighbor resize to thumb×thumb (the resize op)
+                ys = (np.arange(self.thumb) * h // self.thumb)
+                xs = (np.arange(self.thumb) * w // self.thumb)
+                tb = img[np.ix_(ys, xs)]
+                widths.append(w)
+                heights.append(h)
+                means.append(float(img.mean()))
+                thumbs.append(tb.flatten().tolist())
+                errors.append("")
+            except Exception as e:  # per-row isolation
+                widths.append(0)
+                heights.append(0)
+                means.append(0.0)
+                thumbs.append([])
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "width": pa.array(widths, pa.int32()),
+                "height": pa.array(heights, pa.int32()),
+                "mean_px": pa.array(means, pa.float64()),
+                "thumbnail": pa.array(thumbs, pa.list_(pa.uint8())),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+class AudioFeatures:
+    """Actor-pool stage: per-clip summary features (STUB dsp)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, n_samples, rms, errors = [], [], [], []
+        for i, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            ids.append(i)
+            try:
+                if (p or b"")[:8] != AUD_MAGIC:
+                    raise ValueError("not a FAKEAUD payload")
+                (n,) = struct.unpack("<I", p[8:12])
+                samples = np.frombuffer(p[12 : 12 + n], dtype=np.uint8).astype(
+                    np.float64
+                ) - 128.0
+                if len(samples) != n:
+                    raise ValueError("truncated audio payload")
+                n_samples.append(n)
+                rms.append(float(np.sqrt((samples**2).mean())))
+                errors.append("")
+            except Exception as e:
+                n_samples.append(0)
+                rms.append(0.0)
+                errors.append(f"{type(e).__name__}: {e}")
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "n_samples": pa.array(n_samples, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "error": pa.array(errors, pa.string()),
+            }
+        )
+
+
+class VideoFrameSampler:
+    """Actor-pool stage: sample every k-th frame, emit one row per
+    sampled frame (flat_map-shaped output from map_batches)."""
+
+    def __init__(self, every: int = 2) -> None:
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mid, frame_idx, frame_mean = [], [], []
+        for i, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            if (p or b"")[:8] != VID_MAGIC:
+                continue  # non-video rows pass through silently
+            (nf,) = struct.unpack("<H", p[8:10])
+            off = 10
+            for f in range(nf):
+                w, h = struct.unpack("<HH", p[off + 8 : off + 12])
+                size = 12 + w * h
+                if f % self.every == 0:
+                    img = _decode_fake_img(p[off : off + size])
+                    mid.append(i)
+                    frame_idx.append(f)
+                    frame_mean.append(float(img.mean()))
+                off += size
+        return pa.table(
+            {
+                "media_id": pa.array(mid, pa.int64()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_mean": pa.array(frame_mean, pa.float64()),
+            }
+        )

@@ -1,0 +1,117 @@
+"""Stage registry + pipeline-spec compiler — the nidaba plugin surface
+analog (nidaba registers ``@app.task(base=NidabaTask,
+name='<group>.<method>')`` tasks from ``plugins_load`` in nidaba.yaml,
+then ``Batch.add_task(group, method, **kw)`` builds an ordered task
+graph; nidaba/config.py + tasks/helper.py + nidaba.py, UNVERIFIED per
+SURVEY.md §0).
+
+Ours: ``@register_stage("group.method")`` maps a name to a stage spec
+(callable or actor class + map_batches defaults); ``compile_pipeline``
+turns an ordered spec list (dict or YAML) into a lazy Dataset chain.
+
+    spec = [
+        {"stage": "extract.candidates", "batch_size": 64},
+        {"stage": "merge.threshold_vote"},
+        {"stage": "postprocess.spell", "concurrency": [1, 4]},
+    ]
+    ds = compile_pipeline(pages, spec)
+"""
+
+from __future__ import annotations
+
+import inspect
+from dataclasses import dataclass, field
+from typing import Any, Callable
+
+import ray.data as rd
+
+__all__ = ["register_stage", "get_stage", "list_stages", "compile_pipeline",
+           "load_spec", "StageSpec"]
+
+_REGISTRY: dict[str, "StageSpec"] = {}
+
+
+@dataclass
+class StageSpec:
+    name: str
+    fn: Callable  # plain function (stateless tasks) or class (actor pool)
+    stateful: bool
+    defaults: dict[str, Any] = field(default_factory=dict)
+
+    def apply(self, ds: rd.Dataset, **overrides: Any) -> rd.Dataset:
+        kw = {"batch_format": "pyarrow", **self.defaults, **overrides}
+        if "concurrency" in kw and isinstance(kw["concurrency"], list):
+            kw["concurrency"] = tuple(kw["concurrency"])  # YAML has no tuples
+        if not self.stateful:
+            kw.pop("concurrency", None)  # tasks scale elastically
+        return ds.map_batches(self.fn, **kw)
+
+
+def register_stage(
+    name: str, **defaults: Any
+) -> Callable[[Callable], Callable]:
+    def deco(fn: Callable) -> Callable:
+        _REGISTRY[name] = StageSpec(
+            name=name, fn=fn, stateful=inspect.isclass(fn), defaults=defaults
+        )
+        return fn
+
+    return deco
+
+
+def get_stage(name: str) -> StageSpec:
+    _ensure_builtin()
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown stage {name!r}; known: {sorted(_REGISTRY)}"
+        )
+    return _REGISTRY[name]
+
+
+def list_stages() -> list[str]:
+    _ensure_builtin()
+    return sorted(_REGISTRY)
+
+
+def compile_pipeline(ds: rd.Dataset, spec: list[dict]) -> rd.Dataset:
+    """Ordered spec → chained lazy Dataset (the Batch.run compile)."""
+    for step in spec:
+        step = dict(step)
+        name = step.pop("stage")
+        ds = get_stage(name).apply(ds, **step)
+    return ds
+
+
+def load_spec(path: str) -> list[dict]:
+    import yaml
+
+    with open(path) as f:
+        doc = yaml.safe_load(f)
+    steps = doc["pipeline"] if isinstance(doc, dict) else doc
+    if not isinstance(steps, list) or not all("stage" in s for s in steps):
+        raise ValueError(f"malformed pipeline spec {path}")
+    return steps
+
+
+_BUILTIN_DONE = False
+
+
+def _ensure_builtin() -> None:
+    """Register the built-in stages lazily (avoids import cycles)."""
+    global _BUILTIN_DONE
+    if _BUILTIN_DONE:
+        return
+    _BUILTIN_DONE = True
+    from nidaba_ray.stages.extract import ExtractCandidates
+    from nidaba_ray.stages.merge import threshold_and_vote
+    from nidaba_ray.stages.spell import SpellFilter
+    from nidaba_ray.stages.serialize import to_jsonl_rows
+
+    register_stage(
+        "extract.candidates", batch_size=64, concurrency=(1, 8), num_cpus=1
+    )(ExtractCandidates)
+    register_stage("merge.threshold_vote")(threshold_and_vote)
+    register_stage(
+        "postprocess.spell", batch_size=256, concurrency=(1, 4), num_cpus=1
+    )(SpellFilter)
+    register_stage("output.jsonl")(to_jsonl_rows)

@@ -1,0 +1,72 @@
+"""Output serializers — the tei2txt / tei2hocr / write_alto sink
+analogs (nidaba/tasks/output.py + tei.py serializers, UNVERIFIED per
+SURVEY.md §0).
+
+The canonical sink is parquet (``Dataset.write_parquet`` keeps the
+full span structure); these stages provide the alternate dialects:
+JSONL span dumps (hOCR/ALTO analog) and plain-text rows (tei2txt
+analog). Each is a stateless ``map_batches`` projection feeding
+``write_json`` / ``write_csv``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from nidaba_ray.record import spans_to_jsonl
+
+__all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans"]
+
+
+def to_jsonl_rows(batch: pa.Table) -> pa.Table:
+    """One JSON document per row (url, lang, spans, provenance) — the
+    structured-dialect serialization."""
+    urls = batch["url"].to_pylist()
+    langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+    spans = batch["spans"].to_pylist()
+    provs = (
+        batch["provenance"].to_pylist()
+        if "provenance" in batch.column_names
+        else [[] for _ in urls]
+    )
+    lines = [
+        spans_to_jsonl(u, l or "", s or [], p or [])
+        for u, l, s, p in zip(urls, langs, spans, provs)
+    ]
+    return pa.table({"json": pa.array(lines, pa.string())})
+
+
+def to_text_rows(batch: pa.Table) -> pa.Table:
+    """(url, text) rows — the plain-text serialization (tei2txt)."""
+    return batch.select(["url", "text"])
+
+
+def explode_spans(batch: pa.Table) -> pa.Table:
+    """One row per span (url, block_id, kind, depth, score, text,
+    start, end) — the UZN zone-file debug dump analog (nidaba/uzn.py);
+    feed to write_csv for inspection."""
+    urls, rows = batch["url"].to_pylist(), batch["spans"].to_pylist()
+    out = {k: [] for k in ("url", "block_id", "kind", "depth", "score",
+                           "text", "start", "end")}
+    for u, spans in zip(urls, rows):
+        for s in spans or []:
+            out["url"].append(u)
+            out["block_id"].append(s["block_id"])
+            out["kind"].append(s["kind"])
+            out["depth"].append(s["depth"])
+            out["score"].append(s["score"])
+            out["text"].append(s["text"])
+            out["start"].append(s["start"])
+            out["end"].append(s["end"])
+    return pa.table(
+        {
+            "url": pa.array(out["url"], pa.string()),
+            "block_id": pa.array(out["block_id"], pa.int32()),
+            "kind": pa.array(out["kind"], pa.string()),
+            "depth": pa.array(out["depth"], pa.int32()),
+            "score": pa.array(out["score"], pa.float32()),
+            "text": pa.array(out["text"], pa.string()),
+            "start": pa.array(out["start"], pa.int64()),
+            "end": pa.array(out["end"], pa.int64()),
+        }
+    )

@@ -1,0 +1,120 @@
+"""Checkpoint-manifest layout + resumable runner — nidaba
+tests/test_storage.py analog (FIXTURES.md F5)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nidaba_ray.state import manifest as mf
+from nidaba_ray.state.manifest import BucketManifest, ManifestError
+
+
+def make_m(bucket=3, config="cfg"):
+    return BucketManifest(
+        bucket=bucket, n_rows=10, n_quarantined=1, counters={"x": 1},
+        input_fingerprint="abc", config_hash=config,
+    )
+
+
+def test_write_read_roundtrip(tmp_path):
+    out = str(tmp_path)
+    mf.write_manifest(out, make_m(), 64)
+    back = mf.read_manifest(out, 3, 64)
+    assert back == make_m()
+
+
+def test_atomic_no_tmp_left(tmp_path):
+    out = str(tmp_path)
+    mf.write_manifest(out, make_m(), 64)
+    files = os.listdir(os.path.join(out, "manifest"))
+    assert files == ["part-00003.json"]
+
+
+def test_bucket_range_rejected(tmp_path):
+    out = str(tmp_path)
+    with pytest.raises(ManifestError):
+        mf.write_manifest(out, make_m(bucket=64), 64)
+    with pytest.raises(ManifestError):
+        mf.write_manifest(out, make_m(bucket=-1), 64)
+    with pytest.raises(ManifestError):
+        mf.read_manifest(out, 9999, 64)
+
+
+def test_corrupt_manifest_rejected_and_not_done(tmp_path):
+    out = str(tmp_path)
+    mf.write_manifest(out, make_m(bucket=1), 64)
+    # corrupt a second manifest by hand
+    p = os.path.join(out, "manifest", "part-00002.json")
+    with open(p, "w") as f:
+        f.write("{not json")
+    with pytest.raises(ManifestError):
+        mf.read_manifest(out, 2, 64)
+    done = mf.done_buckets(out, 64, "cfg")
+    assert done == {1}  # corrupt bucket 2 is NOT treated as done
+
+
+def test_done_buckets_config_mismatch(tmp_path):
+    out = str(tmp_path)
+    mf.write_manifest(out, make_m(bucket=5, config="old"), 64)
+    assert mf.done_buckets(out, 64, "new") == set()
+    assert mf.done_buckets(out, 64, "old") == {5}
+
+
+def test_bucket_of_deterministic():
+    urls = [f"https://h{i}.com/p{i}" for i in range(100)]
+    a = mf.bucket_of(urls, 16)
+    b = mf.bucket_of(urls, 16)
+    assert (a == b).all()
+    assert set(a) <= set(range(16))
+    assert len(set(a)) > 4  # spreads
+
+
+def test_prune_done():
+    t = pa.table({"url": ["a", "b", "c"], "bucket": pa.array([0, 1, 2], pa.int64())})
+    out = mf.prune_done(t, frozenset({1}))
+    assert out["bucket"].to_pylist() == [0, 2]
+    assert mf.prune_done(t, frozenset()) is t
+
+
+@pytest.fixture(scope="module")
+def pages_file(tmp_path_factory):
+    from nidaba_ray import synth
+
+    path = tmp_path_factory.mktemp("runnerpages") / "pages.parquet"
+    t = synth.pages_table(n=120)
+    pq.write_table(t.drop_columns(["golden", "doc_id"]), str(path))
+    return str(path)
+
+
+def test_runner_end_to_end_and_resume(ray_session, pages_file, tmp_path):
+    from nidaba_ray.pipelines import runner
+
+    cfg = {"extract_concurrency": (1, 2), "spell_concurrency": (1, 2)}
+    out_dir = str(tmp_path / "job")
+    s1 = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    assert s1["processed_buckets"] > 0 and s1["skipped_buckets"] == 0
+    assert s1["n_rows"] > 0
+
+    # all buckets now have manifests → a rerun must process nothing
+    s2 = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    assert s2["processed_buckets"] == 0
+    assert s2["skipped_buckets"] == s1["processed_buckets"]
+
+    # delete one manifest → exactly that bucket reruns
+    mdir = os.path.join(out_dir, "manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    b_victim = int(victim[len("part-"):-len(".json")])
+    os.remove(os.path.join(mdir, victim))
+    s3 = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    assert s3["processed_buckets"] == 1
+    m = mf.read_manifest(out_dir, b_victim, 8)
+    assert m.n_rows > 0
+
+    # manifest carries lineage + counters
+    with open(os.path.join(mdir, victim)) as f:
+        d = json.load(f)
+    assert {"bucket", "n_rows", "n_quarantined", "counters",
+            "input_fingerprint", "config_hash", "engine_version"} <= set(d)

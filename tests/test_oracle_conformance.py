@@ -1,0 +1,94 @@
+"""Mirror of the driver's DuckDB-oracle comparison (SURVEY.md §5.2
+item 2): for every query with an oracle, run the Ray pipeline and the
+SQL on the same parquet tables and compare row count + schema +
+order-insensitive values. Runs at sf0.001 for speed; the driver runs
+the same contract at sf0.01."""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def to_df(result) -> pd.DataFrame:
+    if isinstance(result, pd.DataFrame):
+        return result
+    if hasattr(result, "to_pandas"):
+        return result.to_pandas()
+    raise TypeError(type(result))
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple)) else v
+            )
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+ORACLED = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_query_matches_oracle(name, ray_session, oracle_con):
+    q = entry_mod.queries()[name]
+    ray_df = canon(to_df(q(SF_DIR)))
+    sql_df = canon(oracle_con.execute(entry_mod.oracle_sql()[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), (
+        f"{name}: columns {list(ray_df.columns)} != {list(sql_df.columns)}"
+    )
+    assert len(ray_df) == len(sql_df), f"{name}: {len(ray_df)} != {len(sql_df)} rows"
+    for c in ray_df.columns:
+        a, b = ray_df[c], sql_df[c]
+        if pd.api.types.is_float_dtype(a):
+            bad = [
+                i for i, (x, y) in enumerate(zip(a, b))
+                if not (x == y or (math.isnan(x) and math.isnan(y)))
+            ]
+        else:
+            bad = [i for i, (x, y) in enumerate(zip(a, b)) if x != y]
+        assert not bad, (
+            f"{name}.{c}: {len(bad)} mismatches, first: "
+            f"row {bad[0]} ray={a.iloc[bad[0]]!r} sql={b.iloc[bad[0]]!r}"
+        )
+
+
+ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(name, ray_session):
+    df = to_df(entry_mod.queries()[name](SF_DIR))
+    assert df is not None and len(df.columns) > 0
+
+
+def test_entry_smoke(ray_session):
+    ds = entry_mod.entry()
+    df = to_df(ds)
+    assert len(df) == 500
+    assert {"url", "text", "spans", "provenance", "error"} <= set(df.columns)

@@ -1,0 +1,148 @@
+"""Stage registry / pipeline-spec compiler, serializer sinks,
+multimodal stages, stats op."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nidaba_ray import synth
+from nidaba_ray.stages import registry
+from nidaba_ray.stages.multimodal import (
+    AudioFeatures,
+    ImageDecoder,
+    VideoFrameSampler,
+    synth_media_batch,
+)
+from nidaba_ray.stages.serialize import explode_spans, to_jsonl_rows
+
+
+def test_registry_lists_builtin():
+    names = registry.list_stages()
+    assert {"extract.candidates", "merge.threshold_vote",
+            "postprocess.spell", "output.jsonl"} <= set(names)
+    assert registry.get_stage("extract.candidates").stateful
+    assert not registry.get_stage("merge.threshold_vote").stateful
+    with pytest.raises(KeyError):
+        registry.get_stage("nope.nope")
+
+
+def test_compile_pipeline_runs(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = synth.pages_table(n=40)
+    pq.write_table(t.drop_columns(["golden", "doc_id"]), str(tmp_path / "p.parquet"))
+    spec = [
+        {"stage": "extract.candidates", "batch_size": 32, "concurrency": [1, 2]},
+        {"stage": "merge.threshold_vote"},
+        {"stage": "postprocess.spell", "concurrency": [1, 2]},
+    ]
+    ds = registry.compile_pipeline(rd.read_parquet(str(tmp_path / "p.parquet")), spec)
+    df = ds.to_pandas()
+    assert len(df) == 42  # 40 + dup re-crawls
+    assert "oov_ratio" in df.columns
+
+
+def test_load_spec_yaml(tmp_path):
+    p = tmp_path / "spec.yaml"
+    p.write_text(
+        "pipeline:\n"
+        "  - stage: extract.candidates\n"
+        "    batch_size: 16\n"
+        "  - stage: merge.threshold_vote\n"
+    )
+    spec = registry.load_spec(str(p))
+    assert spec[0]["stage"] == "extract.candidates"
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("pipeline:\n  - nostage: x\n")
+    with pytest.raises(ValueError):
+        registry.load_spec(str(bad))
+
+
+def _extracted_batch():
+    from nidaba_ray.stages.extract import ExtractCandidates
+    from nidaba_ray.stages.merge import threshold_and_vote
+
+    t = synth.pages_table(n=20).drop_columns(["golden", "doc_id"])
+    return threshold_and_vote(ExtractCandidates()(t))
+
+
+def test_jsonl_rows_roundtrip():
+    out = to_jsonl_rows(_extracted_batch())
+    recs = [json.loads(l) for l in out["json"].to_pylist()]
+    assert all({"url", "lang", "spans", "provenance"} <= set(r) for r in recs)
+
+
+def test_explode_spans_offsets():
+    b = _extracted_batch()
+    flat = explode_spans(b)
+    assert flat.num_rows > 0
+    texts = dict(zip(b["url"].to_pylist(), b["text"].to_pylist()))
+    for row in flat.slice(0, 50).to_pylist():
+        if row["start"] >= 0:
+            assert texts[row["url"]][row["start"] : row["end"]] == row["text"]
+
+
+def test_image_decoder_and_errors():
+    t = synth_media_batch(list(range(0, 30, 3)))  # all images
+    out = ImageDecoder()(t)
+    ok = out.to_pylist()
+    assert all(r["error"] == "" for r in ok)
+    assert all(len(r["thumbnail"]) == 64 for r in ok)
+    # malformed payload → quarantined row, not a crash
+    bad = t.set_column(t.schema.get_field_index("payload"), "payload",
+                       pa.array([b"junk"] * t.num_rows, pa.binary()))
+    out2 = ImageDecoder()(bad).to_pylist()
+    assert all(r["error"] != "" for r in out2)
+
+
+def test_audio_features():
+    t = synth_media_batch([1, 4, 7])  # audio ids (i%3==1)
+    out = AudioFeatures()(t).to_pylist()
+    assert all(r["error"] == "" and r["n_samples"] > 0 and r["rms"] > 0 for r in out)
+
+
+def test_video_frame_sampler():
+    t = synth_media_batch([2, 5, 8])  # video ids (i%3==2)
+    out = VideoFrameSampler(every=2)(t).to_pylist()
+    assert len(out) > 0
+    assert all(r["frame_idx"] % 2 == 0 for r in out)
+
+
+def test_media_determinism():
+    a = synth_media_batch([0, 1, 2])
+    b = synth_media_batch([0, 1, 2])
+    assert a.equals(b)
+
+
+def test_text_diff_ratio():
+    from nidaba_ray.functions.stats import text_diff_ratio
+
+    assert text_diff_ratio("a b c", "a b c") == 1.0
+    assert text_diff_ratio("", "") == 1.0
+    assert text_diff_ratio("a b c d", "a b x d") == 0.75
+    assert text_diff_ratio("a", "") == 0.0
+
+
+def test_accuracy_vs_golden(ray_session, tmp_path):
+    import pandas as pd
+    import ray.data as rd
+
+    from nidaba_ray.functions.stats import accuracy_vs_golden
+    from nidaba_ray.pipelines.extract import extract_pipeline
+
+    t = synth.pages_table(n=60)
+    pq.write_table(t.drop_columns(["golden", "doc_id"]), str(tmp_path / "p.parquet"))
+    pd.DataFrame(
+        {"url": t["url"].to_pylist(), "golden": t["golden"].to_pylist()}
+    ).drop_duplicates("url").to_parquet(str(tmp_path / "g.parquet"))
+    out = extract_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        extract_concurrency=(1, 2), spell_concurrency=(1, 2),
+    )
+    roll = accuracy_vs_golden(out, str(tmp_path / "g.parquet")).to_pylist()[0]
+    # quarantined rows can't match; everything else must be exact
+    assert roll["n_matched"] == roll["n_urls"]
+    assert roll["n_exact"] >= roll["n_urls"] - 2
+    assert roll["mean_ratio"] > 0.95
