@@ -33,6 +33,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.functions import ann, dedup, textops
     from nidaba_ray.pipelines import conformance
     from nidaba_ray.relational import queries as rel
+    from nidaba_ray.relational import windows as win
 
     return {
         # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
@@ -45,6 +46,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names": rel.union_names,
         "events_hourly": rel.events_hourly,
         "latest_event_per_user": rel.latest_event_per_user,
+        # --- stream-shaped window ops + sketches (§2.9 / §2.5)
+        "event_lag": win.event_lag,
+        "sessionize": win.sessionize,
+        "hll_distinct_users": win.hll_distinct_users,
         # --- text analysis over documents (driver instruction)
         "quality_metrics": textops.quality_metrics,
         "token_stats_per_lang": textops.token_stats_per_lang,
@@ -73,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
     from nidaba_ray.functions import ann, dedup, textops
     from nidaba_ray.pipelines import conformance
     from nidaba_ray.relational import queries as rel
+    from nidaba_ray.relational import windows as win
 
     return {
         "q1_pricing_summary": rel.Q1_SQL,
@@ -84,6 +90,8 @@ def oracle_sql() -> dict[str, str]:
         "union_names": rel.UNION_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
         "latest_event_per_user": rel.LATEST_EVENT_SQL,
+        "event_lag": win.EVENT_LAG_SQL,
+        "sessionize": win.SESSIONIZE_SQL,
         "quality_metrics": textops.QUALITY_SQL,
         "token_stats_per_lang": textops.TOKEN_STATS_SQL,
         "subword_token_count": textops.SUBWORD_SQL,
@@ -96,5 +104,6 @@ def oracle_sql() -> dict[str, str]:
         "extract_quarantine": conformance.EXTRACT_QUARANTINE_SQL,
         # no oracle (non-SQL-expressible → rows-only check):
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
-        #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup
+        #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
+        #   hll_distinct_users
     }

@@ -1,0 +1,175 @@
+"""Stream-shaped operators over the events log (SURVEY.md §2.9).
+
+Ray Data has no event-time windows/watermarks; the reference is pure
+batch anyway. The pattern (ray_guide): treat events as a partitioned
+log — groupby(key), sort by ts inside the group, window with pandas.
+The oracle SQL expresses the same with LAG/window functions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from nidaba_ray.functions.compat import round_like_sql
+
+SESSION_GAP_SEC = 1800
+
+
+def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def event_lag(sf_dir: str) -> rd.Dataset:
+    """Per event: seconds since the same user's previous event (NULL
+    for the first). Ordering assumption: (ts, event_id) is a total
+    order within a user — stated here because the oracle's LAG uses
+    the same order."""
+
+    def lag(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        prev = g["ts"].shift(1)
+        gap = (g["ts"] - prev).dt.total_seconds()
+        out = g[["event_id", "user_id"]].copy()
+        out["gap_sec"] = round_like_sql(gap, 3)
+        out.loc[prev.isna(), "gap_sec"] = np.nan
+        return out
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(lag, batch_format="pandas")
+    )
+
+
+EVENT_LAG_SQL = """
+SELECT event_id, user_id,
+       ROUND(EXTRACT(EPOCH FROM ts - LAG(ts) OVER w), 3) AS gap_sec
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def sessionize(sf_dir: str) -> rd.Dataset:
+    """Session windows per user: a gap > 30 min starts a new session.
+    Returns (user_id, n_events, n_sessions, max_session_events)."""
+
+    def sess(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = (g["ts"] - g["ts"].shift(1)).dt.total_seconds()
+        # NaN > X is already False (not NaN), so fillna would be a
+        # no-op — the first event must be flagged explicitly
+        new_session = gap.isna() | (gap > SESSION_GAP_SEC)
+        sid = new_session.cumsum()
+        sizes = sid.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [int(sid.max())],
+                "max_session_events": [int(sizes.max())],
+            }
+        ).astype(
+            {"user_id": "int64", "n_events": "int64", "n_sessions": "int64",
+             "max_session_events": "int64"}
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(sess, batch_format="pandas")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL THEN 1
+              WHEN EXTRACT(EPOCH FROM ts - LAG(ts) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id))
+                   > {SESSION_GAP_SEC} THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+), sizes AS (
+  SELECT user_id, sid, COUNT(*) AS n FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id,
+       CAST(SUM(n) AS BIGINT)  AS n_events,
+       COUNT(*)                AS n_sessions,
+       CAST(MAX(n) AS BIGINT)  AS max_session_events
+FROM sizes GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct sketch (SURVEY.md §2.5 sketches row)
+# ---------------------------------------------------------------------------
+
+HLL_P = 10  # 1024 registers → ~3% typical error
+_M = 1 << HLL_P
+_ALPHA = 0.7213 / (1 + 1.079 / _M)
+
+
+def _hll_partial(batch: pa.Table, key: str, value: str) -> pa.Table:
+    """One merged register set per (key value) per batch — the sketch
+    is tiny and mergeable, so the shuffle carries registers, not rows
+    (the 10^12-scale distinct-count pattern)."""
+    df = pd.DataFrame({"k": batch[key].to_pandas(), "v": batch[value].to_pandas()})
+    out_k, out_regs = [], []
+    for k, grp in df.groupby("k", sort=True):
+        regs = np.zeros(_M, dtype=np.uint8)
+        for v in grp["v"].unique():
+            h = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            idx = h & (_M - 1)
+            w = h >> HLL_P
+            rank = (64 - HLL_P) - w.bit_length() + 1
+            if rank > regs[idx]:
+                regs[idx] = rank
+        out_k.append(k)
+        out_regs.append(regs.tobytes())
+    return pa.table({"k": pa.array(out_k, pa.string()),
+                     "regs": pa.array(out_regs, pa.binary())})
+
+
+def _hll_estimate(regs: np.ndarray) -> float:
+    est = _ALPHA * _M * _M / np.sum(2.0 ** (-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * _M and zeros:
+        est = _M * np.log(_M / zeros)  # linear counting for small n
+    return est
+
+
+def hll_distinct_users(sf_dir: str) -> pa.Table:
+    """Approximate distinct user_id per event_type. Rows-only check:
+    approximation ≠ SQL exact; accuracy asserted in unit tests."""
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.zeros(_M, dtype=np.uint8)
+        for b in g["regs"]:
+            regs = np.maximum(regs, np.frombuffer(b, dtype=np.uint8))
+        return pd.DataFrame(
+            {"event_type": [g["k"].iloc[0]],
+             "approx_users": [int(round(_hll_estimate(regs)))]}
+        ).astype({"event_type": "string", "approx_users": "int64"})
+
+    out = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .map_batches(
+            lambda b: _hll_partial(b, "event_type", "user_id"),
+            batch_format="pyarrow",
+        )
+        .groupby("k")
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

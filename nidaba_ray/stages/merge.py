@@ -41,11 +41,32 @@ VARIANT_PRIORITY = [("threshold", "otsu", 2.0), ("threshold", "sauvola", 1.5),
                     ("input", "text", 1.0)]
 
 
+def _dict_ratio(tokens: list[str], lang: str) -> float:
+    """Fraction of tokens found in the language lexicon — nidaba's
+    blend_hocr scores competing variants by dictionary membership
+    (merge_hocr.py ≈ score_word, UNVERIFIED per SURVEY.md §0);
+    quantized to 3 decimals so float noise can't flip the candidate
+    order across platforms."""
+    if not tokens:
+        return 0.0
+    from nidaba_ray.functions import lexicon
+
+    words = lexicon.wordlist(lang or "en")
+    return round(sum(t in words for t in tokens) / len(tokens), 3)
+
+
 def vote_row(
-    spans: list[dict], cand_text: str | None, payload_kind: str = "html"
+    spans: list[dict],
+    cand_text: str | None,
+    payload_kind: str = "html",
+    lang: str | None = None,
 ) -> tuple[str, list[dict], list[dict], int, int]:
     """One row → (final_text, kept_spans_with_offsets, provenance,
-    n_blocks, n_kept)."""
+    n_blocks, n_kept).
+
+    Candidate priority on disagreement = dictionary-hit ratio first
+    (the nidaba vote-scoring semantics), static variant priority as
+    the tie-break; fully deterministic."""
     n_blocks = len(spans)
     if n_blocks == 0:
         return "", [], [{"stage": "extract", "variant": "empty"}], 0, 0
@@ -76,7 +97,12 @@ def vote_row(
             final = cand_a
             prov.append({"stage": "merge", "variant": "backbone"})
         else:
-            voted = align_vote(toks, scores=[v[2] for v in VARIANT_PRIORITY[: len(toks)]])
+            # dict-hit ratio dominates, static priority breaks ties
+            vscores = [
+                _dict_ratio(t, lang) * 10.0 + VARIANT_PRIORITY[i][2]
+                for i, t in enumerate(toks)
+            ]
+            voted = align_vote(toks, scores=vscores)
             final = SPAN_SEP.join(voted)
             prov.append({"stage": "merge", "variant": "vote"})
     # kept spans = variant A's blocks, offsets assigned against final
@@ -101,8 +127,15 @@ def threshold_and_vote(batch: pa.Table) -> pa.Table:
     cand_texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(spans_col)
     errors = batch["error"].to_pylist()
     kinds = batch["payload_kind"].to_pylist()
+    langs = (
+        batch["lang"].to_pylist()
+        if "lang" in batch.column_names
+        else [None] * len(spans_col)
+    )
     finals, kepts, provs, n_blocks_l, n_kept_l = [], [], [], [], []
-    for spans, cand, err, kind in zip(spans_col, cand_texts, errors, kinds):
+    for spans, cand, err, kind, lang in zip(
+        spans_col, cand_texts, errors, kinds, langs
+    ):
         if err:
             finals.append("")
             kepts.append([])
@@ -110,7 +143,7 @@ def threshold_and_vote(batch: pa.Table) -> pa.Table:
             n_blocks_l.append(0)
             n_kept_l.append(0)
             continue
-        f, k, p, nb, nk = vote_row(spans, cand, kind)
+        f, k, p, nb, nk = vote_row(spans, cand, kind, lang)
         finals.append(f)
         kepts.append(k)
         provs.append(p)

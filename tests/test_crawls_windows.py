@@ -1,0 +1,109 @@
+"""Multi-crawl merge (url-keyed shuffle + salted skew) and the HLL
+distinct sketch accuracy."""
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def crawl_table(hot_url_rows=50):
+    """Synthetic extraction output: several crawls per url, one hot url."""
+    rows = []
+    for i in range(30):
+        for crawl in range(1 + i % 3):
+            rows.append(
+                {"url": f"https://h{i % 5}.com/p{i}",
+                 "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=crawl),
+                 "text": f"content {i} v{crawl}", "lang": "en"}
+            )
+    for crawl in range(hot_url_rows):  # hot key
+        rows.append(
+            {"url": "https://hot.com/page",
+             "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(hours=crawl),
+             "text": f"hot v{crawl}", "lang": "en"}
+        )
+    return pd.DataFrame(rows)
+
+
+def test_merge_crawls_latest(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.pipelines.crawls import merge_crawls
+
+    df = crawl_table()
+    out = merge_crawls(rd.from_pandas(df), mode="latest").to_pandas()
+    assert len(out) == df["url"].nunique()
+    # every url keeps its newest crawl
+    want = df.sort_values("warc_ts").groupby("url").last()["text"]
+    got = out.set_index("url")["text"]
+    assert got.sort_index().equals(want.sort_index())
+    # the hot url survived the salted two-phase reduce with the max ts
+    assert out[out.url == "https://hot.com/page"]["text"].iloc[0] == "hot v49"
+
+
+def test_merge_crawls_vote(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.pipelines.crawls import merge_crawls
+
+    rows = []
+    for crawl, text in enumerate(
+        ["a b c d e", "a b c d e", "a b X d e"]  # newest crawl is noisy
+    ):
+        rows.append(
+            {"url": "https://x.com/1",
+             "warc_ts": pd.Timestamp("2024-01-01") + pd.Timedelta(days=2 - crawl),
+             "text": text, "lang": "en"}
+        )
+    out = merge_crawls(rd.from_pandas(pd.DataFrame(rows)), mode="vote").to_pandas()
+    assert len(out) == 1
+    # majority outvotes the (newest, backbone) noisy crawl
+    assert out["text"].iloc[0] == "a b c d e"
+
+
+def test_merge_crawls_bad_mode(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.pipelines.crawls import merge_crawls
+
+    with pytest.raises(ValueError):
+        merge_crawls(rd.from_pandas(crawl_table()), mode="nope")
+
+
+def test_hll_accuracy(ray_session):
+    import duckdb
+
+    from nidaba_ray.relational.windows import hll_distinct_users
+
+    sf = "/root/testdata/sf0.01"
+    approx = hll_distinct_users(sf).to_pandas().set_index("event_type")
+    exact = (
+        duckdb.sql(
+            f"SELECT event_type, COUNT(DISTINCT user_id) AS n "
+            f"FROM read_parquet('{sf}/events.parquet') GROUP BY event_type"
+        )
+        .fetchdf()
+        .set_index("event_type")
+    )
+    for et in exact.index:
+        a, e = approx.loc[et, "approx_users"], exact.loc[et, "n"]
+        assert abs(a - e) / max(e, 1) < 0.1, (et, a, e)
+
+
+def test_vote_dict_scoring():
+    """Dictionary-hit ratio outranks static priority in the vote
+    (blend_hocr scoring semantics): a garbage high-priority candidate
+    loses to two dictionary-clean lower-priority ones."""
+    from nidaba_ray.stages.merge import vote_row
+
+    spans = [
+        {"block_id": 0, "kind": "p", "depth": 1, "text_density": 1.0,
+         "link_density": 0.0, "score": 100.0, "text": "zxqj wvut kjhg",
+         "start": -1, "end": -1},
+        {"block_id": 1, "kind": "p", "depth": 1, "text_density": 1.0,
+         "link_density": 0.9, "score": 0.5, "text": "the data table",
+         "start": -1, "end": -1},
+    ]
+    # candidate C is dictionary-clean; variants keep the garbage block
+    final, _, prov, _, _ = vote_row(spans, "the data table", "html", "en")
+    assert isinstance(final, str) and prov
