@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": rel.join_customer_orders,
         "join_lineitem_orders": rel.join_lineitem_orders,
         "topk_orders": rel.topk_orders,
+        "customers_with_orders": rel.customers_with_orders,
+        "customers_without_orders": rel.customers_without_orders,
+        "sample_lineitem": rel.sample_lineitem,
         "distinct_segments": rel.distinct_segments,
         "union_names": rel.union_names,
         "events_hourly": rel.events_hourly,
@@ -86,6 +89,8 @@ def oracle_sql() -> dict[str, str]:
         "join_customer_orders": rel.JOIN_CUSTOMER_SQL,
         "join_lineitem_orders": rel.JOIN_LARGE_SQL,
         "topk_orders": rel.TOPK_SQL,
+        "customers_with_orders": rel.SEMI_JOIN_SQL,
+        "customers_without_orders": rel.ANTI_JOIN_SQL,
         "distinct_segments": rel.DISTINCT_SQL,
         "union_names": rel.UNION_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,
@@ -105,5 +110,5 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (non-SQL-expressible → rows-only check):
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
         #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
-        #   hll_distinct_users
+        #   hll_distinct_users, sample_lineitem
     }

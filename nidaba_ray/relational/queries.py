@@ -378,3 +378,81 @@ FROM (SELECT *, row_number() OVER (PARTITION BY user_id
       FROM events)
 WHERE rn = 1
 """
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti joins (broadcast key set — no shuffle; SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+def _custkeys_with_orders(sf_dir: str):
+    """Key set of the small side, shipped once via ray.put. At 10^12
+    scale substitute a Bloom filter of the keys (nidaba_ray.functions.
+    bloom) — same broadcast shape, constant memory, with an exact
+    re-check only for bloom-positive rows when exactness matters."""
+    keys = set(
+        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+    )
+    return ray.put(keys)
+
+
+def customers_with_orders(sf_dir: str) -> rd.Dataset:
+    """Semi join: customers having ≥1 order."""
+    ref = _custkeys_with_orders(sf_dir)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k in keys for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+SEMI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join: customers with no URGENT-priority order (the
+    predicate keeps the result non-empty on the synthetic data —
+    every customer has *some* order)."""
+    keys = set(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+                ["o_custkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        .unique("o_custkey")
+    )
+    ref = ray.put(keys)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        mask = pa.array([k not in keys for k in batch["c_custkey"].to_pylist()])
+        return batch.filter(mask)
+
+    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+ANTI_JOIN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+"""
+
+
+def sample_lineitem(sf_dir: str, fraction: float = 0.02) -> rd.Dataset:
+    """Seeded dev-mode sample (SURVEY.md §2.6) — rows-only check: the
+    sampled row SET depends on block layout, only the seed fixes it
+    within one layout."""
+    return _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).random_sample(
+        fraction, seed=7
+    )

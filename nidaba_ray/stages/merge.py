@@ -37,8 +37,8 @@ __all__ = ["threshold_and_vote", "vote_row", "MAX_ALIGN_TOKENS"]
 # per-row cost so one pathological page can't stall a block.
 MAX_ALIGN_TOKENS = 4000
 
-VARIANT_PRIORITY = [("threshold", "otsu", 2.0), ("threshold", "sauvola", 1.5),
-                    ("input", "text", 1.0)]
+VARIANT_PRIORITY = [("threshold", "otsu", 3.0), ("threshold", "sauvola", 2.0),
+                    ("threshold", "nlbin", 1.5), ("input", "text", 1.0)]
 
 
 def _dict_ratio(tokens: list[str], lang: str) -> float:
@@ -78,16 +78,20 @@ def vote_row(
         # recognizer's own output).
         keep_a = scores >= 0
         keep_b = keep_a
+        keep_c = keep_a
     else:
         keep_a = scoremod.keep_global_otsu(scores)
         keep_b = scoremod.keep_local_sauvola(scores)
+        keep_c = scoremod.keep_nlbin(scores)
     cand_a = SPAN_SEP.join(spans[i]["text"] for i in range(n_blocks) if keep_a[i])
     cand_b = SPAN_SEP.join(spans[i]["text"] for i in range(n_blocks) if keep_b[i])
-    candidates = [cand_a, cand_b]
+    cand_c = SPAN_SEP.join(spans[i]["text"] for i in range(n_blocks) if keep_c[i])
+    candidates = [cand_a, cand_b, cand_c]
     if cand_text:
         candidates.append(cand_text)
     prov = [{"stage": "threshold", "variant": "otsu"},
-            {"stage": "threshold", "variant": "sauvola"}]
+            {"stage": "threshold", "variant": "sauvola"},
+            {"stage": "threshold", "variant": "nlbin"}]
     if cand_a == cand_b:
         final = cand_a
         prov.append({"stage": "merge", "variant": "agree"})

@@ -24,6 +24,7 @@ __all__ = [
     "otsu_threshold",
     "keep_global_otsu",
     "keep_local_sauvola",
+    "keep_nlbin",
     "CHROME_WEIGHT",
 ]
 
@@ -152,6 +153,34 @@ def keep_local_sauvola(
     s = np.sqrt(var)
     t = m * (1.0 + k * (s / r - 1.0))
     keep = (ls > t) & (scores > 0) & (ls > floor)
+    if not keep.any() and scores.max() > 0:
+        keep = np.zeros(n, dtype=bool)
+        keep[int(np.argmax(scores))] = True
+    return keep
+
+
+def keep_nlbin(scores: np.ndarray, low: float = 5.0, high: float = 90.0,
+               threshold: float = 0.5) -> np.ndarray:
+    """Variant C — kraken-nlbin-style percentile normalization
+    (nidaba plugins/kraken.py nlbin exposes perc/low/high/threshold
+    knobs, UNVERIFIED per SURVEY.md §0): flatten the page's dynamic
+    range to [0,1] between the ``low``/``high`` percentiles of the
+    positive log-scores, keep blocks above ``threshold``. A third
+    ensemble member for the vote — agrees with Otsu on clean pages,
+    differs on pages with a compressed score range."""
+    n = len(scores)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    ls = np.log1p(scores)
+    pos = ls[scores > 0]
+    if len(pos) == 0:
+        return np.zeros(n, dtype=bool)
+    lo = float(np.percentile(pos, low))
+    hi = float(np.percentile(pos, high))
+    if hi - lo < 1e-12:
+        return scores > 0
+    norm = np.clip((ls - lo) / (hi - lo), 0.0, 1.0)
+    keep = (norm > threshold) & (scores > 0)
     if not keep.any() and scores.max() > 0:
         keep = np.zeros(n, dtype=bool)
         keep[int(np.argmax(scores))] = True
