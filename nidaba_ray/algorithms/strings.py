@@ -98,6 +98,8 @@ def _dp_matrix(
     dp = np.empty((n + 1, m + 1), dtype=np.int32)
     dp[0, :] = np.arange(m + 1, dtype=np.int32) * insertscore
     dp[:, 0] = np.arange(n + 1, dtype=np.int32) * deletescore
+    if m == 0 or n == 0:
+        return dp
     j_ins = np.arange(1, m + 1, dtype=np.int32) * insertscore
     for i in range(1, n + 1):
         cost = np.where(b == a[i - 1], 0, substitutionscore).astype(np.int32)

@@ -1,0 +1,131 @@
+"""Property-based tests (hypothesis) for the deterministic kernels —
+the invariants byte-identity rests on. No Ray required."""
+
+import string
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nidaba_ray.algorithms.strings import (
+    align_vote,
+    edit_distance,
+    full_edit_distance,
+    lcs_align,
+)
+from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.functions.dedup import (
+    _perm_params,
+    minhash_signature,
+    shingle_hashes,
+    simhash64,
+)
+from nidaba_ray.functions.textops import winnow_fingerprint
+
+words = st.lists(
+    st.text(alphabet=string.ascii_lowercase, min_size=1, max_size=6),
+    min_size=0, max_size=30,
+)
+short_text = st.text(alphabet=string.ascii_lowercase + " ", max_size=60)
+
+
+@given(short_text, short_text)
+@settings(max_examples=80, deadline=None)
+def test_edit_distance_metric_properties(a, b):
+    d = edit_distance(a, b)
+    assert d == edit_distance(b, a)                       # symmetry
+    assert (d == 0) == (a == b)                           # identity
+    assert d <= max(len(a), len(b))                       # upper bound
+    assert d >= abs(len(a) - len(b))                      # lower bound
+
+
+@given(short_text, short_text, short_text)
+@settings(max_examples=40, deadline=None)
+def test_edit_distance_triangle(a, b, c):
+    assert edit_distance(a, c) <= edit_distance(a, b) + edit_distance(b, c)
+
+
+@given(short_text, short_text)
+@settings(max_examples=50, deadline=None)
+def test_full_edit_distance_agrees(a, b):
+    d, ops = full_edit_distance(a, b)
+    assert d == edit_distance(a, b)
+    assert d == sum(op != "M" for op in ops)
+
+
+@given(words, words)
+@settings(max_examples=50, deadline=None)
+def test_lcs_align_covers_both_sequences(a, b):
+    pairs = lcs_align(a, b)
+    assert [i for i, _ in pairs if i is not None] == list(range(len(a)))
+    assert [j for _, j in pairs if j is not None] == list(range(len(b)))
+    # matched pairs are monotone in both coordinates
+    matched = [(i, j) for i, j in pairs if i is not None and j is not None]
+    assert matched == sorted(matched)
+
+
+@given(words)
+@settings(max_examples=50, deadline=None)
+def test_align_vote_unanimous_is_identity(tokens):
+    assert align_vote([tokens, list(tokens), list(tokens)]) == tokens
+
+
+@given(words, words)
+@settings(max_examples=50, deadline=None)
+def test_align_vote_majority_wins(maj, minority):
+    got = align_vote([maj, list(maj), minority], scores=[3.0, 2.0, 1.0])
+    assert got == maj  # two identical candidates always win outright
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64,
+                 min_value=-1e9, max_value=1e9),
+       st.integers(min_value=0, max_value=6))
+@settings(max_examples=100, deadline=None)
+def test_round_like_sql_properties(x, d):
+    r = round_like_sql(x, d)
+    assert abs(r - x) <= 0.5 * 10.0 ** (-d) + 1e-9       # never further than half a quantum
+    assert round_like_sql(r, d) == r                      # idempotent
+    assert round_like_sql(-x, d) == -r                    # odd function
+
+
+@given(st.text(alphabet=string.ascii_lowercase + " ", min_size=1, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_minhash_deterministic_and_selfsim(text):
+    a, b = _perm_params()
+    s1 = minhash_signature(shingle_hashes(text), a, b)
+    s2 = minhash_signature(shingle_hashes(text), a, b)
+    assert (s1 == s2).all()
+
+
+@given(st.text(alphabet=string.ascii_lowercase + " ", min_size=1, max_size=80))
+@settings(max_examples=40, deadline=None)
+def test_simhash_deterministic(text):
+    assert simhash64(text) == simhash64(text)
+    assert 0 <= simhash64(text) < 1 << 64
+
+
+def test_simhash_similar_texts_close():
+    base = " ".join(f"tok{i}" for i in range(100))
+    near = base.replace("tok5", "zzz")
+    far = " ".join(f"other{i}" for i in range(100))
+    h = lambda t: np.uint64(simhash64(t))  # noqa: E731
+    ham = lambda x, y: bin(int(x) ^ int(y)).count("1")  # noqa: E731
+    assert ham(h(base), h(near)) < ham(h(base), h(far))
+
+
+@given(st.lists(st.text(alphabet="ab", min_size=1, max_size=3),
+                min_size=1, max_size=40))
+@settings(max_examples=40, deadline=None)
+def test_winnow_subset_of_shingle_space(tokens):
+    fp = winnow_fingerprint(tokens)
+    assert fp == sorted(set(fp))  # sorted, unique
+    fp2 = winnow_fingerprint(list(tokens))
+    assert fp == fp2  # deterministic
+
+
+def test_winnow_containment():
+    a = [f"t{i}" for i in range(60)]
+    b = a[:30] + ["x"] + a[30:]  # near-identical doc
+    fa, fb = set(winnow_fingerprint(a)), set(winnow_fingerprint(b))
+    overlap = len(fa & fb) / len(fa | fb)
+    assert overlap > 0.5
