@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": win.event_lag,
         "sessionize": win.sessionize,
         "hll_distinct_users": win.hll_distinct_users,
+        "asof_click_purchase": win.asof_last_click_before_purchase,
         # --- text analysis over documents (driver instruction)
         "quality_metrics": textops.quality_metrics,
         "token_stats_per_lang": textops.token_stats_per_lang,
@@ -97,6 +98,7 @@ def oracle_sql() -> dict[str, str]:
         "latest_event_per_user": rel.LATEST_EVENT_SQL,
         "event_lag": win.EVENT_LAG_SQL,
         "sessionize": win.SESSIONIZE_SQL,
+        "asof_click_purchase": win.ASOF_SQL,
         "quality_metrics": textops.QUALITY_SQL,
         "token_stats_per_lang": textops.TOKEN_STATS_SQL,
         "subword_token_count": textops.SUBWORD_SQL,

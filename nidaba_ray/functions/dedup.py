@@ -70,7 +70,7 @@ def exact_dedup(sf_dir: str) -> rd.Dataset:
         add_fp, batch_format="pyarrow"
     )
     mins = sigs.groupby("fp").aggregate(Min("doc_id", alias_name="canonical_id"))
-    joined = sigs.join(mins, "inner", join_partitions(16), on=("fp",))
+    joined = sigs.join(mins, "inner", join_partitions(8), on=("fp",))
     return joined.map_batches(
         lambda t: t.select(["doc_id", "canonical_id"]), batch_format="pyarrow"
     )
@@ -309,7 +309,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     joined = exploded.join(
         exploded,
         "inner",
-        join_partitions(16),
+        join_partitions(8),
         on=("chunk_id", "chunk_val"),
         left_suffix="_a",
         right_suffix="_b",

@@ -173,3 +173,69 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
         .to_pandas()
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# As-of join (ray_guide "As-of / range join" pattern)
+# ---------------------------------------------------------------------------
+
+def asof_last_click_before_purchase(sf_dir: str) -> rd.Dataset:
+    """For each purchase event, the same user's most recent STRICTLY
+    prior click — an as-of join expressed as groupby(key) +
+    pd.merge_asof inside the group (both sides sorted by ts).
+
+    Scale shape: the key (user_id) partitions both sides in ONE
+    shuffle; per-key history is assumed to fit a reducer (documented
+    partitioning assumption — for unbounded histories, range-bucket
+    ts and run the same merge per (key, ts_bucket) with a boundary
+    carry)."""
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values("ts")
+        c = g[g["event_type"] == "click"].sort_values("ts")
+        empty = pd.DataFrame(
+            {"purchase_id": pd.Series([], dtype="int64"),
+             "user_id": pd.Series([], dtype="int64"),
+             "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+             "click_id": pd.Series([], dtype="int64"),
+             "click_ts": pd.Series([], dtype="datetime64[us]")}
+        )
+        if p.empty or c.empty:
+            return empty
+        m = pd.merge_asof(
+            p[["event_id", "user_id", "ts"]],
+            c[["event_id", "ts"]].rename(columns={"event_id": "click_id", "ts": "click_ts"}),
+            left_on="ts", right_on="click_ts",
+            allow_exact_matches=False,  # strictly prior (c.ts < p.ts)
+        )
+        m = m.dropna(subset=["click_id"])
+        if m.empty:
+            return empty
+        return pd.DataFrame(
+            {"purchase_id": m["event_id"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "purchase_ts": m["ts"].astype("datetime64[us]"),
+             "click_id": m["click_id"].astype("int64"),
+             "click_ts": m["click_ts"].astype("datetime64[us]")}
+        )
+
+    return (
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
+        .map_batches(  # pre-filter: only the two event types shuffle
+            lambda t: t.filter(
+                pa.compute.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("user_id")
+        .map_groups(per_user, batch_format="pandas")
+    )
+
+
+ASOF_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND c.ts < p.ts
+"""

@@ -94,17 +94,31 @@ class ExtractCandidates:
         ds.map_batches(ExtractCandidates, batch_format="pyarrow",
                        batch_size=64, concurrency=(2, 8), num_cpus=1)
 
-    Batch size stays small because ``html`` payloads are wide binary
-    rows (SURVEY.md §7 hard parts — cap batch bytes, not just rows).
+    Batch size is in ROWS, but ``html`` payloads are wide binary rows
+    (SURVEY.md §7 hard parts) — a few multi-MB pages can blow the
+    per-batch byte budget regardless of row count. ``__call__``
+    therefore self-slices any batch above ``max_batch_bytes`` and
+    processes the slices sequentially, bounding peak heap per actor
+    without relying on upstream row-count tuning.
     """
 
-    def __init__(self) -> None:
+    def __init__(self, max_batch_bytes: int = 64 << 20) -> None:
         # Parser state built once per actor (module import compiles the
         # PDF regexes; HTMLParser tables are per-parse but cheap).
         self._pdf = pdfmod
         self._segment = segment_html
+        self.max_batch_bytes = max_batch_bytes
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.nbytes > self.max_batch_bytes and batch.num_rows > 1:
+            # split in half recursively until under the byte cap
+            mid = batch.num_rows // 2
+            return pa.concat_tables(
+                [self(batch.slice(0, mid)), self(batch.slice(mid))]
+            )
+        return self._process(batch)
+
+    def _process(self, batch: pa.Table) -> pa.Table:
         payloads = batch["html"].to_pylist()
         kinds, spans_col, errors = [], [], []
         for p in payloads:
