@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -43,19 +42,30 @@ def _add_salt(batch: pa.Table, n_salt: int) -> pa.Table:
     return batch.append_column("salt", pa.array(salts, pa.int32()))
 
 
-def _keep_latest(g: pd.DataFrame) -> pd.DataFrame:
-    g = g.sort_values(["warc_ts", "url"], ascending=[False, True])
-    return g.head(1)
+def _latest_per_url(batch: pa.Table) -> pa.Table:
+    """Keep the max-warc_ts row per url — pure Arrow/numpy (the
+    extracted schema carries nested list<struct> columns that do NOT
+    survive a pandas round-trip; ray_guide pitfall)."""
+    import numpy as np
+
+    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+    ts = batch["warc_ts"].to_numpy(zero_copy_only=False)
+    # stable sort: url asc, ts desc → first row of each url run wins
+    order = np.lexsort((-ts.astype("datetime64[us]").astype(np.int64), urls))
+    sorted_urls = urls[order]
+    first = np.ones(len(order), dtype=bool)
+    first[1:] = sorted_urls[1:] != sorted_urls[:-1]
+    return batch.take(pa.array(order[first]))
+
+
+def _keep_latest(g: pa.Table) -> pa.Table:
+    return _latest_per_url(g)
 
 
 def _prereduce_latest(batch: pa.Table) -> pa.Table:
     """Per-batch combiner: collapse duplicate urls inside the batch
     before the shuffle (bounds hot-key fan-in)."""
-    df = batch.to_pandas()
-    df = df.sort_values(["url", "warc_ts"], ascending=[True, False])
-    return pa.Table.from_pandas(
-        df.drop_duplicates("url", keep="first"), preserve_index=False
-    )
+    return _latest_per_url(batch)
 
 
 def merge_crawls(
@@ -70,30 +80,39 @@ def merge_crawls(
             lambda b: _add_salt(b, n_salt), batch_format="pyarrow"
         )
         phase1 = salted.groupby(["url", "salt"]).map_groups(
-            _keep_latest, batch_format="pandas"
+            _keep_latest, batch_format="pyarrow"
         )
         phase2 = phase1.groupby("url").map_groups(
-            _keep_latest, batch_format="pandas"
+            _keep_latest, batch_format="pyarrow"
         )
         return phase2.drop_columns(["salt"])
 
     if mode == "vote":
 
-        def vote_group(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["warc_ts", "url"], ascending=[False, True])
-            texts = [t for t in g["text"] if t]
-            out = g.head(1).copy()
+        def vote_group(g: pa.Table) -> pa.Table:
+            import numpy as np
+
+            ts = g["warc_ts"].to_numpy(zero_copy_only=False)
+            order = np.argsort(-ts.astype("datetime64[us]").astype(np.int64),
+                               kind="stable")
+            g = g.take(pa.array(order))
+            texts = [t for t in g["text"].to_pylist() if t]
+            out = g.slice(0, 1)
             if len(texts) > 1:
                 toks = [t.split(SPAN_SEP) for t in texts]
                 # recency priority: newest crawl is the backbone
                 voted = align_vote(
                     toks, scores=[float(len(toks) - i) for i in range(len(toks))]
                 )
-                out["text"] = SPAN_SEP.join(voted)
+                out = out.set_column(
+                    out.schema.get_field_index("text"),
+                    "text",
+                    pa.array([SPAN_SEP.join(voted)], pa.string()),
+                )
             return out
 
         return extracted.groupby("url").map_groups(
-            vote_group, batch_format="pandas"
+            vote_group, batch_format="pyarrow"
         )
 
     raise ValueError(f"unknown merge_crawls mode {mode!r}")
