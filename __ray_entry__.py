@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis over documents (driver instruction)
         "quality_metrics": textops.quality_metrics,
         "token_stats_per_lang": textops.token_stats_per_lang,
+        "top_terms_per_lang": textops.top_terms_per_lang,
         "subword_token_count": textops.subword_token_count,
         "fingerprint_md5": textops.fingerprint_md5,
         "lang_id": textops.lang_id,
@@ -71,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "embedding_near_dup": ann.embedding_near_dup_pairs,
+        "kmeans_embeddings": ann.kmeans_embeddings,
         # --- flagship extraction pipeline (byte-identity gate)
         "extract_documents": conformance.extract_documents,
         "extract_stats": conformance.extract_stats,
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "asof_click_purchase": win.ASOF_SQL,
         "quality_metrics": textops.QUALITY_SQL,
         "token_stats_per_lang": textops.TOKEN_STATS_SQL,
+        "top_terms_per_lang": textops.TOP_TERMS_SQL,
         "subword_token_count": textops.SUBWORD_SQL,
         "fingerprint_md5": textops.FINGERPRINT_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
@@ -112,5 +115,5 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (non-SQL-expressible → rows-only check):
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
         #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
-        #   hll_distinct_users, sample_lineitem
+        #   hll_distinct_users, sample_lineitem, kmeans_embeddings
     }

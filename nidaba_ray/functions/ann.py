@@ -179,3 +179,89 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         .astype({"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"})
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# K-means (iterative algorithm over the embedding column)
+# ---------------------------------------------------------------------------
+
+def kmeans_embeddings(
+    sf_dir: str, k: int = 8, n_iter: int = 10
+) -> pa.Table:
+    """Lloyd's k-means over the embedding column — the iterative-
+    algorithm pattern on Ray Data: each iteration broadcasts the
+    centroid matrix (closure capture; ray.put for big K·dim) and one
+    ``map_batches`` pass emits per-batch partial sums (sum_vec, count
+    per cluster), which are mergeable — the driver reduces K rows per
+    batch, never the vectors. Deterministic: init = first K vectors by
+    vec_id, ties in assignment go to the lower cluster id (argmin).
+
+    Returns (cluster, n_points, inertia) — rows-only check (iterative,
+    not SQL-expressible); convergence asserted in unit tests."""
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    first = ds.sort("vec_id").limit(k).to_pandas()
+    centroids = np.array(list(first["embedding"]), dtype=np.float64)
+
+    for _ in range(n_iter):
+        c = centroids  # broadcast by closure (small)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, m)
+            counts = np.bincount(assign, minlength=len(c))
+            inert = d2[np.arange(len(m)), assign].sum()
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                    "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                    "inertia": pa.array(
+                        [inert] + [0.0] * (len(c) - 1), pa.float64()
+                    ),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby("cluster").agg(
+            n=("n", "sum"), inertia=("inertia", "sum"),
+            sum_vec=("sum_vec", lambda s: np.sum(np.stack(s.to_list()), axis=0)),
+        )
+        new = centroids.copy()
+        for cid, row in agg.iterrows():
+            if row["n"] > 0:
+                new[cid] = np.asarray(row["sum_vec"]) / row["n"]
+        if np.allclose(new, centroids, atol=1e-12):
+            centroids = new
+            break
+        centroids = new
+
+    # final assignment stats
+    c = centroids
+
+    def stats(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        counts = np.bincount(assign, minlength=len(c))
+        per_c = np.zeros(len(c))
+        np.add.at(per_c, assign, d2[np.arange(len(m)), assign])
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                "n_points": pa.array(counts, pa.int64()),
+                "inertia": pa.array(per_c, pa.float64()),
+            }
+        )
+
+    out = (
+        ds.map_batches(stats, batch_format="pyarrow")
+        .to_pandas()
+        .groupby("cluster", as_index=False)
+        .sum()
+    )
+    out["inertia"] = round_like_sql(out["inertia"], 4)
+    out = out.astype({"cluster": "int64", "n_points": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -248,3 +248,54 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
     )
+
+
+# ---------------------------------------------------------------------------
+# Top terms per language (distributed wordcount + per-group top-k)
+# ---------------------------------------------------------------------------
+
+TOP_TERMS_K = 5
+
+
+def top_terms_per_lang(sf_dir: str) -> pa.Table:
+    """Most frequent K tokens per language — the canonical wide
+    wordcount: per-batch partial counts (the combiner: one row per
+    (lang, token) per batch, so the shuffle moves counts, not tokens),
+    a grouped sum, then a tiny per-lang top-k. Ties broken by token
+    text so the k-boundary is deterministic."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pa.table({"lang": batch["lang"], "text": batch["text"]}).to_pandas()
+        ex = df.assign(token=df["text"].str.split(" ")).explode("token")
+        g = ex.groupby(["lang", "token"], as_index=False).size()
+        g = g.rename(columns={"size": "n"})
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "token"], ascending=[False, True]).head(TOP_TERMS_K)
+        return g[["lang", "token", "n"]].astype(
+            {"lang": "string", "token": "string", "n": "int64"}
+        )
+
+    out = counts.groupby("lang").map_groups(topk, batch_format="pandas").to_pandas()
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+TOP_TERMS_SQL = f"""
+SELECT lang, token, n FROM (
+  SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY COUNT(*) DESC, token) AS rk
+  FROM (SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents)
+  GROUP BY lang, token
+) WHERE rk <= {TOP_TERMS_K}
+"""

@@ -107,3 +107,19 @@ def test_vote_dict_scoring():
     # candidate C is dictionary-clean; variants keep the garbage block
     final, _, prov, _, _ = vote_row(spans, "the data table", "html", "en")
     assert isinstance(final, str) and prov
+
+
+def test_kmeans_convergence(ray_session):
+    import numpy as np
+
+    from nidaba_ray.functions.ann import kmeans_embeddings
+
+    sf = "/root/testdata/sf0.001"
+    a = kmeans_embeddings(sf, k=8, n_iter=1).to_pandas()
+    b = kmeans_embeddings(sf, k=8, n_iter=8).to_pandas()
+    assert a["n_points"].sum() == b["n_points"].sum() == 500
+    # more iterations never increase total inertia (Lloyd's monotonicity)
+    assert b["inertia"].sum() <= a["inertia"].sum() + 1e-6
+    # deterministic across calls
+    c = kmeans_embeddings(sf, k=8, n_iter=8).to_pandas()
+    assert np.allclose(b["inertia"], c["inertia"]) and (b["n_points"] == c["n_points"]).all()
