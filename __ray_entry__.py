@@ -31,7 +31,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.functions import ann, dedup, textops
-    from nidaba_ray.pipelines import conformance
+    from nidaba_ray.pipelines import conformance, media
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
 
@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_documents": conformance.extract_documents,
         "extract_stats": conformance.extract_stats,
         "extract_quarantine": conformance.extract_quarantine,
+        # --- multimodal feature pipeline (stub decoders, real plumbing)
+        "media_features": media.media_features,
     }
 
 
@@ -115,5 +117,6 @@ def oracle_sql() -> dict[str, str]:
         # no oracle (non-SQL-expressible → rows-only check):
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
         #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
-        #   hll_distinct_users, sample_lineitem, kmeans_embeddings
+        #   hll_distinct_users, sample_lineitem, kmeans_embeddings,
+        #   media_features
     }

@@ -146,3 +146,15 @@ def test_accuracy_vs_golden(ray_session, tmp_path):
     assert roll["n_matched"] == roll["n_urls"]
     assert roll["n_exact"] >= roll["n_urls"] - 2
     assert roll["mean_ratio"] > 0.95
+
+
+def test_media_pipeline_through_ray(ray_session):
+    from nidaba_ray.pipelines.media import media_features
+
+    out = media_features("/root/testdata/sf0.001").to_pandas()
+    assert set(out["kind"]) == {"image", "audio", "video"}
+    assert (out["n_errors"] == 0).all()
+    assert (out["n_objects"] > 100).all()  # ~500/3 per kind
+    # deterministic across runs
+    again = media_features("/root/testdata/sf0.001").to_pandas()
+    assert out.equals(again)
