@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dup_clusters": dedup.dup_clusters,
         # --- similarity search over embeddings
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -118,5 +119,5 @@ def oracle_sql() -> dict[str, str]:
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
         #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
         #   hll_distinct_users, sample_lineitem, kmeans_embeddings,
-        #   media_features
+        #   media_features, dup_clusters
     }

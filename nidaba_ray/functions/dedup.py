@@ -403,3 +403,57 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         .astype({"doc_a": "int64", "doc_b": "int64"})
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+def dup_clusters(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """doc_id → cluster_id (min doc_id of its near-dup component).
+
+    The verified MinHash pair list is tiny relative to the corpus
+    (only actual near-dups survive), so union-find runs on the driver
+    — the ray_guide's stated condition for driver-side components. At
+    10^12 scale with huge components, swap in iterative min-label
+    propagation: repeat { pairs ∪ swapped pairs → groupby(node) →
+    min(neighbor label) } until no label changes; each round is one
+    groupby shuffle of the (small) edge list.
+
+    Docs in no pair are singleton clusters of themselves; output
+    covers every doc (same shape as exact_dedup's canonical_id)."""
+    pairs = minhash_dedup_pairs(sf_dir, threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            parent[rb] = ra  # root = smaller id → deterministic labels
+
+    for a, b in zip(pairs["doc_a"].to_pylist(), pairs["doc_b"].to_pylist()):
+        union(a, b)
+    labels = {x: find(x) for x in parent}
+    labels_ref = ray.put(labels)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        lab = ray.get(labels_ref)
+        ids = batch["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    [lab.get(i, i) for i in ids], pa.int64()
+                ),
+            }
+        )
+
+    out = _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)

@@ -123,3 +123,29 @@ def test_kmeans_convergence(ray_session):
     # deterministic across calls
     c = kmeans_embeddings(sf, k=8, n_iter=8).to_pandas()
     assert np.allclose(b["inertia"], c["inertia"]) and (b["n_points"] == c["n_points"]).all()
+
+
+def test_dup_clusters(ray_session, tmp_path, monkeypatch):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.dedup import dup_clusters
+
+    # corpus with two exact-dup groups and two singletons
+    base1 = " ".join(f"a{i}" for i in range(50))
+    base2 = " ".join(f"b{i}" for i in range(50))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array([base1, base1, base2, base2, "solo one here",
+                              " ".join(f"c{i}" for i in range(40))]),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    out = dup_clusters(str(d)).to_pandas().set_index("doc_id")["cluster_id"]
+    assert out[0] == out[1] == 0
+    assert out[2] == out[3] == 2
+    assert out[4] == 4 and out[5] == 5
