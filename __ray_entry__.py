@@ -31,7 +31,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.functions import ann, dedup, textops
-    from nidaba_ray.pipelines import conformance, media
+    from nidaba_ray.pipelines import conformance, curate, media
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
 
@@ -80,12 +80,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_quarantine": conformance.extract_quarantine,
         # --- multimodal feature pipeline (stub decoders, real plumbing)
         "media_features": media.media_features,
+        # --- composed curation pipeline (gate + dedup, oracle-checked)
+        "curated_corpus": curate.curated_corpus,
+        "curation_stats": curate.curation_stats,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from nidaba_ray.functions import ann, dedup, textops
-    from nidaba_ray.pipelines import conformance
+    from nidaba_ray.pipelines import conformance, curate
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
 
@@ -115,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "extract_documents": conformance.EXTRACT_SQL,
         "extract_stats": conformance.EXTRACT_STATS_SQL,
         "extract_quarantine": conformance.EXTRACT_QUARANTINE_SQL,
+        "curated_corpus": curate.CURATED_SQL,
+        "curation_stats": curate.CURATION_STATS_SQL,
         # no oracle (non-SQL-expressible → rows-only check):
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
         #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,

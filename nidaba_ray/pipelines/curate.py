@@ -1,0 +1,108 @@
+"""Corpus curation pipeline — the composed training-data use case:
+quality gating + exact dedup in one lazy chain (driver instruction:
+the operations a large-scale training-data pipeline needs, composed).
+
+    documents → quality features (vectorized map)
+              → gate (word count / avg word length / stopword ratio)
+              → exact dedup keep-first (grouped min + hash join)
+              → curated (doc_id, lang, n_words) + per-lang rollup
+
+Fully SQL-expressible, so the whole composition is oracle-checked —
+the point is that each stage is the same operator exercised solo by
+its own query, and composition changes nothing (lazy Dataset chain,
+one shuffle for the dedup)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.util import join_partitions
+
+MIN_WORDS = 20
+MAX_AVG_WORD_LEN = 12.0
+MAX_STOP_RATIO = 0.5
+STOPWORDS = ("the", "a", "de", "el", "la")
+
+
+def curated_corpus(sf_dir: str) -> rd.Dataset:
+    """Kept docs after quality gate + dedup (keep min doc_id per
+    identical text among the gated set)."""
+
+    def gate(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        words = s.str.split(" ")
+        n_words = words.str.len().astype("int64")
+        awl = (s.str.len() - s.str.count(" ")).astype("int64") / n_words
+        stop = words.map(lambda ws: sum(w in STOPWORDS for w in ws)) / n_words
+        keep = (n_words >= MIN_WORDS) & (awl <= MAX_AVG_WORD_LEN) & (stop <= MAX_STOP_RATIO)
+        t = batch.append_column("n_words", pa.array(n_words)).filter(
+            pa.array(keep.to_numpy())
+        )
+        fp = [hashlib.md5(x.encode("utf-8")).hexdigest()
+              for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "n_words": t["n_words"],
+                "fp": pa.array(fp, pa.string()),
+            }
+        )
+
+    gated = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(gate, batch_format="pyarrow")
+
+    from ray.data.aggregate import Min
+
+    firsts = gated.groupby("fp").aggregate(Min("doc_id", alias_name="keep_id"))
+    joined = gated.join(firsts, "inner", join_partitions(8), on=("fp",))
+    return joined.map_batches(
+        lambda t: t.filter(pc.equal(t["doc_id"], t["keep_id"])).select(
+            ["doc_id", "lang", "n_words"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+CURATED_SQL = f"""
+WITH gated AS (
+  SELECT doc_id, lang, text,
+         LEN(STRING_SPLIT(text, ' ')) AS n_words
+  FROM documents
+  WHERE LEN(STRING_SPLIT(text, ' ')) >= {MIN_WORDS}
+    AND CAST(LEN(REPLACE(text, ' ', '')) AS DOUBLE)
+        / LEN(STRING_SPLIT(text, ' ')) <= {MAX_AVG_WORD_LEN}
+    AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '),
+                 x -> x IN ('the', 'a', 'de', 'el', 'la'))) AS DOUBLE)
+        / LEN(STRING_SPLIT(text, ' ')) <= {MAX_STOP_RATIO}
+)
+SELECT doc_id, lang, n_words
+FROM (SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM gated)
+WHERE doc_id = keep_id
+"""
+
+
+def curation_stats(sf_dir: str) -> pa.Table:
+    """Per-lang rollup of the curated corpus — kept docs + token mass."""
+    df = curated_corpus(sf_dir).to_pandas()
+    g = df.groupby("lang", as_index=False).agg(
+        n_docs=("doc_id", "size"), total_words=("n_words", "sum"))
+    g = g.astype({"lang": "string", "n_docs": "int64", "total_words": "int64"})
+    g["avg_words"] = round_like_sql(g["total_words"] / g["n_docs"], 2)
+    return pa.Table.from_pandas(
+        pd.DataFrame(g), preserve_index=False
+    )
+
+
+CURATION_STATS_SQL = CURATED_SQL.replace(
+    "SELECT doc_id, lang, n_words",
+    "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words,"
+    " ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 2) AS avg_words",
+) + " GROUP BY lang"

@@ -127,12 +127,23 @@ class _Segmenter(HTMLParser):
         self._flush()
 
 
-def segment_html(html_text: str) -> list[Block]:
-    """Parse an HTML document into reading-order blocks.
-
-    Never raises on tag soup (per-row error isolation happens one level
-    up, on decode failures)."""
+def segment_html_stdlib(html_text: str) -> list[Block]:
+    """Reference implementation over stdlib html.parser — kept as the
+    equivalence oracle for the fast scanner (tests/test_fastsegment.py
+    asserts block-identical output; both must change together)."""
     seg = _Segmenter()
     seg.feed(html_text)
     seg.close()
     return seg.blocks
+
+
+def segment_html(html_text: str) -> list[Block]:
+    """Parse an HTML document into reading-order blocks.
+
+    Never raises on tag soup (per-row error isolation happens one level
+    up, on decode failures). Dispatches to the regex-scanner
+    implementation (~2× faster; html.parser was 50% of flagship
+    per-row cost) — verified block-identical to the stdlib path."""
+    from nidaba_ray.stages.fastsegment import segment_html_fast
+
+    return segment_html_fast(html_text)
