@@ -21,6 +21,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--input", required=True, help="input pages parquet path")
     p.add_argument("--output", required=True, help="output parquet dir")
     p.add_argument("--limit", type=int, default=0, help="row limit (dev mode)")
+    p.add_argument("--format", choices=["parquet", "jsonl"], default="parquet",
+                   help="sink dialect (jsonl = one JSON object per row)")
     args = p.parse_args(argv)
 
     import ray
@@ -36,8 +38,15 @@ def main(argv: list[str] | None = None) -> None:
     if args.limit:
         ds = ds.limit(args.limit)
     out = compile_pipeline(ds, load_spec(args.spec))
-    out.write_parquet(args.output)
-    print({"rows": rd.read_parquet(args.output).count(), "output": args.output})
+    if args.format == "jsonl":
+        from nidaba_ray.stages.serialize import to_jsonl_rows
+
+        out.map_batches(to_jsonl_rows, batch_format="pyarrow").write_json(args.output)
+        n = rd.read_json(args.output).count()
+    else:
+        out.write_parquet(args.output)
+        n = rd.read_parquet(args.output).count()
+    print({"rows": n, "output": args.output, "format": args.format})
     if owns_session:
         ray.shutdown()
 

@@ -115,3 +115,13 @@ def _ensure_builtin() -> None:
         "postprocess.spell", batch_size=256, concurrency=(1, 4), num_cpus=1
     )(SpellFilter)
     register_stage("output.jsonl")(to_jsonl_rows)
+    from nidaba_ray.stages.multimodal import (
+        AudioFeatures, ImageDecoder, VideoFrameSampler,
+    )
+
+    register_stage("media.image", batch_size=64, concurrency=(1, 4),
+                   num_cpus=1)(ImageDecoder)
+    register_stage("media.audio", batch_size=64, concurrency=(1, 4),
+                   num_cpus=1)(AudioFeatures)
+    register_stage("media.frames", batch_size=64, concurrency=(1, 4),
+                   num_cpus=1)(VideoFrameSampler)

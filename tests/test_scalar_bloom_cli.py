@@ -98,3 +98,44 @@ def test_cli_limit(ray_session, tmp_path):
     # not silent wrong output
     with pytest.raises(Exception):
         main([str(spec), "--input", inp, "--output", str(tmp_path / "o2"), "--limit", "5"])
+
+
+def test_cli_jsonl_sink(ray_session, tmp_path):
+    import json
+
+    from nidaba_ray import synth
+    from nidaba_ray.run import main
+
+    t = synth.pages_table(n=20)
+    inp = str(tmp_path / "pages.parquet")
+    pq.write_table(t.drop_columns(["golden", "doc_id"]), inp)
+    spec = tmp_path / "spec.yaml"
+    spec.write_text(
+        "pipeline:\n"
+        "  - stage: extract.candidates\n"
+        "    concurrency: [1, 2]\n"
+        "  - stage: merge.threshold_vote\n"
+    )
+    out = str(tmp_path / "out_jsonl")
+    main([str(spec), "--input", inp, "--output", out, "--format", "jsonl"])
+    import os
+
+    lines = []
+    for f in os.listdir(out):
+        with open(os.path.join(out, f)) as fh:
+            lines += [l for l in fh if l.strip()]
+    recs = [json.loads(l) for l in lines]
+    assert len(recs) >= 20
+    assert all({"url", "spans", "provenance"} <= set(r.get("json") and json.loads(r["json"]) or r) for r in recs[:3])
+
+
+def test_media_stages_via_registry(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+    from nidaba_ray.stages.multimodal import synth_media_batch
+
+    t = synth_media_batch(list(range(0, 30, 3)))  # images
+    ds = rd.from_arrow(t)
+    out = registry.compile_pipeline(ds, [{"stage": "media.image", "concurrency": [1, 2]}]).to_pandas()
+    assert (out["error"] == "").all() and len(out) == 10
