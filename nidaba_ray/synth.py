@@ -90,11 +90,19 @@ def _chrome(rng: random.Random, host: str) -> tuple[str, str, str]:
 
 
 def make_html(doc_id: int, text: str, lang: str) -> bytes:
-    """Templated page: known main content wrapped in boilerplate."""
+    """Templated page: known main content wrapped in boilerplate.
+
+    Paragraph text is entity-escaped (as any real generator would) and
+    the extractor's parser unescapes — so byte-identity holds for
+    content containing ``& < >`` etc., not just word-soup."""
+    import html as _html
+
     rng = random.Random(f"html-{SEED}-{doc_id}")
     host = host_for(doc_id)
     header, aside, footer = _chrome(rng, host)
-    paras = "".join(f"<p>{p}</p>" for p in paragraphs_for(doc_id, text))
+    paras = "".join(
+        f"<p>{_html.escape(p)}</p>" for p in paragraphs_for(doc_id, text)
+    )
     return (
         f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
         f"<title>doc {doc_id}</title></head><body>{header}"
