@@ -137,3 +137,43 @@ def test_job_status(ray_session, pages_file, tmp_path):
         f.write("{broken")
     st2 = runner.job_status(out_dir, 8)
     assert st2["corrupt_manifests"] == 1 and not st2["complete"]
+
+
+def test_crash_rerun_no_duplicates(ray_session, pages_file, tmp_path):
+    """A bucket with torn data but no manifest must be wiped and
+    reprocessed — never appended to (duplicate rows)."""
+    import os
+
+    import pyarrow.parquet as pq_
+
+    from nidaba_ray.pipelines import runner
+
+    cfg = {"extract_concurrency": (1, 2), "spell_concurrency": (1, 2)}
+    out_dir = str(tmp_path / "crashjob")
+    s1 = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    total = s1["n_rows"]
+    # simulate crash: victim bucket has data but lost its manifest
+    mdir = os.path.join(out_dir, "manifest")
+    victim = sorted(os.listdir(mdir))[0]
+    os.remove(os.path.join(mdir, victim))
+    s2 = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    assert s2["processed_buckets"] == 1
+    # total rows across the data dir must equal the original count
+    n = pq_.ParquetDataset(os.path.join(out_dir, "data")).read(
+        columns=["url"]
+    ).num_rows
+    assert n == total
+
+
+def test_noop_resume_is_fast(ray_session, pages_file, tmp_path):
+    import time
+
+    from nidaba_ray.pipelines import runner
+
+    cfg = {"extract_concurrency": (1, 2), "spell_concurrency": (1, 2)}
+    out_dir = str(tmp_path / "noopjob")
+    runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    t0 = time.time()
+    s = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
+    assert s["skipped_buckets"] == 8 and s["processed_buckets"] == 0
+    assert time.time() - t0 < 2.0  # no input scan, no actor spin-up
