@@ -116,3 +116,66 @@ def merge_crawls(
         )
 
     raise ValueError(f"unknown merge_crawls mode {mode!r}")
+
+
+def host_stats(extracted: rd.Dataset, n_salt: int = DEFAULT_SALT) -> rd.Dataset:
+    """Per-host rollup (pages, tokens, quarantine) with salted two-phase
+    aggregation — the north_rule's host-skew case: hosts are zipfian
+    (a few hosts own most urls), so a single groupby('host') sends a
+    hot host's every row to one reducer. Phase 1 aggregates per
+    (host, salt) — at most 1/S of a hot host's rows per reducer —
+    phase 2 merges the ≤S partials per host. Both phases move partial
+    sums, not rows (per-batch combiner first, as always)."""
+    import numpy as np
+
+    from nidaba_ray.functions.scalar import url_host_column
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        host = url_host_column(batch["url"])
+        df = pd.DataFrame(
+            {
+                "host": host.to_pandas(),
+                "n_tokens": (
+                    batch["n_tokens"].to_pandas()
+                    if "n_tokens" in batch.column_names
+                    else pd.Series([t.count(" ") + 1 if t else 0
+                                    for t in batch["text"].to_pylist()])
+                ),
+                "quarantined": [e != "" for e in batch["error"].to_pylist()],
+            }
+        )
+        g = df.groupby("host", as_index=False).agg(
+            n_pages=("n_tokens", "size"),
+            total_tokens=("n_tokens", "sum"),
+            n_quarantined=("quarantined", "sum"),
+        )
+        # salt assigned AFTER the combiner: deterministic spread of each
+        # host's partials over reducers
+        g["salt"] = np.fromiter(
+            (
+                int.from_bytes(hashlib.md5(f"{h}\x01{i}".encode()).digest()[:4], "big")
+                % n_salt
+                for i, h in enumerate(g["host"])
+            ),
+            dtype=np.int64,
+            count=len(g),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    phase1 = (
+        extracted.map_batches(partial, batch_format="pyarrow")
+        .groupby(["host", "salt"])
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("n_quarantined", alias_name="n_quarantined"))
+    )
+    return (
+        phase1.groupby("host")
+        .aggregate(Sum("n_pages", alias_name="n_pages"),
+                   Sum("total_tokens", alias_name="total_tokens"),
+                   Sum("n_quarantined", alias_name="n_quarantined"))
+    )

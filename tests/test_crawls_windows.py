@@ -149,3 +149,31 @@ def test_dup_clusters(ray_session, tmp_path, monkeypatch):
     assert out[0] == out[1] == 0
     assert out[2] == out[3] == 2
     assert out[4] == 4 and out[5] == 5
+
+
+def test_host_stats_salted(ray_session, tmp_path):
+    import pyarrow.parquet as pq_
+
+    import ray.data as rd
+
+    from nidaba_ray import synth
+    from nidaba_ray.functions.scalar import url_host
+    from nidaba_ray.pipelines.crawls import host_stats
+    from nidaba_ray.pipelines.extract import extract_pipeline
+
+    t = synth.pages_table(n=200)  # zipfian hosts by construction
+    p = str(tmp_path / "pages.parquet")
+    pq_.write_table(t.drop_columns(["golden", "doc_id"]), p)
+    out = extract_pipeline(
+        rd.read_parquet(p), extract_concurrency=(1, 2), spell_concurrency=(1, 2)
+    )
+    stats = host_stats(out).to_pandas().set_index("host")
+    # naive reference over the source table
+    import pandas as pd
+
+    src = t.to_pandas()
+    src["host"] = src["url"].map(url_host)
+    ref = src.groupby("host").size()
+    assert (stats["n_pages"].sort_index() == ref.sort_index()).all()
+    # skew exists (zipfian): the hottest host dominates
+    assert stats["n_pages"].max() >= 5 * stats["n_pages"].median()
