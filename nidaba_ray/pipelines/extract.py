@@ -46,7 +46,23 @@ class FusedExtract:
         self._spell = SpellFilter()
 
     def __call__(self, batch):
-        return self._spell(threshold_and_vote(self._extract(batch)))
+        if (
+            batch.nbytes > self._extract.max_batch_bytes
+            and batch.num_rows > 1
+        ):
+            import pyarrow as pa
+
+            mid = batch.num_rows // 2
+            return pa.concat_tables(
+                [self(batch.slice(0, mid)), self(batch.slice(mid))]
+            )
+        # span lists stay Python between the fused stages — the Arrow
+        # list<struct> build + to_pylist round trip measured ~13% of
+        # total time (see stages/extract._extract_columns)
+        from nidaba_ray.stages.merge import vote_columns
+
+        cols, spans = self._extract._extract_columns(batch)
+        return self._spell(vote_columns(cols, spans))
 
 PAGES_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 

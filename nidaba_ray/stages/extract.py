@@ -118,7 +118,14 @@ class ExtractCandidates:
             )
         return self._process(batch)
 
-    def _process(self, batch: pa.Table) -> pa.Table:
+    def _extract_columns(
+        self, batch: pa.Table
+    ) -> tuple[dict, list[list[dict]]]:
+        """Shared body: passthrough columns + Python-side span lists.
+
+        The fused pipeline consumes the span lists directly — building
+        the Arrow list<struct> column only to ``to_pylist`` it in the
+        next fused stage measured ~13% of total pipeline time."""
         payloads = batch["html"].to_pylist()
         kinds, spans_col, errors = [], [], []
         for p in payloads:
@@ -132,6 +139,10 @@ class ExtractCandidates:
             name: batch[name] for name in batch.column_names if name != "html"
         }
         cols["payload_kind"] = pa.array(kinds, pa.string())
-        cols["spans"] = pa.array(spans_col, SPAN_TYPE)
         cols["error"] = pa.array(errors, pa.string())
+        return cols, spans_col
+
+    def _process(self, batch: pa.Table) -> pa.Table:
+        cols, spans_col = self._extract_columns(batch)
+        cols["spans"] = pa.array(spans_col, SPAN_TYPE)
         return pa.table(cols)

@@ -127,15 +127,21 @@ def vote_row(
 
 def threshold_and_vote(batch: pa.Table) -> pa.Table:
     """Stateless ``map_batches`` body (fuses with neighbors)."""
-    spans_col = batch["spans"].to_pylist()
-    cand_texts = batch["text"].to_pylist() if "text" in batch.column_names else [None] * len(spans_col)
-    errors = batch["error"].to_pylist()
-    kinds = batch["payload_kind"].to_pylist()
-    langs = (
-        batch["lang"].to_pylist()
-        if "lang" in batch.column_names
-        else [None] * len(spans_col)
-    )
+    cols = {
+        name: batch[name] for name in batch.column_names if name != "spans"
+    }
+    return vote_columns(cols, batch["spans"].to_pylist())
+
+
+def vote_columns(cols: dict, spans_col: list[list[dict]]) -> pa.Table:
+    """Core vote over passthrough columns + Python span lists — the
+    fused pipeline calls this directly, skipping the Arrow
+    list<struct> build + to_pylist round trip between stages."""
+    n = len(spans_col)
+    cand_texts = cols["text"].to_pylist() if "text" in cols else [None] * n
+    errors = cols["error"].to_pylist()
+    kinds = cols["payload_kind"].to_pylist()
+    langs = cols["lang"].to_pylist() if "lang" in cols else [None] * n
     finals, kepts, provs, n_blocks_l, n_kept_l = [], [], [], [], []
     for spans, cand, err, kind, lang in zip(
         spans_col, cand_texts, errors, kinds, langs
@@ -154,15 +160,11 @@ def threshold_and_vote(batch: pa.Table) -> pa.Table:
         n_blocks_l.append(nb)
         n_kept_l.append(nk)
     # generic passthrough (bucket ids, user metadata); text/spans are
-    # replaced by the voted canonical versions below
-    cols = {
-        name: batch[name]
-        for name in batch.column_names
-        if name not in ("text", "spans")
-    }
-    cols["text"] = pa.array(finals, pa.string())
-    cols["spans"] = pa.array(kepts, SPAN_TYPE)
-    cols["provenance"] = pa.array(provs, pa.list_(PROVENANCE_STRUCT))
-    cols["n_blocks"] = pa.array(n_blocks_l, pa.int32())
-    cols["n_kept"] = pa.array(n_kept_l, pa.int32())
-    return pa.table(cols)
+    # replaced by the voted canonical versions
+    out = {name: arr for name, arr in cols.items() if name != "text"}
+    out["text"] = pa.array(finals, pa.string())
+    out["spans"] = pa.array(kepts, SPAN_TYPE)
+    out["provenance"] = pa.array(provs, pa.list_(PROVENANCE_STRUCT))
+    out["n_blocks"] = pa.array(n_blocks_l, pa.int32())
+    out["n_kept"] = pa.array(n_kept_l, pa.int32())
+    return pa.table(out)
