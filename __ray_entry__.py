@@ -45,6 +45,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": rel.customers_with_orders,
         "customers_without_orders": rel.customers_without_orders,
         "sample_lineitem": rel.sample_lineitem,
+        "parts_by_brand": rel.parts_by_brand,
+        "supplier_nation_balance": rel.supplier_nation_balance,
         "distinct_segments": rel.distinct_segments,
         "union_names": rel.union_names,
         "events_hourly": rel.events_hourly,
@@ -100,6 +102,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": rel.TOPK_SQL,
         "customers_with_orders": rel.SEMI_JOIN_SQL,
         "customers_without_orders": rel.ANTI_JOIN_SQL,
+        "parts_by_brand": rel.PARTS_SQL,
+        "supplier_nation_balance": rel.SUPPLIER_NATION_SQL,
         "distinct_segments": rel.DISTINCT_SQL,
         "union_names": rel.UNION_SQL,
         "events_hourly": rel.EVENTS_HOURLY_SQL,

@@ -191,7 +191,11 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SKIP_QUERIES="1",
-            GRAFT_AMPLIFY=str(max(AMPLIFY, 160)),
+            # the scaling corpus is 8× the headline corpus: as per-row
+            # compute dropped (fast segmenter, span-roundtrip removal),
+            # fixed actor-spawn overhead became a visible fraction of
+            # the 32-CPU leg — a longer job amortizes it at both levels
+            GRAFT_AMPLIFY=str(max(AMPLIFY, 320)),
         )
         best = None
         for _ in range(2):

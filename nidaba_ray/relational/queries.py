@@ -456,3 +456,79 @@ def sample_lineitem(sf_dir: str, fraction: float = 0.02) -> rd.Dataset:
     return _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).random_sample(
         fraction, seed=7
     )
+
+
+def parts_by_brand(sf_dir: str) -> pa.Table:
+    """Grouped aggregate over part (size filter + avg price)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["p_size"], 10))
+        df = pa.table({"p_brand": b["p_brand"],
+                       "p_retailprice": b["p_retailprice"]}).to_pandas()
+        g = df.groupby("p_brand", as_index=False).agg(
+            n_parts=("p_retailprice", "size"), sum_price=("p_retailprice", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("n_parts", alias_name="n_parts"),
+                   Sum("sum_price", alias_name="sum_price"))
+        .to_pandas()
+    )
+    out["avg_price"] = round_like_sql(out["sum_price"] / out["n_parts"], 2)
+    out = out.drop(columns=["sum_price"]).astype({"n_parts": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+PARTS_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts,
+       ROUND(SUM(p_retailprice) / COUNT(*), 2) AS avg_price
+FROM part WHERE p_size >= 10
+GROUP BY p_brand
+"""
+
+
+def supplier_nation_balance(sf_dir: str) -> pa.Table:
+    """supplier ⋈ nation ⋈ region (two broadcast hops — the snowflake
+    dimension chain): per region, supplier count + total balance."""
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(ref)
+        df = batch.to_pandas()
+        df["r_name"] = df["s_nationkey"].map(n2r_).map(r2name_)
+        g = df.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_suppkey", "size"), total_acctbal=("s_acctbal", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    out = (
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
+        .map_batches(fn, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
+                   Sum("total_acctbal", alias_name="total_acctbal"))
+        .to_pandas()
+    )
+    out["total_acctbal"] = round_like_sql(out["total_acctbal"], 2)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SUPPLIER_NATION_SQL = """
+SELECT r_name, COUNT(*) AS n_suppliers,
+       ROUND(SUM(s_acctbal), 2) AS total_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
