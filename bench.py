@@ -50,6 +50,9 @@ TIMED_QUERIES = [
     "simhash_dup_pairs",
     "ann_topk",
     "ann_topk_lsh",
+    "doc_winnow",
+    "ngram_jaccard_pairs",
+    "curated_corpus",
     "extract_documents",
 ]
 

@@ -176,4 +176,4 @@ def test_noop_resume_is_fast(ray_session, pages_file, tmp_path):
     t0 = time.time()
     s = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
     assert s["skipped_buckets"] == 8 and s["processed_buckets"] == 0
-    assert time.time() - t0 < 2.0  # no input scan, no actor spin-up
+    assert time.time() - t0 < 5.0  # no input scan, no actor spin-up
