@@ -215,19 +215,34 @@ def _lang_profiles() -> dict[str, set[str]]:
 
 
 class LangId:
-    """Actor-pool stage: profiles built once per actor; per batch a
-    vectorizable overlap score against each profile."""
+    """Actor-pool stage: profiles built once per actor; per-token gram
+    sets cached across batches (Zipfian token frequencies → the md5-free
+    gram extraction runs once per unique token per actor). Document
+    grams = union of padded-token trigrams, matching how the profiles
+    themselves are built from word lists."""
 
     def __init__(self) -> None:
         self.profiles = _lang_profiles()
+        self.langs = sorted(self.profiles)
+        self._tok_cache: dict[str, frozenset] = {}
+
+    def _grams(self, tok: str) -> frozenset:
+        g = self._tok_cache.get(tok)
+        if g is None:
+            padded = f" {tok} "
+            g = frozenset(padded[i : i + 3] for i in range(len(padded) - 2))
+            self._tok_cache[tok] = g
+        return g
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds, confs = [], []
         for t in batch["text"].to_pylist():
-            padded = f" {t} "
-            grams = {padded[i : i + 3] for i in range(len(padded) - 2)}
+            grams: set = set()
+            for tok in t.split(" "):
+                if tok:
+                    grams |= self._grams(tok)
             best_lang, best = "und", -1.0
-            for lang in sorted(self.profiles):
+            for lang in self.langs:
                 p = self.profiles[lang]
                 score = len(grams & p) / max(1, len(grams))
                 if score > best:
