@@ -33,21 +33,39 @@ from nidaba_ray.stages.segment import (
 __all__ = ["segment_html_fast"]
 
 _TOKEN = re.compile(
+    # tag-name charsets mirror html.parser's tolerant regexes exactly
+    # (tagfind_tolerant / endtagfind): start names run to whitespace,
+    # '/', '>' or NUL (so '<p.x>' and even '<b<em>' are tag names);
+    # end names use the letter/digit/-.:_ charset with attrs ignored.
     r"<!--.*?(?:-->|$)"                 # comments
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"       # CDATA
     r"|<![^>]*>"                        # doctype / other declarations
     r"|<\?[^>]*>"                       # processing instructions
-    r"|</\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>"   # end tag   (group 1)
-    r"|<([a-zA-Z][a-zA-Z0-9-]*)"             # start tag (group 2)
-    r"((?:[^>\"']|\"[^\"]*\"|'[^']*')*)>",   # attrs: quote-aware (group 3)
+    r"|</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)[^>]*>"  # end tag   (group 1)
+    r"|</[^>]*>",                       # bogus end tag → skipped (</>, </123>)
     re.S,
 )
+_TAGNAME = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
 _RAWDATA_END = {
-    "script": re.compile(r"</script[^>]*>", re.I),
-    "style": re.compile(r"</style[^>]*>", re.I),
+    # lookahead mirrors set_cdata_mode: '</scripty>' must NOT close
+    "script": re.compile(r"</script(?=[\s/>])[^>]*>|</script>", re.I),
+    "style": re.compile(r"</style(?=[\s/>])[^>]*>|</style>", re.I),
 }
 _WS = re.compile(r"\s+")
 _HAS_ENTITY = re.compile(r"&[#a-zA-Z]")
+
+# Start tags are parsed with html.parser's OWN compiled regexes and a
+# faithful transcription of parse_starttag/check_for_whole_start_tag —
+# parity with the stdlib reference implementation by construction
+# (verified by the equivalence fuzz suite). All three are C-backed
+# compiled patterns; the walk runs once per tag.
+from html.parser import attrfind_tolerant as _ATTRFIND
+from html.parser import locatestarttagend_tolerant as _STDLIB_TAGEND
+from html.parser import tagfind_tolerant as _TAGFIND
+
+_LETTERS_EQ_SLASH = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
+)
 
 
 class _FastSegmenter:
@@ -136,33 +154,72 @@ def segment_html_fast(html_text: str) -> list[Block]:
             break
         if lt > pos:
             seg.data(html_text[pos:lt])
+        nxt = html_text[lt + 1] if lt + 1 < n else ""
+        if nxt.isalpha():
+            # faithful check_for_whole_start_tag
+            m2 = _STDLIB_TAGEND.match(html_text, lt)
+            j = m2.end()
+            nxtc = html_text[j : j + 1]
+            if nxtc == ">":
+                endpos = j + 1
+            elif nxtc == "/":
+                if html_text.startswith("/>", j):
+                    endpos = j + 2
+                elif j + 1 >= n:
+                    endpos = -1  # buffer boundary → incomplete at EOF
+                else:
+                    endpos = j if j > lt else lt + 1
+            elif nxtc == "" or nxtc in _LETTERS_EQ_SLASH:
+                endpos = -1  # end of input mid-tag
+            else:
+                endpos = j if j > lt else lt + 1
+            if endpos < 0:
+                # goahead's EOF recovery: data up to and including the
+                # next '>', else up to the next '<', else just '<'
+                gt = html_text.find(">", lt + 1)
+                if gt >= 0:
+                    k2 = gt + 1
+                else:
+                    lt2 = html_text.find("<", lt + 1)
+                    k2 = lt2 if lt2 >= 0 else lt + 1
+                seg.data(html_text[lt:k2])
+                pos = k2
+                continue
+            # faithful parse_starttag: name + attr walk decide whether
+            # the trailing text is '>', '/>' or junk (→ data)
+            tm = _TAGFIND.match(html_text, lt + 1)
+            name = tm.group(1).lower()
+            k = tm.end()
+            while k < endpos:
+                am = _ATTRFIND.match(html_text, k)
+                if not am:
+                    break
+                k = am.end()
+            end = html_text[k:endpos].strip()
+            if end not in (">", "/>"):
+                seg.data(html_text[lt:endpos])  # malformed slice → text
+                pos = endpos
+                continue
+            if name in _RAWDATA_END and end == ">":
+                seg.start(name)
+                m3 = _RAWDATA_END[name].search(html_text, endpos)
+                pos = n if m3 is None else m3.end()
+                seg.end(name)
+                continue
+            seg.start(name)
+            if end == "/>" and name not in VOID_TAGS:
+                seg.end(name)
+            pos = endpos
+            continue
         m = _TOKEN.match(html_text, lt)
         if m is None:
             seg.data("<")  # stray '<' is text (lenient, like html.parser)
             pos = lt + 1
             continue
-        end_tag, start_tag = m.group(1), m.group(2)
+        end_tag = m.group(1)
         pos = m.end()
-        if start_tag is not None:
-            tag = start_tag.lower()
-            attrs = m.group(3) or ""
-            self_closing = attrs.rstrip().endswith("/")
-            if tag in _RAWDATA_END:
-                # raw content until the matching close tag
-                seg.start(tag)
-                m2 = _RAWDATA_END[tag].search(html_text, pos)
-                if m2 is None:
-                    pos = n
-                    seg.end(tag)
-                else:
-                    pos = m2.end()
-                    seg.end(tag)
-                continue
-            seg.start(tag)
-            if self_closing and tag not in VOID_TAGS:
-                seg.end(tag)
-        elif end_tag is not None:
+        if end_tag is not None:
             seg.end(end_tag.lower())
-        # comments / doctype / CDATA / PI: skipped
+        # comments / doctype / CDATA / PI / bogus end tags: skipped
     seg._flush()
     return seg.blocks

@@ -47,14 +47,23 @@ class SpellFilter:
         texts = batch["text"].to_pylist()
         langs = batch["lang"].to_pylist()
         n_tokens_l, oov_l, ratio_l, sugg_l = [], [], [], []
+        sugg_cache = getattr(self, "_sugg_cache", None)
+        if sugg_cache is None:
+            # per-actor caches: suggestion lists for seen OOV tokens
+            # (Zipfian repeats) — cuts the symmetric-delete lookups to
+            # once per unique token per actor
+            sugg_cache = self._sugg_cache = {}
         for text, lang in zip(texts, langs):
             words, index = self._lang(lang or "en")
             toks = text.split(SPAN_SEP) if text else []
             oov = [t for t in toks if t and t not in words]
-            sugg = {
-                t: sym_suggest(t, index, self.max_dist)[:3]
-                for t in sorted(set(oov))[:MAX_SUGGEST_TOKENS]
-            }
+            sugg = {}
+            for t in sorted(set(oov))[:MAX_SUGGEST_TOKENS]:
+                key = (lang, t)
+                s = sugg_cache.get(key)
+                if s is None:
+                    s = sugg_cache[key] = sym_suggest(t, index, self.max_dist)[:3]
+                sugg[t] = s
             n = len(toks)
             n_tokens_l.append(n)
             oov_l.append(len(oov))

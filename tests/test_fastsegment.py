@@ -47,6 +47,11 @@ FRAGS = [
     "<style>p{color:red}</style>", '<p class="x>y">', "<div/>", "</notopen>",
     "<aside>", "</aside>", "<footer>", "</footer>", "<pre>", "</pre>",
     "<table>", "<tr>", "</tr>", "</table>", "&lt;tag&gt; ", "\n\t ",
+    # pathological tag soup (the stdlib-parity hard cases)
+    '<A">', '"', "<", ">", "'", "<b", "=", "/", "</>", "</12>", "<p.q>",
+    "</p attr>", "<p/>", "<b<em>", "<p\tc=1>", "<b/ x>", "<b /x>",
+    "<img src=x/>", "attr='v'", "<g c=/>", "</scripty>",
+    "<a href=x\"y>", '<a href="x>',
 ]
 
 
