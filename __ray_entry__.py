@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_lag": win.event_lag,
         "sessionize": win.sessionize,
         "hll_distinct_users": win.hll_distinct_users,
+        "event_value_quantiles": win.event_value_quantiles,
         "asof_click_purchase": win.asof_last_click_before_purchase,
         # --- text analysis over documents (driver instruction)
         "quality_metrics": textops.quality_metrics,
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "event_lag": win.EVENT_LAG_SQL,
         "sessionize": win.SESSIONIZE_SQL,
         "asof_click_purchase": win.ASOF_SQL,
+        "event_value_quantiles": win.EVENT_QUANTILES_SQL,
         "quality_metrics": textops.QUALITY_SQL,
         "token_stats_per_lang": textops.TOKEN_STATS_SQL,
         "top_terms_per_lang": textops.TOP_TERMS_SQL,

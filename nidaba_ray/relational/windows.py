@@ -239,3 +239,40 @@ FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND c.ts < p.ts
 """
+
+
+def event_value_quantiles(sf_dir: str) -> rd.Dataset:
+    """Per-type value quantiles (p50/p90) — grouped order statistics.
+
+    DuckDB's quantile_cont and numpy's linear-interpolation percentile
+    are bit-identical on the same sorted doubles (validated), so the
+    result is oracle-exact after round_like_sql. Group count is tiny
+    (event types); at scale, swap the exact per-group sort for a
+    mergeable KLL/t-digest sketch — same pipeline shape."""
+
+    def q(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round_like_sql(float(np.percentile(v, 50)), 4)],
+                "p90": [round_like_sql(float(np.percentile(v, 90)), 4)],
+                "n": [len(v)],
+            }
+        ).astype({"event_type": "string", "p50": "float64",
+                  "p90": "float64", "n": "int64"})
+
+    return (
+        _events(sf_dir, ["event_type", "value"])
+        .groupby("event_type")
+        .map_groups(q, batch_format="pandas")
+    )
+
+
+EVENT_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 4) AS p50,
+       ROUND(quantile_cont(value, 0.9), 4) AS p90,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
