@@ -31,12 +31,12 @@ def text_diff_ratio(a: str, b: str) -> float:
     return round_like_sql(1.0 - d / max(len(ta), len(tb)), 6)
 
 
-def accuracy_vs_golden(
-    extracted: rd.Dataset, golden_path: str, broadcast: bool = True
-) -> pa.Table:
+def accuracy_vs_golden(extracted: rd.Dataset, golden_path: str) -> pa.Table:
     """Per-url diff ratio + corpus rollup vs a golden(url, golden)
-    parquet. ``broadcast=True`` ships the golden map once via ray.put
-    (golden ≪ corpus — the usual case); False would use a hash join."""
+    parquet. The golden map ships once via ray.put (golden ≪ corpus);
+    if the golden side ever rivals the corpus, switch to a
+    ``Dataset.join`` on url (same shape as relational/queries
+    join_lineitem_orders)."""
     g = pd.read_parquet(golden_path, columns=["url", "golden"])
     ref = ray.put(dict(zip(g["url"], g["golden"])))
 
