@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
+        "dup_clusters_distributed": dedup.dup_clusters_distributed,
         # --- similarity search over embeddings
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -130,5 +131,5 @@ def oracle_sql() -> dict[str, str]:
         #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
         #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
         #   hll_distinct_users, sample_lineitem, kmeans_embeddings,
-        #   media_features, dup_clusters
+        #   media_features, dup_clusters, dup_clusters_distributed
     }

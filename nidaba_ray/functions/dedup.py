@@ -457,3 +457,63 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7) -> pa.Table:
 
     out = _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
     return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
+def _propagate_labels(edges: pd.DataFrame, nodes: pd.DataFrame,
+                      max_rounds: int = 25) -> pd.DataFrame:
+    """Min-label propagation over an undirected edge list using Ray
+    Data groupby rounds — the distributed alternative to driver-side
+    union-find for huge components (ray_guide dedup section).
+
+    Each round: every node takes min(its label, neighbors' labels);
+    converges in ≤ diameter rounds. All state lives in (node, label)
+    rows; each round is one small hash join + grouped min — nothing is
+    ever collected to the driver except the change counter."""
+    from ray.data.aggregate import Min
+
+    und = pd.concat([
+        edges.rename(columns={"doc_a": "src", "doc_b": "dst"}),
+        edges.rename(columns={"doc_a": "dst", "doc_b": "src"}),
+    ])[["src", "dst"]]
+    labels = nodes.rename(columns={"doc_id": "node"})
+    labels["label"] = labels["node"]
+    edges_ds = rd.from_pandas(und) if len(und) else None
+    if edges_ds is None:
+        return labels
+    for _ in range(max_rounds):
+        lbl_ds = rd.from_pandas(labels)
+        # neighbor labels: join edges (src=node) → (dst, src_label)
+        j = edges_ds.join(
+            lbl_ds, "inner", join_partitions(8),
+            on=("src",), right_on=("node",),
+        )
+        neigh = (
+            j.map_batches(
+                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+                batch_format="pyarrow",
+            )
+            .groupby("node")
+            .aggregate(Min("label", alias_name="nmin"))
+            .to_pandas()
+        )
+        merged = labels.merge(neigh, on="node", how="left")
+        new_label = merged[["label", "nmin"]].min(axis=1).astype("int64")
+        changed = int((new_label != merged["label"]).sum())
+        labels = merged[["node"]].copy()
+        labels["label"] = new_label
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters_distributed(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """`dup_clusters` via distributed min-label propagation instead of
+    driver-side union-find — identical output (property-tested), built
+    for the case where components are too large to collect."""
+    pairs = minhash_dedup_pairs(sf_dir, threshold).to_pandas()
+    nodes = _docs(sf_dir, ["doc_id"]).to_pandas()
+    labels = _propagate_labels(pairs[["doc_a", "doc_b"]], nodes)
+    out = labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    out = out.sort_values("doc_id").reset_index(drop=True).astype(
+        {"doc_id": "int64", "cluster_id": "int64"})
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -177,3 +177,61 @@ def test_host_stats_salted(ray_session, tmp_path):
     assert (stats["n_pages"].sort_index() == ref.sort_index()).all()
     # skew exists (zipfian): the hottest host dominates
     assert stats["n_pages"].max() >= 5 * stats["n_pages"].median()
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """Distributed min-label propagation must produce the same
+    components as union-find on random graphs."""
+    import random
+
+    import pandas as pd
+
+    from nidaba_ray.functions.dedup import _propagate_labels
+
+    rng = random.Random(0)
+    for trial in range(4):
+        n = rng.randint(5, 60)
+        n_edges = rng.randint(0, n)
+        edges = pd.DataFrame(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(n_edges)],
+            columns=["doc_a", "doc_b"],
+        )
+        edges = edges[edges.doc_a != edges.doc_b].reset_index(drop=True)
+        nodes = pd.DataFrame({"doc_id": range(n)})
+        got = _propagate_labels(edges, nodes).set_index("node")["label"]
+        # reference union-find
+        parent = list(range(n))
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]; x = parent[x]
+            return x
+        for a, b in edges.itertuples(index=False):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                if ra > rb: ra, rb = rb, ra
+                parent[rb] = ra
+        want = {x: find(x) for x in range(n)}
+        assert all(got[x] == want[x] for x in range(n)), (trial, n)
+
+
+def test_dup_clusters_distributed_matches_driver(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.dedup import dup_clusters, dup_clusters_distributed
+
+    base1 = " ".join(f"a{i}" for i in range(50))
+    base2 = " ".join(f"b{i}" for i in range(50))
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": pa.array([base1, base1, base2, base2, "solo doc here",
+                              " ".join(f"c{i}" for i in range(40))]),
+            "lang": pa.array(["en"] * 6),
+        }
+    )
+    d = tmp_path / "sf"; d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    a = dup_clusters(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = dup_clusters_distributed(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
