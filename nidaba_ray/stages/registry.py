@@ -115,6 +115,9 @@ def _ensure_builtin() -> None:
         "postprocess.spell", batch_size=256, concurrency=(1, 4), num_cpus=1
     )(SpellFilter)
     register_stage("output.jsonl")(to_jsonl_rows)
+    from nidaba_ray.stages.serialize import to_tei_rows
+
+    register_stage("output.tei")(to_tei_rows)
     from nidaba_ray.stages.multimodal import (
         AudioFeatures, ImageDecoder, VideoFrameSampler,
     )

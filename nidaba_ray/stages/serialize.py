@@ -70,3 +70,42 @@ def explode_spans(batch: pa.Table) -> pa.Table:
             "end": pa.array(out["end"], pa.int64()),
         }
     )
+
+
+def to_tei_rows(batch: pa.Table) -> pa.Table:
+    """One TEI-flavored XML document per row — the write_tei analog
+    (nidaba tei.py serializes page→zone→line with respStmt lineage;
+    our spans map to zones, provenance to respStmts). Built with
+    ElementTree (no lxml in the sandbox); parse-roundtrip tested."""
+    import xml.etree.ElementTree as ET
+
+    urls = batch["url"].to_pylist()
+    langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+    texts = batch["text"].to_pylist()
+    spans = batch["spans"].to_pylist()
+    provs = (
+        batch["provenance"].to_pylist()
+        if "provenance" in batch.column_names
+        else [[] for _ in urls]
+    )
+    docs = []
+    for u, l, t, ss, ps in zip(urls, langs, texts, spans, provs):
+        root = ET.Element("TEI", {"url": u, "lang": l or ""})
+        hdr = ET.SubElement(root, "teiHeader")
+        for p in ps or []:
+            ET.SubElement(hdr, "respStmt",
+                          {"stage": p["stage"], "variant": p["variant"]})
+        body = ET.SubElement(ET.SubElement(root, "text"), "body")
+        for s in ss or []:
+            zone = ET.SubElement(
+                body, "zone",
+                {"n": str(s["block_id"]), "type": s["kind"],
+                 "depth": str(s["depth"]),
+                 "start": str(s["start"]), "end": str(s["end"])},
+            )
+            zone.text = s["text"]
+        canonical = ET.SubElement(root, "ab", {"type": "canonical"})
+        canonical.text = t or ""
+        docs.append(ET.tostring(root, encoding="unicode"))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "tei": pa.array(docs, pa.string())})

@@ -158,3 +158,26 @@ def test_media_pipeline_through_ray(ray_session):
     # deterministic across runs
     again = media_features("/root/testdata/sf0.001").to_pandas()
     assert out.equals(again)
+
+
+def test_tei_rows_roundtrip():
+    import xml.etree.ElementTree as ET
+
+    from nidaba_ray.stages.serialize import to_tei_rows
+
+    b = _extracted_batch()
+    out = to_tei_rows(b)
+    texts = dict(zip(b["url"].to_pylist(), b["text"].to_pylist()))
+    spans = dict(zip(b["url"].to_pylist(), b["spans"].to_pylist()))
+    for url, xml_s in zip(out["url"].to_pylist(), out["tei"].to_pylist()):
+        root = ET.fromstring(xml_s)
+        assert root.get("url") == url
+        # canonical text survives XML round trip byte-identically
+        ab = root.find("ab[@type='canonical']")
+        assert (ab.text or "") == texts[url]
+        zones = root.findall(".//zone")
+        assert len(zones) == len(spans[url])
+        for z, s in zip(zones, spans[url]):
+            assert z.text == s["text"] and z.get("type") == s["kind"]
+        # respStmt lineage present
+        assert root.findall(".//respStmt")
