@@ -129,3 +129,15 @@ def test_winnow_containment():
     fa, fb = set(winnow_fingerprint(a)), set(winnow_fingerprint(b))
     overlap = len(fa & fb) / len(fa | fb)
     assert overlap > 0.5
+
+
+@given(st.floats(allow_nan=False, allow_infinity=False, width=64,
+                 min_value=-1e8, max_value=1e8),
+       st.integers(min_value=0, max_value=4))
+@settings(max_examples=60, deadline=None)
+def test_round_like_sql_matches_duckdb_live(x, d):
+    import duckdb
+
+    got = round_like_sql(x, d)
+    want = duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {d})").fetchone()[0]
+    assert got == want, (x, d, got, want)
