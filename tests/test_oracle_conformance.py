@@ -92,3 +92,14 @@ def test_entry_smoke(ray_session):
     df = to_df(ds)
     assert len(df) == 500
     assert {"url", "text", "spans", "provenance", "error"} <= set(df.columns)
+
+
+def test_entry_schema_stable(ray_session):
+    """Driver smoke contract: repeated entry() calls yield the same
+    schema and row count."""
+    a = entry_mod.entry()
+    b = entry_mod.entry()
+    sa, sb = a.schema(), b.schema()
+    assert sa.names == sb.names
+    assert [str(t) for t in sa.types] == [str(t) for t in sb.types]
+    assert a.count() == b.count() == 500
