@@ -185,9 +185,10 @@ def scaling() -> None:
     Each level runs TWICE and keeps the faster wall time: single runs
     at 32 CPUs carry ±2-3 s of actor-spawn/OS noise on a ~15 s job,
     enough to swing the ratio by ±0.15; min-of-2 is the standard
-    low-noise wall-clock estimator. The scaling corpus is also 2× the
-    default headline corpus so fixed overheads are a smaller fraction
-    of both legs."""
+    low-noise wall-clock estimator. The scaling corpus is 4× the
+    default headline corpus (800k pages) so fixed overheads are a
+    smaller fraction of both legs; a spin calibration separates the
+    single-socket hardware ceiling from software efficiency."""
 
     def run(ncpu: int) -> dict:
         env = dict(
