@@ -199,7 +199,19 @@ def kmeans_embeddings(
     Returns (cluster, n_points, inertia) — rows-only check (iterative,
     not SQL-expressible); convergence asserted in unit tests."""
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    first = ds.sort("vec_id").limit(k).to_pandas()
+    # init = first K vectors by vec_id via a pushed-down parquet row
+    # filter — NOT ds.sort().limit(), which would range-shuffle the
+    # whole embeddings table just to surface k rows
+    first = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", k)],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(first) < k:  # sparse id space — fall back to the range shuffle
+        first = ds.sort("vec_id").limit(k).to_pandas()
     centroids = np.array(list(first["embedding"]), dtype=np.float64)
 
     for _ in range(n_iter):

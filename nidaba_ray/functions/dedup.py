@@ -97,9 +97,19 @@ def dup_groups(sf_dir: str) -> pa.Table:
         .map_batches(add_fp, batch_format="pyarrow")
         .groupby("fp")
         .aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="first_doc"))
+        # filter BEFORE collection — at corpus scale the aggregate has
+        # one row per unique document; only the (rare) dup groups may
+        # reach the driver
+        .map_batches(
+            lambda t: t.filter(pc.greater(t["n_docs"], 1)), batch_format="pyarrow"
+        )
         .to_pandas()
     )
-    out = out[out["n_docs"] > 1].reset_index(drop=True)
+    if "n_docs" not in out.columns:  # all groups filtered → schema lost
+        return pa.table({"fp": pa.array([], pa.string()),
+                         "n_docs": pa.array([], pa.int64()),
+                         "first_doc": pa.array([], pa.int64())})
+    out = out.reset_index(drop=True)
     out["n_docs"] = out["n_docs"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 

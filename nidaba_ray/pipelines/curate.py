@@ -90,10 +90,20 @@ WHERE doc_id = keep_id
 
 
 def curation_stats(sf_dir: str) -> pa.Table:
-    """Per-lang rollup of the curated corpus — kept docs + token mass."""
-    df = curated_corpus(sf_dir).to_pandas()
-    g = df.groupby("lang", as_index=False).agg(
-        n_docs=("doc_id", "size"), total_words=("n_words", "sum"))
+    """Per-lang rollup of the curated corpus — kept docs + token mass.
+
+    The rollup runs as a distributed groupby over the (already narrow)
+    curated Dataset; the driver only ever sees the ≤ n_langs result
+    rows — never the corpus."""
+    from ray.data.aggregate import Count, Sum
+
+    g = (
+        curated_corpus(sf_dir)
+        .groupby("lang")
+        .aggregate(Count(alias_name="n_docs"),
+                   Sum("n_words", alias_name="total_words"))
+        .to_pandas()  # ≤ n_langs rows
+    )
     g = g.astype({"lang": "string", "n_docs": "int64", "total_words": "int64"})
     g["avg_words"] = round_like_sql(g["total_words"] / g["n_docs"], 2)
     return pa.Table.from_pandas(
