@@ -4,11 +4,10 @@ Jaccard (driver instruction: first-class training-data-pipeline ops).
 Scale notes: the exact path is hash-partition + per-group reduce (one
 shuffle of (fp, doc_id) pairs — NOT the payloads). The near-dup paths
 shuffle only (band_id, band_hash, doc_id) rows — a few dozen bytes per
-doc regardless of document size. Pair verification here broadcasts the
-corpus texts (fine ≤ a few GB); at 10^12 scale verification becomes
-two hash-joins of the candidate-pair list against the corpus — the
-pair list is tiny relative to the corpus, so both joins broadcast the
-PAIRS, not the documents.
+doc regardless of document size. Pair verification joins the (tiny)
+candidate-pair list back against the corpus: the candidate id set is
+broadcast as a pre-filter so only candidate documents enter the two
+hash joins, and nothing corpus-sized ever touches the driver.
 """
 
 from __future__ import annotations
@@ -180,10 +179,15 @@ def minhash_candidates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     member, and map_groups pays pandas overhead per group — measured
     ~40 s for 80 k tiny groups where the join takes ~2 s. The join is
     vectorized per partition and scales with the shuffle, and its
-    output is exactly the pair list after an a<b filter."""
+    output is exactly the pair list after an a<b filter.
+
+    The signature table is materialized before the self-join: Ray Data
+    has no common-subexpression sharing, so ``sigs.join(sigs, …)``
+    would otherwise run the MinHasher pipeline twice. Signatures are
+    ~16 narrow rows per doc — tiny relative to the corpus."""
     sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8)
-    )
+    ).materialize()
     joined = sigs.join(
         sigs,
         "inner",
@@ -205,20 +209,67 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     """End-to-end MinHash-LSH near-dup: candidates from band buckets,
     deduplicated, then EXACT n-gram Jaccard verification (so the output
     has no LSH false positives; false negatives bounded by the band
-    curve). Verification broadcasts the corpus texts via ray.put —
-    see module docstring for the 10^12-scale variant."""
-    cands = minhash_candidates(sf_dir).to_pandas()
-    if len(cands):
-        cands = cands.drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    docs = _docs(sf_dir, ["doc_id", "text"]).to_pandas()
-    texts_ref = ray.put(dict(zip(docs["doc_id"], docs["text"])))
+    curve).
+
+    Verification is two hash joins of the candidate-pair list against
+    the corpus, with the (pairs-sized) candidate id set broadcast as a
+    pre-filter so only candidate documents are shuffled — the driver
+    holds ids only, never texts (the 10^12-scale shape)."""
+    from ray.data.aggregate import Count
+
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
+         "jaccard": pa.array([], pa.float64())}
+    )
+    # distinct candidate pairs (a band collision per shared band →
+    # duplicates); groupby-count is the distributed drop_duplicates
+    uniq = (
+        minhash_candidates(sf_dir)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+        .materialize()
+    )
+    if uniq.count() == 0:
+        return empty
+
+    # candidate id set — ≤ 2×|pairs| ints, tiny relative to the corpus
+    ids: set[int] = set()
+    for b in uniq.iter_batches(batch_format="pyarrow"):
+        ids.update(b["doc_a"].to_pylist())
+        ids.update(b["doc_b"].to_pylist())
+    ids_ref = ray.put(ids)
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ids_ref)
+        return batch.filter(
+            pa.array([i in keys for i in batch["doc_id"].to_pylist()])
+        )
+
+    cand_docs = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(only_candidates, batch_format="pyarrow")
+        .materialize()  # pairs-sized; joined twice below
+    )
+    with_a = uniq.join(
+        cand_docs, "inner", join_partitions(8), on=("doc_a",), right_on=("doc_id",)
+    ).map_batches(
+        lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
+                            "text_a": t["text"]}),
+        batch_format="pyarrow",
+    )
+    with_b = with_a.join(
+        cand_docs, "inner", join_partitions(8), on=("doc_b",), right_on=("doc_id",)
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        texts = ray.get(texts_ref)
         out_a, out_b, out_j = [], [], []
-        for a_id, b_id in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist()):
-            sa = set(shingle_hashes(texts[a_id]).tolist())
-            sb = set(shingle_hashes(texts[b_id]).tolist())
+        for a_id, b_id, ta, tb in zip(
+            batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist(),
+            batch["text_a"].to_pylist(), batch["text"].to_pylist(),
+        ):
+            sa = set(shingle_hashes(ta).tolist())
+            sb = set(shingle_hashes(tb).tolist())
             j = len(sa & sb) / max(1, len(sa | sb))
             if j >= threshold:
                 out_a.append(a_id)
@@ -232,13 +283,11 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
             }
         )
 
-    if not len(cands):
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
-        )
-    verified = rd.from_pandas(cands).map_batches(verify, batch_format="pyarrow")
-    return pa.Table.from_pandas(verified.to_pandas(), preserve_index=False)
+    out = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if "doc_a" not in out.columns:
+        return empty
+    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------
@@ -340,7 +389,12 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
             }
         )
 
-    exploded = simhash_table(sf_dir).map_batches(explode, batch_format="pyarrow")
+    # materialize before the self-join (no CSE in Ray Data — otherwise
+    # the SimHash pipeline runs twice); the exploded table is 4 narrow
+    # rows per doc
+    exploded = simhash_table(sf_dir).map_batches(
+        explode, batch_format="pyarrow"
+    ).materialize()
     # self-join on the 16-bit chunk (pigeonhole blocking), vectorized
     # pair filter — same rationale as minhash_candidates
     joined = exploded.join(
@@ -465,65 +519,86 @@ def dup_clusters(sf_dir: str, threshold: float = 0.7) -> pa.Table:
             }
         )
 
-    out = _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
-    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return _docs(sf_dir, ["doc_id"]).map_batches(assign, batch_format="pyarrow")
 
 
-def _propagate_labels(edges: pd.DataFrame, nodes: pd.DataFrame,
-                      max_rounds: int = 25) -> pd.DataFrame:
+def propagate_labels_ds(edges: pd.DataFrame, nodes: rd.Dataset,
+                        max_rounds: int = 25) -> rd.Dataset:
     """Min-label propagation over an undirected edge list using Ray
     Data groupby rounds — the distributed alternative to driver-side
     union-find for huge components (ray_guide dedup section).
 
-    Each round: every node takes min(its label, neighbors' labels);
-    converges in ≤ diameter rounds. All state lives in (node, label)
-    rows; each round is one small hash join + grouped min — nothing is
-    ever collected to the driver except the change counter."""
+    Each round every node takes min(its label, neighbors' labels);
+    converges in ≤ diameter rounds. The (node, label) table stays a
+    Dataset across rounds (materialized per round to truncate lineage)
+    — the driver only ever sees one convergence scalar per round: the
+    label sum, which strictly decreases until the fixpoint because
+    labels are monotonically non-increasing. (At id ranges where an
+    int64 label sum could overflow, substitute a changed-count via an
+    old⋈new join — same round structure.)
+
+    ``edges`` is the verified near-dup pair list — tiny relative to
+    the corpus (only actual near-dups survive verification), so pandas
+    on the driver is the right home for it; ``nodes`` (corpus-sized,
+    column ``doc_id``) never leaves the cluster."""
     from ray.data.aggregate import Min
 
+    labels = nodes.map_batches(
+        lambda t: pa.table({"node": t["doc_id"], "label": t["doc_id"]}),
+        batch_format="pyarrow",
+    ).materialize()
     und = pd.concat([
         edges.rename(columns={"doc_a": "src", "doc_b": "dst"}),
         edges.rename(columns={"doc_a": "dst", "doc_b": "src"}),
     ])[["src", "dst"]]
-    labels = nodes.rename(columns={"doc_id": "node"})
-    labels["label"] = labels["node"]
-    edges_ds = rd.from_pandas(und) if len(und) else None
-    if edges_ds is None:
+    if not len(und):
         return labels
+    edges_ds = rd.from_pandas(und).materialize()
+    prev_sum = None
     for _ in range(max_rounds):
-        lbl_ds = rd.from_pandas(labels)
-        # neighbor labels: join edges (src=node) → (dst, src_label)
+        # neighbor label contributions: edges (src=node) → (dst, label)
         j = edges_ds.join(
-            lbl_ds, "inner", join_partitions(8),
+            labels, "inner", join_partitions(8),
             on=("src",), right_on=("node",),
         )
-        neigh = (
-            j.map_batches(
-                lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
-                batch_format="pyarrow",
-            )
-            .groupby("node")
-            .aggregate(Min("label", alias_name="nmin"))
-            .to_pandas()
+        neigh = j.map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
         )
-        merged = labels.merge(neigh, on="node", how="left")
-        new_label = merged[["label", "nmin"]].min(axis=1).astype("int64")
-        changed = int((new_label != merged["label"]).sum())
-        labels = merged[["node"]].copy()
-        labels["label"] = new_label
-        if changed == 0:
+        # union with the self-contribution then grouped min — covers
+        # every node without needing an outer join
+        labels = (
+            labels.union(neigh)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        s = labels.sum("label")
+        if s == prev_sum:
             break
+        prev_sum = s
     return labels
 
 
-def dup_clusters_distributed(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+def _propagate_labels(edges: pd.DataFrame, nodes: pd.DataFrame,
+                      max_rounds: int = 25) -> pd.DataFrame:
+    """pandas-in/pandas-out wrapper over :func:`propagate_labels_ds`
+    (the property-test surface — still exercises the distributed
+    rounds)."""
+    nodes_ds = rd.from_pandas(nodes[["doc_id"]].astype({"doc_id": "int64"}))
+    out = propagate_labels_ds(edges, nodes_ds, max_rounds).to_pandas()
+    return out.astype({"node": "int64", "label": "int64"})
+
+
+def dup_clusters_distributed(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     """`dup_clusters` via distributed min-label propagation instead of
     driver-side union-find — identical output (property-tested), built
-    for the case where components are too large to collect."""
+    for the case where components are too large to collect. The label
+    table stays a Dataset end to end."""
     pairs = minhash_dedup_pairs(sf_dir, threshold).to_pandas()
-    nodes = _docs(sf_dir, ["doc_id"]).to_pandas()
-    labels = _propagate_labels(pairs[["doc_a", "doc_b"]], nodes)
-    out = labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
-    out = out.sort_values("doc_id").reset_index(drop=True).astype(
-        {"doc_id": "int64", "cluster_id": "int64"})
-    return pa.Table.from_pandas(out, preserve_index=False)
+    nodes = _docs(sf_dir, ["doc_id"])
+    labels = propagate_labels_ds(pairs[["doc_a", "doc_b"]], nodes)
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
+        batch_format="pyarrow",
+    ).sort("doc_id")
