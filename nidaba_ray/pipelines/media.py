@@ -12,82 +12,64 @@ kernels are unit-tested.
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray.data as rd
 
 from nidaba_ray.stages.multimodal import (
-    AudioFeatures,
-    ImageDecoder,
-    VideoFrameSampler,
+    MediaFeatureExtractor,
     synth_media_batch,
 )
 
 __all__ = ["media_dataset", "media_features"]
 
 
-def media_dataset(sf_dir: str) -> rd.Dataset:
+def media_dataset(sf_dir: str, trace_dir: str | None = None) -> rd.Dataset:
     """Deterministic media table, one object per doc id — synthesis is
-    itself a distributed map over the documents ids."""
+    itself a distributed map over the documents ids.
+
+    ``trace_dir`` (tests only): every synthesis invocation drops a
+    uniquely-named marker file there, so a test can assert the source
+    executed exactly once per batch (single-pass guarantee)."""
     ids = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
 
     def synth(batch: pa.Table) -> pa.Table:
+        if trace_dir is not None:
+            import uuid
+
+            with open(f"{trace_dir}/{uuid.uuid4().hex}", "w"):
+                pass
         return synth_media_batch(batch["doc_id"].to_pylist())
 
     return ids.map_batches(synth, batch_format="pyarrow", batch_size=256)
 
 
-def media_features(sf_dir: str) -> pa.Table:
-    """Per-kind feature rollup: decode every object with the matching
-    actor-pool stage, count successes/failures, aggregate features.
+def media_features(sf_dir: str, trace_dir: str | None = None) -> pa.Table:
+    """Per-kind feature rollup in ONE pass over the media source: a
+    single kind-dispatching actor-pool stage (MediaFeatureExtractor)
+    decodes every object, then a distributed groupby reduces to one
+    row per modality — the driver sees 3 rows.
 
-    One pass per modality over a *filtered* view — media payloads are
-    wide binary rows, so batches stay small and each stage is an actor
-    pool (model-load analog)."""
-    media = media_dataset(sf_dir)
+    Media payloads are wide binary rows, so batches stay small and the
+    stage is an actor pool (model-load analog). Features are summed in
+    integer micro-units so the reduction is exact and order-independent
+    (byte-identical across runs and parallelism levels)."""
+    from ray.data.aggregate import Count, Sum
 
-    def only(kind: str):
-        import pyarrow.compute as pc
-
-        return media.map_batches(
-            lambda t, k=kind: t.filter(pc.equal(t["kind"], k)),
-            batch_format="pyarrow",
+    feats = media_dataset(sf_dir, trace_dir).map_batches(
+        MediaFeatureExtractor, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4),
+    )
+    g = (
+        feats.groupby("kind")
+        .aggregate(
+            Count(alias_name="n_objects"),
+            Sum("is_error", alias_name="n_errors"),
+            Sum("feat_micro", alias_name="_fm"),
         )
-
-    img = only("image").map_batches(
-        ImageDecoder, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
-    ).to_pandas()
-    aud = only("audio").map_batches(
-        AudioFeatures, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
-    ).to_pandas()
-    vid_frames = only("video").map_batches(
-        VideoFrameSampler, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
-    ).to_pandas()
-
-    rows = [
-        {
-            "kind": "image",
-            "n_objects": len(img),
-            "n_errors": int((img["error"] != "").sum()),
-            "feature_sum": round(float(img["mean_px"].sum()), 4),
-        },
-        {
-            "kind": "audio",
-            "n_objects": len(aud),
-            "n_errors": int((aud["error"] != "").sum()),
-            "feature_sum": round(float(aud["rms"].sum()), 4),
-        },
-        {
-            "kind": "video",
-            "n_objects": int(vid_frames["media_id"].nunique()),
-            "n_errors": 0,
-            "feature_sum": round(float(vid_frames["frame_mean"].sum()), 4),
-        },
-    ]
-    import pandas as pd
-
+        .to_pandas()  # 3 rows
+    )
+    g["feature_sum"] = (g["_fm"] / 1_000_000).round(4)
+    g = g.drop(columns=["_fm"]).sort_values("kind").reset_index(drop=True)
     return pa.Table.from_pandas(
-        pd.DataFrame(rows).astype(
-            {"kind": "string", "n_objects": "int64", "n_errors": "int64"}
-        ),
+        g.astype({"kind": "string", "n_objects": "int64", "n_errors": "int64"}),
         preserve_index=False,
     )

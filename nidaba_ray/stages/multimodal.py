@@ -24,6 +24,7 @@ import pyarrow as pa
 __all__ = [
     "IMG_MAGIC", "AUD_MAGIC", "VID_MAGIC",
     "synth_media_batch", "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
+    "MediaFeatureExtractor",
 ]
 
 IMG_MAGIC = b"FAKEIMG\x00"
@@ -194,5 +195,87 @@ class VideoFrameSampler:
                 "media_id": pa.array(mid, pa.int64()),
                 "frame_idx": pa.array(frame_idx, pa.int32()),
                 "frame_mean": pa.array(frame_mean, pa.float64()),
+            }
+        )
+
+
+class MediaFeatureExtractor:
+    """One-pass kind-dispatching actor stage: each batch is split by
+    the ``kind`` column and routed to the matching decoder kernel —
+    the media source executes ONCE (three filtered branches would
+    re-run it per modality, the multi-consumption anti-pattern
+    stages/extract.py warns about).
+
+    Emits one row per media object with an order-independent integer
+    feature (micro-units) so the downstream distributed Sum is exact
+    and deterministic regardless of reduction order:
+        (media_id, kind, is_error, feat_micro)
+    image → mean pixel value, audio → RMS, video → sum of sampled
+    frame means (every ``every``-th frame)."""
+
+    def __init__(self, every: int = 2, thumb: int = 8) -> None:
+        self.img = ImageDecoder(thumb=thumb)
+        self.aud = AudioFeatures()
+        self.every = every
+
+    @staticmethod
+    def _micro(x: float) -> int:
+        return int(round(x * 1_000_000))
+
+    def _video_rows(self, sub: pa.Table):
+        ids, errs, feats = [], [], []
+        for i, p in zip(sub["media_id"].to_pylist(), sub["payload"].to_pylist()):
+            ids.append(i)
+            try:
+                if (p or b"")[:8] != VID_MAGIC:
+                    raise ValueError("not a FAKEVID payload")
+                (nf,) = struct.unpack("<H", p[8:10])
+                off, total = 10, 0.0
+                for f in range(nf):
+                    w, h = struct.unpack("<HH", p[off + 8 : off + 12])
+                    size = 12 + w * h
+                    if f % self.every == 0:
+                        total += float(_decode_fake_img(p[off : off + size]).mean())
+                    off += size
+                errs.append(0)
+                feats.append(self._micro(total))
+            except Exception:
+                errs.append(1)
+                feats.append(0)
+        return ids, errs, feats
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        out_id: list[int] = []
+        out_kind: list[str] = []
+        out_err: list[int] = []
+        out_feat: list[int] = []
+        for kind in ("image", "audio", "video"):
+            sub = batch.filter(pc.equal(batch["kind"], kind))
+            if sub.num_rows == 0:
+                continue
+            if kind == "image":
+                res = self.img(sub)
+                ids = res["media_id"].to_pylist()
+                errs = [1 if e else 0 for e in res["error"].to_pylist()]
+                feats = [self._micro(f) for f in res["mean_px"].to_pylist()]
+            elif kind == "audio":
+                res = self.aud(sub)
+                ids = res["media_id"].to_pylist()
+                errs = [1 if e else 0 for e in res["error"].to_pylist()]
+                feats = [self._micro(f) for f in res["rms"].to_pylist()]
+            else:
+                ids, errs, feats = self._video_rows(sub)
+            out_id.extend(ids)
+            out_kind.extend([kind] * len(ids))
+            out_err.extend(errs)
+            out_feat.extend(feats)
+        return pa.table(
+            {
+                "media_id": pa.array(out_id, pa.int64()),
+                "kind": pa.array(out_kind, pa.string()),
+                "is_error": pa.array(out_err, pa.int64()),
+                "feat_micro": pa.array(out_feat, pa.int64()),
             }
         )

@@ -148,13 +148,21 @@ def test_accuracy_vs_golden(ray_session, tmp_path):
     assert roll["mean_ratio"] > 0.95
 
 
-def test_media_pipeline_through_ray(ray_session):
-    from nidaba_ray.pipelines.media import media_features
+def test_media_pipeline_through_ray(ray_session, tmp_path):
+    from nidaba_ray.pipelines.media import media_dataset, media_features
 
-    out = media_features("/root/testdata/sf0.001").to_pandas()
+    trace = tmp_path / "trace"
+    trace.mkdir()
+    out = media_features("/root/testdata/sf0.001", trace_dir=str(trace)).to_pandas()
     assert set(out["kind"]) == {"image", "audio", "video"}
     assert (out["n_errors"] == 0).all()
     assert (out["n_objects"] > 100).all()  # ~500/3 per kind
+    # single-pass guarantee: the media source ran exactly once per
+    # batch — no per-modality re-execution of the synthesis stage
+    base = tmp_path / "base"
+    base.mkdir()
+    media_dataset("/root/testdata/sf0.001", trace_dir=str(base)).materialize()
+    assert len(list(trace.iterdir())) == len(list(base.iterdir()))
     # deterministic across runs
     again = media_features("/root/testdata/sf0.001").to_pandas()
     assert out.equals(again)
