@@ -30,6 +30,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, textops
     from nidaba_ray.pipelines import conformance, curate, media
     from nidaba_ray.relational import queries as rel
@@ -82,6 +83,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_documents": conformance.extract_documents,
         "extract_stats": conformance.extract_stats,
         "extract_quarantine": conformance.extract_quarantine,
+        # --- hand-labelled realistic page shapes (rows check; every
+        #     row's `match` flag must be true — pinned in pytest)
+        "extract_golden_real": realpages.extract_golden_real,
         # --- multimodal feature pipeline (stub decoders, real plumbing)
         "media_features": media.media_features,
         # --- composed curation pipeline (gate + dedup, oracle-checked)

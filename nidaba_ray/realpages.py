@@ -1,0 +1,472 @@
+"""Hand-authored realistic page fixtures with hand-labelled expected
+main text — the hedge against the synthetic corpus's extraction-as-
+identity circularity (VERDICT r1 item 1; docs/NEXT.md item 1).
+
+Every fixture is an in-repo, hand-written HTML page exercising a shape
+real pages have and the synthetic generator does not: inline markup
+inside paragraphs, div-soup articles, layout vs data tables, comment
+threads, cookie banners, hidden subtrees, share bars, breadcrumbs,
+ad slots, figure captions, definition lists, FAQ accordions, unicode.
+
+``expected_blocks`` is the hand-labelled main content in reading
+order; the pipeline contract is that the extracted text equals
+``SPAN_SEP.join(expected_blocks)`` byte-exactly (same separator
+convention as the flagship pipeline, record.SPAN_SEP).
+
+These run through the REAL distributed pipeline (ExtractCandidates →
+threshold/vote → spell) via ``extract_golden_real`` — a ``queries()``
+rows-check entry — and are frozen as a pytest golden
+(tests/test_realpages.py): every fixture must match exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from nidaba_ray.record import SPAN_SEP
+
+__all__ = ["FIXTURES", "fixture_pages_table", "extract_golden_real"]
+
+
+def _page(name: str, html: str, expected_blocks: list[str]) -> dict:
+    return {
+        "name": name,
+        "html": html,
+        "expected": SPAN_SEP.join(expected_blocks),
+    }
+
+
+_P1 = ("The committee approved the new budget on Tuesday after a long "
+       "debate that lasted well into the evening and touched on every "
+       "department in the city.")
+_P2 = ("Supporters argued the plan would repair aging bridges and "
+       "expand the library system, while opponents warned about the "
+       "rising cost of borrowing over the next decade.")
+_P3 = ("A final vote on the amendments is expected next month, and "
+       "officials said public comment sessions will continue every "
+       "Thursday at the main hall.")
+
+_NAV = ('<nav><ul><li><a href="/">Home</a></li><li><a href="/news">News'
+        '</a></li><li><a href="/sports">Sports</a></li><li>'
+        '<a href="/contact">Contact</a></li></ul></nav>')
+_FOOTER = ('<footer><p><a href="/privacy">Privacy</a> <a href="/terms">'
+           'Terms</a> © 2024 Example Media</p></footer>')
+_SIDEBAR = ('<aside class="sidebar"><h3>Trending</h3><ul>'
+            '<li><a href="/t/1">Storm closes harbor</a></li>'
+            '<li><a href="/t/2">Rail line reopens</a></li>'
+            '<li><a href="/t/3">Festival dates set</a></li></ul></aside>')
+
+
+FIXTURES: list[dict] = [
+    # 1. inline markup inside paragraphs must not split blocks
+    _page(
+        "inline_markup",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article>
+<p>The committee approved the <b>new budget</b> on Tuesday after a
+<i>long debate</i> that lasted well into the evening and touched on
+every department in the city.</p>
+<p>Supporters argued the plan would repair <a href="/bridges">aging
+bridges</a> and expand the library system, while opponents warned
+about the rising cost of borrowing over the next decade.</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["The committee approved the new budget on Tuesday after a "
+         "long debate that lasted well into the evening and touched on "
+         "every department in the city.",
+         "Supporters argued the plan would repair aging bridges and "
+         "expand the library system, while opponents warned about the "
+         "rising cost of borrowing over the next decade."],
+    ),
+    # 2. div-soup article: content lives in sibling divs, no <p> at all
+    _page(
+        "div_soup_article",
+        f"""<html><body><div class="page"><div class="topbar">{_NAV}</div>
+<div class="content-area">
+<div class="story-block">{_P1}</div>
+<div class="story-block">{_P2}</div>
+<div class="story-block">{_P3}</div>
+</div>
+<div class="cookie-consent">We use cookies to improve your experience.
+<a href="/accept">Accept</a> <a href="/decline">Decline</a></div>
+{_FOOTER}</div></body></html>""",
+        [_P1, _P2, _P3],
+    ),
+    # 3. content deep in nested layout divs
+    _page(
+        "nested_divs",
+        f"""<html><body><div id="root"><div class="shell"><div class="row">
+<div class="col"><div class="inner">
+<p>{_P1}</p><p>{_P2}</p>
+</div></div></div></div>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 4. table used as page layout: nav cell + content cell
+    _page(
+        "layout_table",
+        f"""<html><body><table><tr>
+<td class="menu"><a href="/">Home</a><br><a href="/news">News</a><br>
+<a href="/about">About</a><br><a href="/faq">FAQ</a></td>
+<td class="main"><p>{_P1}</p><p>{_P2}</p></td>
+</tr></table>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 5. data table inside the article is content
+    _page(
+        "data_table",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article><p>{_P1}</p>
+<table class="figures"><caption>Budget by department in millions</caption>
+<tr><th>Department</th><th>Amount</th></tr>
+<tr><td>Transport and roads</td><td>120 million approved</td></tr>
+<tr><td>Libraries and culture</td><td>45 million approved</td></tr>
+</table>
+<p>{_P2}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1,
+         "Budget by department in millions", "Department", "Amount",
+         "Transport and roads", "120 million approved",
+         "Libraries and culture", "45 million approved",
+         _P2],
+    ),
+    # 6. comment thread below the article is not main content
+    _page(
+        "comments_section",
+        f"""<html><body><main><article><p>{_P1}</p><p>{_P2}</p></article></main>
+<section class="comments"><h3>12 Comments</h3>
+<div class="comment"><p>First! Great reporting as always.</p></div>
+<div class="comment"><p>They said the same thing last year and nothing
+happened, I will believe it when I see the cranes.</p></div>
+<div class="comment"><p>Thanks for covering this.</p></div>
+</section>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 7. cookie banner ahead of the content
+    _page(
+        "cookie_banner",
+        f"""<html><body>
+<div class="cookie-banner">This site uses cookies to personalise
+content and analyse traffic. <a href="/ok">Got it</a></div>
+<main><article><p>{_P1}</p><p>{_P2}</p><p>{_P3}</p></article></main>
+{_FOOTER}</body></html>""",
+        [_P1, _P2, _P3],
+    ),
+    # 8. hidden subtrees contribute nothing
+    _page(
+        "hidden_elements",
+        f"""<html><body>
+<div style="display:none">skip navigation tracking pixel text</div>
+<p hidden>prefetched teaser that is not rendered</p>
+<main><article><p>{_P1}</p>
+<div aria-hidden="true">decorative repeated headline</div>
+<p>{_P2}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 9. figure caption is kept with the article
+    _page(
+        "figure_caption",
+        f"""<html><body><main><article><p>{_P1}</p>
+<figure><img src="/img/bridge.jpg" alt="bridge">
+<figcaption>The harbor bridge, photographed last spring during the
+inspection that started the repair campaign.</figcaption></figure>
+<p>{_P2}</p></article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        [_P1,
+         "The harbor bridge, photographed last spring during the "
+         "inspection that started the repair campaign.",
+         _P2],
+    ),
+    # 10. blockquote inside the article is content
+    _page(
+        "blockquote_article",
+        f"""<html><body><main><article><p>{_P1}</p>
+<blockquote>We cannot keep patching a bridge that carries forty
+thousand cars a day, the chief engineer told the council.</blockquote>
+<p>{_P2}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1,
+         "We cannot keep patching a bridge that carries forty "
+         "thousand cars a day, the chief engineer told the council.",
+         _P2],
+    ),
+    # 11. code blocks in a technical article are content
+    _page(
+        "code_article",
+        f"""<html><body><main><article>
+<p>To reproduce the benchmark, install the package and run the loader
+with the default settings shown below on any machine with Python.</p>
+<pre>pip install loader
+loader run --input pages.parquet --workers 8</pre>
+<p>The loader prints one line per shard and writes the manifest when
+every shard has been verified against the checksum file.</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["To reproduce the benchmark, install the package and run the "
+         "loader with the default settings shown below on any machine "
+         "with Python.",
+         "pip install loader loader run --input pages.parquet --workers 8",
+         "The loader prints one line per shard and writes the manifest "
+         "when every shard has been verified against the checksum file."],
+    ),
+    # 12. content list kept, related-links list dropped
+    _page(
+        "list_content",
+        f"""<html><body><main><article>
+<p>The recipe needs only a handful of ingredients that most kitchens
+already have on the shelf, measured for four servings.</p>
+<ul class="ingredients">
+<li>Two cups of flour, sifted twice</li>
+<li>One spoon of baking powder</li>
+<li>A pinch of salt and three eggs</li>
+</ul>
+<p>Mix the dry ingredients first, then fold in the eggs slowly until
+the batter is smooth and pours like thick cream.</p>
+</article></main>
+<div class="related"><h4>Related</h4><ul>
+<li><a href="/r/1">Ten quick breakfasts</a></li>
+<li><a href="/r/2">Pancake history</a></li>
+<li><a href="/r/3">Best griddles tested</a></li></ul></div>
+{_FOOTER}</body></html>""",
+        ["The recipe needs only a handful of ingredients that most "
+         "kitchens already have on the shelf, measured for four servings.",
+         "Two cups of flour, sifted twice",
+         "One spoon of baking powder",
+         "A pinch of salt and three eggs",
+         "Mix the dry ingredients first, then fold in the eggs slowly "
+         "until the batter is smooth and pours like thick cream."],
+    ),
+    # 13. share bar dropped
+    _page(
+        "share_social",
+        f"""<html><body><main><article><p>{_P1}</p>
+<div class="share-buttons"><a href="/s/tw">Tweet</a>
+<a href="/s/fb">Share</a> <a href="/s/em">Email</a></div>
+<p>{_P2}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 14. newsletter signup mid-article dropped
+    _page(
+        "newsletter_mid",
+        f"""<html><body><main><article><p>{_P1}</p>
+<div class="newsletter-signup"><h4>Stay informed</h4>
+<p>Sign up for our morning briefing and never miss a story.</p>
+<form><input type="email"><input type="submit"></form></div>
+<p>{_P2}</p><p>{_P3}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1, _P2, _P3],
+    ),
+    # 15. breadcrumb trail dropped
+    _page(
+        "breadcrumbs",
+        f"""<html><body>
+<nav class="breadcrumbs"><a href="/">Home</a> › <a href="/news">News</a>
+› <a href="/news/city">City</a> › Budget</nav>
+<main><article><p>{_P1}</p><p>{_P2}</p></article></main>
+{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 16. sticky site header + hero blurb + article
+    _page(
+        "sticky_header",
+        f"""<html><body>
+<header class="site-header sticky"><h1>Example Media</h1>{_NAV}
+<div class="tagline">Independent reporting since 1999</div></header>
+<main><article><h2>Budget passes first reading</h2>
+<p>{_P1}</p><p>{_P2}</p></article></main>{_FOOTER}</body></html>""",
+        ["Budget passes first reading", _P1, _P2],
+    ),
+    # 17. short article vs heavy chrome (the hard ratio case)
+    _page(
+        "short_article_heavy_chrome",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+{_SIDEBAR}
+<aside class="promo"><h3>Subscribe</h3><ul>
+<li><a href="/sub/1">One month free trial</a></li>
+<li><a href="/sub/2">Student discount offer</a></li>
+<li><a href="/sub/3">Gift subscriptions here</a></li></ul></aside>
+<main><article>
+<p>The harbor ferry will skip the morning run on Friday because of
+scheduled engine maintenance, the operator said.</p>
+<p>Regular service resumes on Saturday with the usual timetable.</p>
+</article></main>{_FOOTER}</body></html>""",
+        ["The harbor ferry will skip the morning run on Friday because "
+         "of scheduled engine maintenance, the operator said.",
+         "Regular service resumes on Saturday with the usual timetable."],
+    ),
+    # 18. multi-section article with subheadings kept
+    _page(
+        "multi_section",
+        f"""<html><body><main><article>
+<h2>What the plan funds</h2><p>{_P1}</p>
+<h2>What critics say</h2><p>{_P2}</p>
+<h2>What happens next</h2><p>{_P3}</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["What the plan funds", _P1,
+         "What critics say", _P2,
+         "What happens next", _P3],
+    ),
+    # 19. infinite-scroll stub and load-more button dropped
+    _page(
+        "infinite_scroll_stub",
+        f"""<html><body><main><article><p>{_P1}</p><p>{_P2}</p></article>
+<div class="pagination"><a href="/page/2">Load more stories</a></div>
+<div class="feed-placeholder">Loading more content…</div>
+</main>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 20. definition list glossary is content
+    _page(
+        "dl_definitions",
+        f"""<html><body><main><article>
+<p>The report uses a few terms of art that are worth pinning down
+before reading the tables that follow in the appendix.</p>
+<dl><dt>Debt service</dt>
+<dd>The yearly cost of interest and principal on borrowed money.</dd>
+<dt>Capital project</dt>
+<dd>Construction or repair work with a useful life over ten years.</dd>
+</dl></article></main>{_FOOTER}</body></html>""",
+        ["The report uses a few terms of art that are worth pinning "
+         "down before reading the tables that follow in the appendix.",
+         "Debt service",
+         "The yearly cost of interest and principal on borrowed money.",
+         "Capital project",
+         "Construction or repair work with a useful life over ten years."],
+    ),
+    # 21. unicode content survives byte-exactly (NFC input)
+    _page(
+        "unicode_content",
+        f"""<html><body><main><article>
+<p>Die Bürgermeisterin erklärte — nach langer Diskussion — die Brücke
+für sanierungsbedürftig und kündigte Prüfungen an.</p>
+<p>予算案は火曜日に承認され、委員会は来月の最終投票を予定している。</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["Die Bürgermeisterin erklärte — nach langer Diskussion — die "
+         "Brücke für sanierungsbedürftig und kündigte Prüfungen an.",
+         "予算案は火曜日に承認され、委員会は来月の最終投票を予定している。"],
+    ),
+    # 22. entities decode inside content
+    _page(
+        "entities",
+        f"""<html><body><main><article>
+<p>Fares rise to &pound;4 &amp; the operator said &quot;tickets
+bought before 1 May&quot; stay valid &mdash; details below.</p>
+<p>{_P3}</p></article></main>{_FOOTER}</body></html>""",
+        ["Fares rise to £4 & the operator said “tickets bought "
+         "before 1 May” stay valid — details below."
+         .replace("“", '"').replace("”", '"'),
+         _P3],
+    ),
+    # 23. FAQ accordion: summary + answer are content
+    _page(
+        "faq_details",
+        f"""<html><body><main><article>
+<p>Readers sent in dozens of questions about the new timetable; the
+three most common are answered below by the operations team.</p>
+<details><summary>Will monthly passes still be valid on the new line?</summary>
+<p>Yes, every existing pass is honored until its printed expiry date
+with no surcharge on the new line.</p></details>
+<details><summary>Is the night service keeping the same route?</summary>
+<p>The night service keeps its route but adds one stop at the
+hospital on request.</p></details>
+</article></main>{_FOOTER}</body></html>""",
+        ["Readers sent in dozens of questions about the new timetable; "
+         "the three most common are answered below by the operations team.",
+         "Will monthly passes still be valid on the new line?",
+         "Yes, every existing pass is honored until its printed expiry "
+         "date with no surcharge on the new line.",
+         "Is the night service keeping the same route?",
+         "The night service keeps its route but adds one stop at the "
+         "hospital on request."],
+    ),
+    # 24. ad slots between paragraphs dropped
+    _page(
+        "ad_interspersed",
+        f"""<html><body><main><article><p>{_P1}</p>
+<div class="ad-slot">Advertisement</div>
+<p>{_P2}</p>
+<div class="ad-slot"><a href="/buy">Premium mattresses half price
+this weekend only at SleepCo</a></div>
+<p>{_P3}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1, _P2, _P3],
+    ),
+    # 25. byline and post-meta dropped, article kept
+    _page(
+        "byline_meta",
+        f"""<html><body><main><article>
+<div class="byline">By Dana Reyes, City Desk</div>
+<div class="post-meta">Published 14 March 2024 · 6 min read</div>
+<p>{_P1}</p><p>{_P2}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 26. role attributes mark chrome
+    _page(
+        "role_chrome",
+        f"""<html><body>
+<ul role="navigation"><li><a href="/">Home</a></li>
+<li><a href="/archive">Archive</a></li></ul>
+<div role="banner">Example Media — your city, your news</div>
+<main><article><p>{_P1}</p><p>{_P2}</p></article></main>
+<div role="contentinfo">All rights reserved 2024</div>
+</body></html>""",
+        [_P1, _P2],
+    ),
+    # 27. bare text directly under body
+    _page(
+        "single_div_page",
+        f"""<html><body>{_P1} {_P2}</body></html>""",
+        [f"{_P1} {_P2}"],
+    ),
+    # 28. nested comment thread dropped entirely
+    _page(
+        "comment_thread_nested",
+        f"""<html><body><main><article><p>{_P1}</p><p>{_P2}</p></article></main>
+<div class="comments"><h3>Discussion</h3>
+<div class="comment"><p>Does anyone know when the detour signs go up?</p>
+<div class="comment"><p>They said next week on the radio.</p>
+<div class="comment"><p>Confirmed, saw the notice at the depot.</p></div>
+</div></div></div>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+]
+
+
+def fixture_pages_table() -> pa.Table:
+    """The fixture corpus as a pages-shaped Arrow table (no candidate
+    ``text`` column — the vote runs on the threshold variants only)."""
+    return pa.table(
+        {
+            "url": pa.array(
+                [f"fixture://{f['name']}" for f in FIXTURES], pa.string()
+            ),
+            "html": pa.array(
+                [f["html"].encode("utf-8") for f in FIXTURES], pa.binary()
+            ),
+            "lang": pa.array(["en"] * len(FIXTURES), pa.string()),
+        }
+    )
+
+
+def extract_golden_real(sf_dir: str) -> pa.Table:
+    """queries() entry (rows check): run the fixture corpus through the
+    REAL distributed pipeline and compare against the hand labels.
+
+    ``sf_dir`` is unused (the corpus is in-repo by design — these pages
+    exist precisely because no driver table has realistic markup); the
+    signature matches the driver contract. Returns one row per fixture
+    with the match flag — n_matched is asserted == n rows in pytest."""
+    import ray.data as rd
+
+    from nidaba_ray.pipelines.extract import extract_pipeline
+
+    pages = rd.from_arrow(fixture_pages_table())
+    out = extract_pipeline(pages).to_pandas()
+    expected = {f"fixture://{f['name']}": f["expected"] for f in FIXTURES}
+    out = out.sort_values("url").reset_index(drop=True)
+    rows = {
+        "name": [u.split("://", 1)[1] for u in out["url"]],
+        "match": [
+            bool(t == expected[u]) for u, t in zip(out["url"], out["text"])
+        ],
+        "n_chars": [len(t) for t in out["text"]],
+    }
+    return pa.table(
+        {
+            "name": pa.array(rows["name"], pa.string()),
+            "match": pa.array(rows["match"], pa.bool_()),
+            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+        }
+    )

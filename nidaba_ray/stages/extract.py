@@ -65,7 +65,10 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
         if not blocks:
             return "html", [], "html: no text blocks"
         feat = scoremod.block_features(blocks)
-        scores = scoremod.smooth_scores(scoremod.block_scores(feat), feat)
+        raw = scoremod.block_scores(feat)
+        scores = scoremod.suppress_isolated(
+            raw, scoremod.smooth_scores(raw, feat)
+        )
         spans = [
             {
                 "block_id": i,

@@ -2,16 +2,18 @@
 ``segment.segment_html``'s block contract.
 
 The stdlib ``html.parser`` is ~50% of flagship per-row cost (profiled,
-BASELINE.md). This scanner tokenizes with one compiled regex and runs
-the same stack machine (block tags / chrome / skip / void / anchors /
-implicit blocks). Determinism requires every worker to run the SAME
-segmenter, so the default is switched in ``segment.segment_html`` only
-because the two implementations are verified block-identical on the
-full test corpus + a tag-soup fuzz (tests/test_fastsegment.py); if you
-change either, re-run that equivalence suite.
+BASELINE.md). This scanner tokenizes with one compiled regex and feeds
+the SAME ``segment.BlockMachine`` the stdlib front drives — the block
+semantics (block tags / containers / chrome / hidden / void / anchors /
+implicit blocks) live in one shared class, so the two implementations
+can only diverge in tokenization. Determinism requires every worker to
+run the SAME segmenter; the default is switched in
+``segment.segment_html`` only because the two fronts are verified
+block-identical on the full test corpus + a tag-soup fuzz
+(tests/test_fastsegment.py); if you change either, re-run that suite.
 
 Intentional scope (same as the html.parser path needs):
-  * entities decoded in text nodes (html.unescape);
+  * entities decoded in text nodes (html.unescape) and attr values;
   * <script>/<style> content treated as raw data until the closing tag;
   * comments / doctype / CDATA skipped;
   * tag-soup tolerant (stray ``<`` is text; unclosed tags pop leniently).
@@ -23,11 +25,9 @@ import re
 from html import unescape
 
 from nidaba_ray.stages.segment import (
-    BLOCK_TAGS,
-    CHROME_TAGS,
-    SKIP_TAGS,
     VOID_TAGS,
     Block,
+    BlockMachine,
 )
 
 __all__ = ["segment_html_fast"]
@@ -67,84 +67,32 @@ _LETTERS_EQ_SLASH = frozenset(
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ=/"
 )
 
+# Only these attributes influence block semantics (segment.py machine);
+# values of all others are skipped without group extraction.
+_INTEREST_ATTRS = frozenset(
+    ("class", "id", "role", "hidden", "aria-hidden", "style")
+)
 
-class _FastSegmenter:
-    __slots__ = ("stack", "blocks", "cur", "cur_parts", "chrome_depth",
-                 "anchor_depth", "skip_depth")
+
+class _FastFront:
+    """Tokenizer state: wraps the shared machine with the fast data
+    path (entity decode only when an entity is present)."""
+
+    __slots__ = ("m",)
 
     def __init__(self) -> None:
-        self.stack: list[str] = []
-        self.blocks: list[Block] = []
-        self.cur: Block | None = None
-        self.cur_parts: list[str] = []
-        self.chrome_depth = 0
-        self.anchor_depth = 0
-        self.skip_depth = 0
-
-    def _flush(self) -> None:
-        if self.cur is not None:
-            text = _WS.sub(" ", "".join(self.cur_parts)).strip()
-            self.cur.text = text
-            if text:
-                self.blocks.append(self.cur)
-            self.cur = None
-            self.cur_parts = []
-
-    def start(self, tag: str) -> None:
-        if tag in VOID_TAGS:
-            if self.cur is not None and tag == "br":
-                self.cur_parts.append(" ")
-            return
-        if tag in SKIP_TAGS:
-            self.skip_depth += 1
-        if tag in CHROME_TAGS:
-            self.chrome_depth += 1
-        if tag == "a":
-            self.anchor_depth += 1
-        if tag in BLOCK_TAGS and self.skip_depth == 0:
-            self._flush()
-            self.cur = Block(tag, len(self.stack), self.chrome_depth > 0)
-        elif self.cur is not None:
-            self.cur.n_tags += 1
-        self.stack.append(tag)
-
-    def end(self, tag: str) -> None:
-        if tag in VOID_TAGS:
-            return
-        if tag in self.stack:
-            while self.stack:
-                t = self.stack.pop()
-                if t in SKIP_TAGS:
-                    self.skip_depth = max(0, self.skip_depth - 1)
-                if t in CHROME_TAGS:
-                    self.chrome_depth = max(0, self.chrome_depth - 1)
-                if t == "a":
-                    self.anchor_depth = max(0, self.anchor_depth - 1)
-                if t in BLOCK_TAGS and self.cur is not None and t == self.cur.kind:
-                    self._flush()
-                if t == tag:
-                    break
+        self.m = BlockMachine()
 
     def data(self, raw: str) -> None:
-        if self.skip_depth or not raw:
+        if self.m.skip_depth or not raw:
             return
-        text = unescape(raw) if _HAS_ENTITY.search(raw) else raw
-        if self.cur is None:
-            if text.strip():
-                parent = self.stack[-1] if self.stack else "body"
-                self.cur = Block(
-                    "div" if parent not in BLOCK_TAGS else parent,
-                    len(self.stack), self.chrome_depth > 0,
-                )
-            else:
-                return
-        self.cur_parts.append(text)
-        if self.anchor_depth:
-            self.cur.anchor_chars += len(_WS.sub(" ", text).strip())
+        self.m.data(unescape(raw) if _HAS_ENTITY.search(raw) else raw)
 
 
 def segment_html_fast(html_text: str) -> list[Block]:
-    seg = _FastSegmenter()
+    seg = _FastFront()
+    m_start = seg.m.start
+    m_end = seg.m.end
     pos = 0
     n = len(html_text)
     while pos < n:
@@ -186,14 +134,28 @@ def segment_html_fast(html_text: str) -> list[Block]:
                 pos = k2
                 continue
             # faithful parse_starttag: name + attr walk decide whether
-            # the trailing text is '>', '/>' or junk (→ data)
+            # the trailing text is '>', '/>' or junk (→ data); attrs of
+            # interest are extracted exactly as parse_starttag does
+            # (lowercased name, quote-stripped + unescaped value).
             tm = _TAGFIND.match(html_text, lt + 1)
             name = tm.group(1).lower()
             k = tm.end()
+            attrs: list[tuple[str, str | None]] = []
             while k < endpos:
                 am = _ATTRFIND.match(html_text, k)
                 if not am:
                     break
+                aname = am.group(1).lower()
+                if aname in _INTEREST_ATTRS:
+                    rest, avalue = am.group(2), am.group(3)
+                    if not rest:
+                        avalue = None
+                    elif avalue[:1] == "'" == avalue[-1:] or \
+                            avalue[:1] == '"' == avalue[-1:]:
+                        avalue = avalue[1:-1]
+                    if avalue:
+                        avalue = unescape(avalue)
+                    attrs.append((aname, avalue))
                 k = am.end()
             end = html_text[k:endpos].strip()
             if end not in (">", "/>"):
@@ -201,14 +163,14 @@ def segment_html_fast(html_text: str) -> list[Block]:
                 pos = endpos
                 continue
             if name in _RAWDATA_END and end == ">":
-                seg.start(name)
+                m_start(name, attrs)
                 m3 = _RAWDATA_END[name].search(html_text, endpos)
                 pos = n if m3 is None else m3.end()
-                seg.end(name)
+                m_end(name)
                 continue
-            seg.start(name)
+            m_start(name, attrs)
             if end == "/>" and name not in VOID_TAGS:
-                seg.end(name)
+                m_end(name)
             pos = endpos
             continue
         m = _TOKEN.match(html_text, lt)
@@ -219,7 +181,7 @@ def segment_html_fast(html_text: str) -> list[Block]:
         end_tag = m.group(1)
         pos = m.end()
         if end_tag is not None:
-            seg.end(end_tag.lower())
+            m_end(end_tag.lower())
         # comments / doctype / CDATA / PI / bogus end tags: skipped
-    seg._flush()
-    return seg.blocks
+    seg.m._flush()
+    return seg.m.blocks

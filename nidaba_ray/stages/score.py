@@ -21,6 +21,8 @@ import numpy as np
 __all__ = [
     "block_features",
     "block_scores",
+    "smooth_scores",
+    "suppress_isolated",
     "otsu_threshold",
     "keep_global_otsu",
     "keep_local_sauvola",
@@ -73,6 +75,31 @@ def smooth_scores(scores: np.ndarray, feat: dict[str, np.ndarray],
     nxt = np.concatenate((scores[1:], [0.0]))
     eligible = (~feat["chrome"]) & (feat["link_density"] < 0.33) & (scores > 0)
     return np.where(eligible, scores + alpha * (prev + nxt), scores)
+
+
+def suppress_isolated(raw: np.ndarray, smoothed: np.ndarray,
+                      frac: float = 0.15) -> np.ndarray:
+    """Zero out *isolated weak runs*: contiguous stretches of
+    positive-score blocks whose combined mass is small relative to the
+    page's top block — "Load more" stubs, orphan feed placeholders,
+    stray UI strings floating between chrome.
+
+    Runs (not single blocks) are the unit because article-internal
+    structure — table cells, captions, definition lists, headings — is
+    individually weak but sits in one contiguous run with the strong
+    paragraphs (zero-score link farms break runs, content never does),
+    so the run containing the page max is always safe. Real-page
+    fixtures ``infinite_scroll_stub`` and ``data_table``
+    (tests/test_realpages.py) pin both sides of this rule."""
+    if len(raw) < 2:
+        return smoothed
+    mx = raw.max()
+    pos = raw > 0
+    starts = pos & ~np.concatenate(([False], pos[:-1]))
+    run_id = np.cumsum(starts) * pos  # 0 marks non-positive gaps
+    run_sum = np.bincount(run_id, weights=raw)[run_id]
+    weak = pos & (run_sum < frac * mx)
+    return np.where(weak, 0.0, smoothed)
 
 
 def otsu_threshold(scores: np.ndarray, n_bins: int = N_BINS) -> float:

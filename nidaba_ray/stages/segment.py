@@ -6,10 +6,28 @@ lenient HTML parse produces a flat block list (p/h*/li/td/pre/...)
 with DOM depth, tag kind, text length and anchor-text length — the
 inputs to main-content scoring (the binarization analog).
 
-Pure Python (stdlib ``html.parser``), deterministic; constructed once
-per actor in the extraction stage. At real 100 TB scale the parser
-implementation is swappable behind the same block-list contract (e.g.
-a C parser) — determinism requires every worker to run the same one.
+The block *machine* (stack semantics: block/container/chrome/skip/
+anchor handling) lives in ONE class, ``BlockMachine``, driven by two
+parse fronts: the stdlib ``html.parser`` (reference) and the regex
+scanner in ``fastsegment.py`` (default, ~2× faster). Sharing the
+machine means the two fronts can only diverge in *tokenization*, which
+is exactly what the equivalence fuzz suite (tests/test_fastsegment.py)
+gates.
+
+Real-page semantics (beyond the synthetic corpus):
+  * structural containers (div/section/ul/table/...) are block
+    BOUNDARIES — sibling ``<div>A</div><div>B</div>`` texts become two
+    blocks, not one (div-soup articles segment correctly);
+  * chrome is detected by tag (nav/aside/...), by ``class``/``id``
+    token (cookie banners, share bars, comment threads, related-link
+    grids...), and by ``role`` (navigation/banner/contentinfo/...);
+  * hidden subtrees (``hidden``, ``aria-hidden="true"``,
+    ``style="display:none"``) contribute no text at all.
+
+Pure Python, deterministic; constructed once per actor in the
+extraction stage. At real 100 TB scale the parser implementation is
+swappable behind the same block-list contract (e.g. a C parser) —
+determinism requires every worker to run the same one.
 """
 
 from __future__ import annotations
@@ -17,16 +35,25 @@ from __future__ import annotations
 import re
 from html.parser import HTMLParser
 
-__all__ = ["segment_html", "Block"]
+__all__ = ["segment_html", "Block", "BlockMachine"]
 
 # Tags whose text forms its own block (reading-order leaf zones).
 BLOCK_TAGS = {
     "p", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th", "pre",
-    "blockquote", "dd", "dt", "figcaption", "caption",
+    "blockquote", "dd", "dt", "figcaption", "caption", "summary",
 }
 # Containers that mark "page chrome" (site furniture) — the prior that
 # lowers a block's score, analog of layout zones labeled non-text.
 CHROME_TAGS = {"nav", "aside", "footer", "header"}
+# Structural containers: opening or closing one is a block boundary
+# (an implicit div-text block never spans sibling containers). Chrome
+# tags are containers too — the flush set is the union.
+CONTAINER_TAGS = {
+    "div", "section", "article", "main", "body", "ul", "ol", "dl",
+    "table", "thead", "tbody", "tfoot", "tr", "form", "fieldset",
+    "figure", "details", "address", "hgroup",
+}
+_FLUSH_TAGS = CONTAINER_TAGS | CHROME_TAGS
 # Elements whose content is never text.
 SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "head"}
 # Void elements (never pushed on the open-tag stack).
@@ -34,6 +61,51 @@ VOID_TAGS = {"br", "hr", "img", "input", "meta", "link", "area", "base",
              "col", "embed", "source", "track", "wbr"}
 
 _WS = re.compile(r"\s+")
+
+# class/id tokens that mark site furniture on otherwise-neutral tags
+# (a <div class="cookie-banner">, <section id="comments">, ...).
+# Matched per whitespace-separated token, with -/_ as sub-separators:
+# "site-header" and "main_nav" hit; "content" and "navigate" don't.
+_CHROME_WORDS = (
+    "nav|navbar|menu|sidebar|aside|footer|header|banner|breadcrumbs?|"
+    "cookie|consent|gdpr|promo|ads?|advert|advertisement|sponsored?|"
+    "share|sharing|social|related|recommended|recommendations|widget|"
+    "newsletter|subscribe|signup|modal|popup|overlay|paywall|"
+    "comments?|disqus|pagination|pager|toolbar|masthead|byline|meta"
+)
+_CHROME_CLASS = re.compile(
+    rf"(?:^|[-_])(?:{_CHROME_WORDS})(?:[-_]|$)", re.IGNORECASE
+)
+_CHROME_ROLES = {"navigation", "banner", "contentinfo", "complementary",
+                 "search", "dialog"}
+_HIDDEN_STYLE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden",
+                           re.IGNORECASE)
+
+
+def _attrs_mark_chrome(attrs) -> bool:
+    """True if class/id/role attributes mark this element as chrome."""
+    for name, value in attrs:
+        if not value:
+            continue
+        if name in ("class", "id"):
+            for tok in value.split():
+                if _CHROME_CLASS.search(tok):
+                    return True
+        elif name == "role" and value.strip().lower() in _CHROME_ROLES:
+            return True
+    return False
+
+
+def _attrs_mark_hidden(attrs) -> bool:
+    """True if the element is hidden (content contributes no text)."""
+    for name, value in attrs:
+        if name == "hidden":
+            return True
+        if name == "aria-hidden" and value and value.strip().lower() == "true":
+            return True
+        if name == "style" and value and _HIDDEN_STYLE.search(value):
+            return True
+    return False
 
 
 class Block:
@@ -48,12 +120,18 @@ class Block:
         self.n_tags = 0
 
 
-class _Segmenter(HTMLParser):
-    """One pass over the document; emits blocks in reading order."""
+class BlockMachine:
+    """The shared stack machine: ``start``/``end``/``data`` events in,
+    reading-order blocks out. Both parse fronts drive this one class —
+    block semantics cannot diverge between them."""
+
+    __slots__ = ("stack", "skip_flags", "chrome_flags", "blocks", "cur",
+                 "cur_parts", "skip_depth", "chrome_depth", "anchor_depth")
 
     def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
         self.stack: list[str] = []
+        self.skip_flags: list[bool] = []
+        self.chrome_flags: list[bool] = []
         self.blocks: list[Block] = []
         self.cur: Block | None = None
         self.cur_parts: list[str] = []
@@ -70,61 +148,97 @@ class _Segmenter(HTMLParser):
             self.cur = None
             self.cur_parts = []
 
-    def handle_starttag(self, tag: str, attrs) -> None:
+    def start(self, tag: str, attrs=()) -> None:
         if tag in VOID_TAGS:
             if self.cur is not None and tag == "br":
                 self.cur_parts.append(" ")
             return
-        if tag in SKIP_TAGS:
+        skip_inc = tag in SKIP_TAGS or (bool(attrs) and _attrs_mark_hidden(attrs))
+        chrome_inc = tag in CHROME_TAGS or (
+            not skip_inc and bool(attrs) and _attrs_mark_chrome(attrs)
+        )
+        if skip_inc:
             self.skip_depth += 1
-        if tag in CHROME_TAGS:
+        if chrome_inc:
             self.chrome_depth += 1
         if tag == "a":
             self.anchor_depth += 1
-        if tag in BLOCK_TAGS and self.skip_depth == 0:
+        entered_skip = skip_inc and self.skip_depth == 1
+        if self.skip_depth == 0:
+            if tag in BLOCK_TAGS:
+                self._flush()
+                self.cur = Block(tag, len(self.stack), self.chrome_depth > 0)
+            elif tag in _FLUSH_TAGS:
+                self._flush()
+            elif self.cur is not None:
+                self.cur.n_tags += 1
+        elif entered_skip and (tag in BLOCK_TAGS or tag in _FLUSH_TAGS):
+            # a newly-hidden subtree is still a block boundary
             self._flush()
-            self.cur = Block(tag, len(self.stack), self.chrome_depth > 0)
         elif self.cur is not None:
             self.cur.n_tags += 1
         self.stack.append(tag)
+        self.skip_flags.append(skip_inc)
+        self.chrome_flags.append(chrome_inc)
 
-    def handle_endtag(self, tag: str) -> None:
+    def end(self, tag: str) -> None:
         if tag in VOID_TAGS:
             return
         # lenient: pop to the nearest matching open tag (tag soup safe)
         if tag in self.stack:
             while self.stack:
                 t = self.stack.pop()
-                if t in SKIP_TAGS:
+                if self.skip_flags.pop():
                     self.skip_depth = max(0, self.skip_depth - 1)
-                if t in CHROME_TAGS:
+                if self.chrome_flags.pop():
                     self.chrome_depth = max(0, self.chrome_depth - 1)
                 if t == "a":
                     self.anchor_depth = max(0, self.anchor_depth - 1)
                 if t in BLOCK_TAGS and self.cur is not None and t == self.cur.kind:
                     self._flush()
+                elif t in _FLUSH_TAGS and self.skip_depth == 0:
+                    self._flush()
                 if t == tag:
                     break
 
-    def handle_data(self, data: str) -> None:
-        if self.skip_depth or not data:
+    def data(self, text: str) -> None:
+        """``text`` is already entity-decoded (both fronts decode)."""
+        if self.skip_depth or not text:
             return
         if self.cur is None:
             # bare text directly under a container (leaf-div case):
             # open an implicit block so no text is lost.
-            if data.strip():
+            if text.strip():
                 parent = self.stack[-1] if self.stack else "body"
                 self.cur = Block("div" if parent not in BLOCK_TAGS else parent,
                                  len(self.stack), self.chrome_depth > 0)
             else:
                 return
-        self.cur_parts.append(data)
+        self.cur_parts.append(text)
         if self.anchor_depth:
-            self.cur.anchor_chars += len(_WS.sub(" ", data).strip())
+            self.cur.anchor_chars += len(_WS.sub(" ", text).strip())
+
+
+class _Segmenter(HTMLParser):
+    """stdlib parse front: one pass over the document, machine events
+    out. Reference implementation for the equivalence suite."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.m = BlockMachine()
+
+    def handle_starttag(self, tag: str, attrs) -> None:
+        self.m.start(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        self.m.end(tag)
+
+    def handle_data(self, data: str) -> None:
+        self.m.data(data)
 
     def close(self) -> None:  # flush trailing block
         super().close()
-        self._flush()
+        self.m._flush()
 
 
 def segment_html_stdlib(html_text: str) -> list[Block]:
@@ -134,7 +248,7 @@ def segment_html_stdlib(html_text: str) -> list[Block]:
     seg = _Segmenter()
     seg.feed(html_text)
     seg.close()
-    return seg.blocks
+    return seg.m.blocks
 
 
 def segment_html(html_text: str) -> list[Block]:

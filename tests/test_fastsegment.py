@@ -52,6 +52,13 @@ FRAGS = [
     "</p attr>", "<p/>", "<b<em>", "<p\tc=1>", "<b/ x>", "<b /x>",
     "<img src=x/>", "attr='v'", "<g c=/>", "</scripty>",
     "<a href=x\"y>", '<a href="x>',
+    # attr-driven semantics (chrome classes, hidden subtrees, roles)
+    '<div class="sidebar">', '<div class=cookie-banner>', "</div>",
+    '<section id="comments">', "</section>", '<div class="article-body">',
+    "<div hidden>", '<div aria-hidden="true">', '<div aria-hidden="false">',
+    '<span style="display:none">', "</span>", '<ul role="navigation">',
+    '<div class="a&amp;b-nav">', "<p hidden>", '<div class>', "<div class=>",
+    '<div class="share social">', '<td class="meta">', "</td>",
 ]
 
 
