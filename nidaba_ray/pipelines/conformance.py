@@ -39,6 +39,25 @@ def extract_documents(sf_dir: str) -> rd.Dataset:
 EXTRACT_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 13"
 
 
+def extract_documents_pdf2(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate, with the PDF payloads synthesized in
+    the compressed-stream variant (FlateDecode + TJ arrays + Td/T*/'
+    line operators, synth.make_pdf_flate) — proves the real PDF subset
+    parser (stages/pdf.py) preserves the identity, not just the plain
+    ``(..) Tj`` dialect."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.equal(batch["error"], ""))
+        return b.select(["doc_id", "text"])
+
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="flate")
+    return extract_pipeline(pages, spell=False).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def extract_stats(sf_dir: str) -> pa.Table:
     """Per-lang corpus stats of the extraction output (counts must
     match the oracle computed from the source texts)."""

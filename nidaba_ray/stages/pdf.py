@@ -1,39 +1,241 @@
 """PDF text extraction — the heavy-recognizer analog (ocr.kraken,
 nidaba/plugins/kraken.py, UNVERIFIED per SURVEY.md §0).
 
-The sandbox has no PDF library (SURVEY.md env pins), so the decoder
-handles exactly the deterministic subset emitted by
-``synth.make_pdf`` — `(..) Tj` show-text operators with standard PDF
-string escapes. The Ray-side plumbing (magic sniff, actor-pool stage,
-schema, error isolation) is real; a production build swaps
-``extract_pdf_text`` for a real parser behind the same contract.
+A real (public-spec) PDF *subset* parser, pure stdlib:
+
+  * xref-free scan: every ``<< dict >> stream … endstream`` object is
+    located by pattern, in file order (damaged xref tables don't
+    matter — the same recovery strategy real extractors use);
+  * ``/Filter /FlateDecode`` streams are inflated with ``zlib``;
+  * content streams are tokenized per the PDF syntax: literal strings
+    with nested parens + all escapes (\\n \\t … \\ooo octal, line
+    continuations), hex strings, arrays, names, numbers, comments;
+  * text operators: BT/ET blocks, ``Tj``, ``TJ`` (array shows —
+    kerning numbers concatenate), ``'`` and ``"`` (next-line shows),
+    ``Td``/``TD`` (newline when ty≠0), ``T*``, ``Tm`` (newline), so
+    line structure follows the positioning operators.
+
+Block contract: one block per BT…ET text object; lines within a block
+join with a single space. Out of scope (documented): font-encoding
+CMaps (strings decode as UTF-8 with replacement), encrypted files,
+object streams, inline images. A production build swaps this module
+for a full parser behind the same ``extract_pdf_blocks`` contract.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 __all__ = ["is_pdf", "extract_pdf_blocks", "PDF_MAGIC"]
 
 PDF_MAGIC = b"%PDF-"
 
-# (string) Tj — PDF literal string with \-escapes, non-greedy balanced-free
-_TJ = re.compile(rb"\(((?:\\.|[^()\\])*)\)\s*Tj")
-_UNESC = re.compile(rb"\\(.)")
+# nearest-`<<` dict immediately preceding a stream keyword (dicts with
+# nested `<<` sub-dicts are outside the subset; the guard keeps a
+# text-bearing stream body from swallowing the next object's dict)
+_STREAM_RE = re.compile(
+    rb"<<((?:(?!<<).)*?)>>\s*stream(?:\r\n|\n|\r)(.*?)(?:\r\n|\n|\r)?endstream",
+    re.S,
+)
+_WS_BYTES = frozenset(b" \t\r\n\f\x00")
+_NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
+_NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
+_OP_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
+_HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
+_ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
+               ord("b"): b"\b", ord("f"): b"\f"}
 
 
 def is_pdf(payload: bytes) -> bool:
     return payload[: len(PDF_MAGIC)] == PDF_MAGIC
 
 
-def _unescape(m: re.Match) -> bytes:
-    return m.group(1)
+def _scan_string(data: bytes, i: int) -> tuple[bytes, int]:
+    """Scan a literal string starting at ``data[i] == '('``; returns
+    (unescaped bytes, index past the closing paren). Handles nested
+    balanced parens and every escape in the spec (§7.3.4.2)."""
+    depth = 1
+    i += 1
+    out = bytearray()
+    n = len(data)
+    while i < n and depth:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            i += 1
+            if i >= n:
+                break
+            e = data[i]
+            simple = _ESC_SIMPLE.get(e)
+            if simple is not None:
+                out += simple
+                i += 1
+            elif 0x30 <= e <= 0x37:  # \ooo — up to 3 octal digits
+                j = i
+                while j < n and j - i < 3 and 0x30 <= data[j] <= 0x37:
+                    j += 1
+                out.append(int(data[i:j], 8) & 0xFF)
+                i = j
+            elif e in (0x0A, 0x0D):  # line continuation
+                i += 1
+                if e == 0x0D and i < n and data[i] == 0x0A:
+                    i += 1
+            else:  # \( \) \\ and unknown → the char itself
+                out.append(e)
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth:
+                out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return bytes(out), i
+
+
+def _parse_content(data: bytes) -> list[str]:
+    """Tokenize one content stream; emit text blocks (one per BT…ET)."""
+    blocks: list[str] = []
+    stack: list = []
+    lines: list[str] = []
+    cur: list[str] = []
+
+    def newline() -> None:
+        nonlocal cur
+        if cur:
+            lines.append("".join(cur))
+            cur = []
+
+    def show(b: bytes) -> None:
+        cur.append(b.decode("utf-8", errors="replace"))
+
+    def flush() -> None:
+        nonlocal lines
+        newline()
+        if lines:
+            text = " ".join(lines)
+            if text.strip():
+                blocks.append(text)
+        lines = []
+
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        if c in _WS_BYTES:
+            i += 1
+            continue
+        if c == 0x25:  # % comment to EOL
+            j = data.find(b"\n", i)
+            i = n if j < 0 else j + 1
+            continue
+        if c == 0x28:  # literal string
+            s, i = _scan_string(data, i)
+            stack.append(s)
+            continue
+        if data.startswith(b"<<", i):  # dict (skipped — no text inside)
+            j = data.find(b">>", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if c == 0x3C:  # hex string
+            m = _HEX_RE.match(data, i)
+            if m:
+                h = re.sub(rb"\s", b"", m.group(1))
+                if len(h) % 2:
+                    h += b"0"  # odd digit count → trailing zero (spec)
+                stack.append(bytes.fromhex(h.decode("ascii")))
+                i = m.end()
+            else:
+                i += 1
+            continue
+        if c == 0x5B:  # [
+            stack.append("[")
+            i += 1
+            continue
+        if c == 0x5D:  # ] — collapse to array
+            arr: list = []
+            while stack and stack[-1] != "[":
+                arr.append(stack.pop())
+            if stack:
+                stack.pop()
+            stack.append(list(reversed(arr)))
+            i += 1
+            continue
+        if c == 0x2F:  # name
+            m = _NAME_RE.match(data, i)
+            stack.append(m.group())
+            i = m.end()
+            continue
+        m = _NUM_RE.match(data, i)
+        if m:
+            stack.append(float(m.group()))
+            i = m.end()
+            continue
+        m = _OP_RE.match(data, i)
+        if not m:
+            i += 1
+            continue
+        op = m.group()
+        i = m.end()
+        if op == b"BT":
+            flush()
+            stack.clear()
+        elif op == b"ET":
+            flush()
+            stack.clear()
+        elif op == b"Tj":
+            if stack and isinstance(stack[-1], bytes):
+                show(stack.pop())
+            stack.clear()
+        elif op == b"TJ":
+            if stack and isinstance(stack[-1], list):
+                for el in stack.pop():
+                    if isinstance(el, bytes):
+                        show(el)  # kerning numbers concatenate
+            stack.clear()
+        elif op in (b"'", b'"'):
+            if stack and isinstance(stack[-1], bytes):
+                s = stack.pop()
+                newline()
+                show(s)
+            stack.clear()
+        elif op in (b"Td", b"TD"):
+            ty = stack[-1] if stack and isinstance(stack[-1], float) else 0.0
+            if ty != 0.0:
+                newline()
+            stack.clear()
+        elif op in (b"T*", b"Tm"):
+            newline()
+            stack.clear()
+        else:  # Tf/TL/Tc/Tw/graphics/... — operands consumed, no text
+            stack.clear()
+    flush()
+    return blocks
 
 
 def extract_pdf_blocks(payload: bytes) -> list[str]:
-    """All show-text strings in stream order (one block per Tj op)."""
-    out = []
-    for m in _TJ.finditer(payload):
-        raw = _UNESC.sub(_unescape, m.group(1))
-        out.append(raw.decode("utf-8", errors="replace"))
-    return out
+    """All text blocks in document order (one per BT…ET text object).
+
+    Streams are discovered by scan (xref-free); FlateDecode bodies are
+    inflated; undecodable streams are skipped (per-stream isolation —
+    one corrupt stream never hides the rest). Payloads with no stream
+    objects at all fall back to a raw scan of the whole body (bare
+    content fragments)."""
+    blocks: list[str] = []
+    found = False
+    for dict_src, body in _STREAM_RE.findall(payload):
+        found = True
+        data = body
+        if b"FlateDecode" in dict_src:
+            try:
+                data = zlib.decompress(body)
+            except zlib.error:
+                continue
+        blocks.extend(_parse_content(data))
+    if not found:
+        blocks = _parse_content(payload)
+    return blocks

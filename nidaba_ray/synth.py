@@ -129,6 +129,48 @@ def make_pdf(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+def make_pdf_flate(doc_id: int, text: str) -> bytes:
+    """Compressed-stream PDF variant: FlateDecode content stream with
+    the fuller operator set — TJ arrays (mid-line splits with kerning
+    numbers), ``'`` next-line shows, ``T*``/``Td`` line advances, Tm
+    positioning. One BT…ET text object per paragraph; stages/pdf.py
+    reassembles lines with spaces, so extraction remains the identity
+    on ``text``. The plain variant (make_pdf) stays the default —
+    frozen goldens depend on it."""
+    import zlib
+
+    paras = paragraphs_for(doc_id, text)
+    ops: list[str] = []
+    y = 720
+    for i, p in enumerate(paras):
+        words = p.split(" ")
+        lines = [" ".join(words[j : j + 8]) for j in range(0, len(words), 8)]
+        ops += ["BT", "/F1 11 Tf", f"1 0 0 1 72 {y} Tm", "13 TL"]
+        for k, ln in enumerate(lines):
+            mode = (doc_id + i + k) % 3
+            if k == 0:
+                h = max(1, len(ln) // 2)  # split mid-line: TJ concatenates
+                ops.append(
+                    f"[({pdf_escape(ln[:h])}) -18 ({pdf_escape(ln[h:])})] TJ"
+                )
+            elif mode == 0:
+                ops.append(f"({pdf_escape(ln)}) '")
+            elif mode == 1:
+                ops += ["T*", f"({pdf_escape(ln)}) Tj"]
+            else:
+                ops.append(f"0 -13 Td ({pdf_escape(ln)}) Tj")
+        ops.append("ET")
+        y -= 13 * (len(lines) + 1)
+    comp = zlib.compress("\n".join(ops).encode("utf-8"))
+    return (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        b"3 0 obj << /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + comp
+        + b"\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
 def make_invalid(doc_id: int) -> bytes:
     rng = random.Random(f"bad-{SEED}-{doc_id}")
     return bytes([rng.randint(0, 255) for _ in range(rng.randint(5, 64))])
@@ -154,12 +196,14 @@ def payload_kind(doc_id: int) -> str:
     return "html"
 
 
-def make_page(doc_id: int, text: str, lang: str) -> dict:
+def make_page(doc_id: int, text: str, lang: str,
+              pdf_variant: str = "plain") -> dict:
     kind = payload_kind(doc_id)
     if kind == "invalid":
         html = make_invalid(doc_id)
     elif kind == "pdf":
-        html = make_pdf(doc_id, text)
+        html = (make_pdf(doc_id, text) if pdf_variant == "plain"
+                else make_pdf_flate(doc_id, text))
     else:
         html = make_html(doc_id, text, lang)
     return {
@@ -171,7 +215,8 @@ def make_page(doc_id: int, text: str, lang: str) -> dict:
     }
 
 
-def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
+def pages_batch_from_documents(batch: pa.Table,
+                               pdf_variant: str = "plain") -> pa.Table:
     """Vectorizable wrapper: a documents batch → a pages batch.
 
     Runs inside ``map_batches`` so page synthesis is itself distributed
@@ -180,7 +225,8 @@ def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
-    rows = [make_page(d, t, l) for d, t, l in zip(doc_ids, texts, langs)]
+    rows = [make_page(d, t, l, pdf_variant)
+            for d, t, l in zip(doc_ids, texts, langs)]
     return pa.table(
         {
             "doc_id": pa.array(doc_ids, pa.int64()),
@@ -193,14 +239,21 @@ def pages_batch_from_documents(batch: pa.Table) -> pa.Table:
     )
 
 
-def pages_dataset_from_documents(sf_dir: str):
+def pages_dataset_from_documents(sf_dir: str, pdf_variant: str = "plain"):
     """documents.parquet → Dataset of pages (distributed synthesis)."""
     import ray.data as rd
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    return docs.map_batches(pages_batch_from_documents, batch_format="pyarrow")
+    if pdf_variant == "plain":
+        return docs.map_batches(
+            pages_batch_from_documents, batch_format="pyarrow"
+        )
+    return docs.map_batches(
+        lambda b: pages_batch_from_documents(b, pdf_variant),
+        batch_format="pyarrow",
+    )
 
 
 def pages_table(n: int = 500, dup_frac: float = 0.05) -> pa.Table:

@@ -101,3 +101,56 @@ def test_pdf_parse_roundtrip():
 def test_pdf_escapes():
     pdf = synth.make_pdf(5, "has (parens) and \\backslash")
     assert extract_pdf_blocks(pdf) == ["has (parens) and \\backslash"]
+
+
+def test_pdf_flate_roundtrip():
+    import random
+
+    pdf_synth_rng = random.Random(11)
+    vocab = [f"word{i:03d}" for i in range(80)] + ["(parens)", "a\\b", "ü&é"]
+    for doc_id in (7, 36, 65, 94):  # %29==7 pdf ids
+        text = " ".join(
+            pdf_synth_rng.choice(vocab)
+            for _ in range(pdf_synth_rng.randint(3, 180))
+        )
+        pdf = synth.make_pdf_flate(doc_id, text)
+        assert is_pdf(pdf)
+        assert b"FlateDecode" in pdf
+        assert " ".join(extract_pdf_blocks(pdf)) == text
+
+
+def test_pdf_operator_semantics():
+    from nidaba_ray.stages.pdf import _parse_content
+
+    # nested parens + escapes inside a literal string
+    assert _parse_content(b"BT (a\\(b\\)c (nested) d) Tj ET") == ["a(b)c (nested) d"]
+    # hex strings, odd-length padding
+    assert _parse_content(b"BT <48656C6C6F> Tj ET") == ["Hello"]
+    assert _parse_content(b"BT <417> Tj ET") == ["Ap"]
+    # octal escape and backslash line continuation
+    assert _parse_content(b"BT (oct\\101al) Tj ET") == ["octAal"]
+    # TJ array concatenates shows across kerning numbers (no space)
+    assert _parse_content(b"BT [(He) -20 (llo)] TJ ET") == ["Hello"]
+    # ' moves to the next line; lines join with one space
+    assert _parse_content(b"BT (one) Tj (two) ' ET") == ["one two"]
+    # Td with ty!=0 is a newline; ty==0 is not
+    assert _parse_content(b"BT (a) Tj 0 -13 Td (b) Tj ET") == ["a b"]
+    assert _parse_content(b"BT (a) Tj 5 0 Td (b) Tj ET") == ["ab"]
+    # one block per BT...ET
+    assert _parse_content(b"BT (x) Tj ET BT (y) Tj ET") == ["x", "y"]
+
+
+def test_pdf_corrupt_stream_isolated():
+    import zlib
+
+    good = zlib.compress(b"BT (ok) Tj ET")
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj << /Length 5 /Filter /FlateDecode >> stream\n"
+        b"zzzzz\nendstream endobj\n"
+        b"2 0 obj << /Length " + str(len(good)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + good
+        + b"\nendstream endobj\n%%EOF\n"
+    )
+    # the corrupt stream is skipped, the good one still extracts
+    assert extract_pdf_blocks(pdf) == ["ok"]
