@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
         "dup_clusters": dedup.dup_clusters,
         "dup_clusters_distributed": dedup.dup_clusters_distributed,
+        "dup_clusters_exact": dedup.dup_clusters_exact,
+        "dup_clusters_exact_distributed": dedup.dup_clusters_exact_distributed,
         # --- similarity search over embeddings
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
@@ -126,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": textops.FINGERPRINT_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "dup_groups": dedup.DUP_GROUPS_SQL,
+        "dup_clusters_exact": dedup.DUP_CLUSTERS_EXACT_SQL,
+        "dup_clusters_exact_distributed": dedup.DUP_CLUSTERS_EXACT_SQL,
         "ann_topk": ann.ann_topk_sql(),
         "extract_documents": conformance.EXTRACT_SQL,
         "extract_documents_pdf2": conformance.EXTRACT_SQL,

@@ -602,3 +602,27 @@ def dup_clusters_distributed(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["label"]}),
         batch_format="pyarrow",
     ).sort("doc_id")
+
+
+def dup_clusters_exact(sf_dir: str) -> rd.Dataset:
+    """``dup_clusters`` at threshold 1.0 — the oracle-checkable point
+    of the near-dup family. Exact duplicates have identical MinHash
+    signatures, so every band collides and LSH recall is exactly 1.0;
+    verification keeps only Jaccard == 1.0 pairs (integer division of
+    equal set sizes — no float error). On corpora where equal shingle
+    sets imply equal bytes (pinned for the driver corpus in
+    tests/test_crawls_windows.py), the clusters are precisely the
+    md5-equality components, which SQL expresses as a window min."""
+    return dup_clusters(sf_dir, threshold=1.0)
+
+
+def dup_clusters_exact_distributed(sf_dir: str) -> rd.Dataset:
+    """Distributed-propagation twin of :func:`dup_clusters_exact` —
+    the same oracle pins both implementations."""
+    return dup_clusters_distributed(sf_dir, threshold=1.0)
+
+
+DUP_CLUSTERS_EXACT_SQL = """
+SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
+FROM documents
+"""

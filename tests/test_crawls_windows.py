@@ -235,3 +235,31 @@ def test_dup_clusters_distributed_matches_driver(ray_session, tmp_path):
     a = dup_clusters(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     b = dup_clusters_distributed(str(d)).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_dup_clusters_exact_oracle_premise(ray_session):
+    """The threshold-1.0 cluster oracle (md5-equality window min) is
+    valid iff equal shingle sets imply equal bytes on the corpus —
+    pinned here so a future corpus change that breaks the premise
+    fails loudly instead of as a silent oracle mismatch."""
+    import duckdb
+
+    from nidaba_ray.functions.dedup import (
+        dup_clusters_exact,
+        shingle_hashes,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')"
+    ).df()
+    seen: dict[tuple, str] = {}
+    for t in docs["text"]:
+        key = tuple(sorted(shingle_hashes(t).tolist()))
+        assert seen.setdefault(key, t) == t  # equal shingles ⇒ equal bytes
+    mine = dup_clusters_exact(sf).to_pandas().sort_values("doc_id")
+    ora = duckdb.connect().execute(
+        f"SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id "
+        f"FROM read_parquet('{sf}/documents.parquet')"
+    ).df().sort_values("doc_id")
+    assert (mine["cluster_id"].to_numpy() == ora["cluster_id"].to_numpy()).all()
