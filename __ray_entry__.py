@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": win.sessionize,
         "hll_distinct_users": win.hll_distinct_users,
         "event_value_quantiles": win.event_value_quantiles,
+        "event_value_quantiles_sketch": win.event_value_quantiles_sketch,
         "asof_click_purchase": win.asof_last_click_before_purchase,
         # --- text analysis over documents (driver instruction)
         "quality_metrics": textops.quality_metrics,

@@ -276,3 +276,92 @@ SELECT event_type,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (the 100 TB path for grouped quantiles)
+# ---------------------------------------------------------------------------
+
+SKETCH_M = 256  # order statistics kept per (batch, group) summary
+
+
+def quantile_summary(v: np.ndarray, m: int = SKETCH_M) -> tuple[np.ndarray, float]:
+    """Equi-depth summary of one batch's values: ``m`` equally-spaced
+    order statistics, each representing ``n/m`` original rows. Rank
+    error of any quantile estimated from merged summaries is bounded
+    by 1/m per contributing summary level (classic mergeable
+    equi-depth / GK-style bound; unit-tested in
+    tests/test_crawls_windows.py)."""
+    v = np.sort(np.asarray(v, dtype=np.float64))
+    n = len(v)
+    if n <= m:
+        return v, 1.0
+    idx = ((np.arange(m) + 0.5) * n / m).astype(np.int64)
+    return v[idx], n / m
+
+
+def merged_quantile(vals: np.ndarray, wts: np.ndarray, p: float) -> float:
+    """Weighted linear-interpolation quantile over concatenated
+    summaries — deterministic regardless of merge order (stable
+    lexsort on (value, weight))."""
+    order = np.lexsort((wts, vals))
+    vals, wts = vals[order], wts[order]
+    cw = np.cumsum(wts) - wts / 2.0
+    return float(np.interp(p * wts.sum(), cw, vals))
+
+
+def event_value_quantiles_sketch(sf_dir: str) -> pa.Table:
+    """`event_value_quantiles` via mergeable per-batch sketches instead
+    of an exact per-group sort — the scale path (docs/NEXT.md item 4).
+
+    Shape: each batch emits one ``m``-point equi-depth summary per
+    event type (a few KB regardless of batch size), the groupby
+    shuffles summaries only, and the merge interpolates the weighted
+    order statistics. The exact variant stays the oracle-checked
+    default; this one is rows-checked with an error-bound unit test
+    (estimates must bracket the exact rank ±2/m)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "value"]).to_pandas()
+        ts, qs, ws, ns = [], [], [], []
+        for t, g in df.groupby("event_type", sort=True):
+            s, w = quantile_summary(g["value"].to_numpy())
+            ts.append(t)
+            qs.append(s.tolist())
+            ws.append(w)
+            ns.append(len(g))
+        return pa.table(
+            {
+                "event_type": pa.array(ts, pa.string()),
+                "qs": pa.array(qs, pa.list_(pa.float64())),
+                "w": pa.array(ws, pa.float64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.concatenate([np.asarray(x, dtype=np.float64) for x in g["qs"]])
+        wts = np.concatenate(
+            [np.full(len(x), w, dtype=np.float64)
+             for x, w in zip(g["qs"], g["w"])]
+        )
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "p50": [round_like_sql(merged_quantile(vals, wts, 0.5), 4)],
+                "p90": [round_like_sql(merged_quantile(vals, wts, 0.9), 4)],
+                "n": [int(g["n"].sum())],
+            }
+        ).astype({"event_type": "string", "p50": "float64",
+                  "p90": "float64", "n": "int64"})
+
+    out = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .map_groups(merge, batch_format="pandas")  # ~n_types tiny groups
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -118,6 +118,9 @@ def _ensure_builtin() -> None:
     from nidaba_ray.stages.serialize import to_tei_rows
 
     register_stage("output.tei")(to_tei_rows)
+    from nidaba_ray.stages.serialize import to_hocr_rows
+
+    register_stage("output.hocr")(to_hocr_rows)
     from nidaba_ray.stages.multimodal import (
         AudioFeatures, ImageDecoder, VideoFrameSampler,
     )

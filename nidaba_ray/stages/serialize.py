@@ -15,7 +15,8 @@ import pyarrow as pa
 
 from nidaba_ray.record import spans_to_jsonl
 
-__all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans"]
+__all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
+           "to_tei_rows", "to_hocr_rows"]
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
@@ -109,3 +110,47 @@ def to_tei_rows(batch: pa.Table) -> pa.Table:
         docs.append(ET.tostring(root, encoding="unicode"))
     return pa.table({"url": pa.array(urls, pa.string()),
                      "tei": pa.array(docs, pa.string())})
+
+
+def to_hocr_rows(batch: pa.Table) -> pa.Table:
+    """One hOCR document per row — the tei2hocr / write_hocr analog
+    (nidaba output.tei2hocr, UNVERIFIED per SURVEY.md §0; hOCR is a
+    public spec: XHTML with ocr_* classes and a ``title`` property
+    string). Page geometry doesn't exist for web text, so the bbox
+    slot carries the canonical-text char offsets (``x_offsets``) and
+    the block kind — the same lossless span info as the TEI dialect,
+    in the hOCR container. Parse-roundtrip tested."""
+    import xml.etree.ElementTree as ET
+
+    urls = batch["url"].to_pylist()
+    langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+    spans = batch["spans"].to_pylist()
+    docs = []
+    for u, l, ss in zip(urls, langs, spans):
+        html = ET.Element("html")
+        head = ET.SubElement(html, "head")
+        ET.SubElement(head, "meta", {"name": "ocr-system",
+                                     "content": "nidaba_ray"})
+        ET.SubElement(head, "meta", {"name": "ocr-capabilities",
+                                     "content": "ocr_page ocr_carea ocr_line"})
+        body = ET.SubElement(html, "body")
+        page = ET.SubElement(
+            body, "div",
+            {"class": "ocr_page", "id": "page_1",
+             "title": f'image "{u}"', "lang": l or ""},
+        )
+        for s in ss or []:
+            area = ET.SubElement(
+                page, "div",
+                {"class": "ocr_carea", "id": f"block_{s['block_id']}",
+                 "title": f"x_kind {s['kind']}; x_depth {s['depth']}; "
+                          f"x_offsets {s['start']} {s['end']}"},
+            )
+            line = ET.SubElement(
+                ET.SubElement(area, "p", {"class": "ocr_par"}),
+                "span", {"class": "ocr_line"},
+            )
+            line.text = s["text"]
+        docs.append(ET.tostring(html, encoding="unicode"))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "hocr": pa.array(docs, pa.string())})

@@ -263,3 +263,51 @@ def test_dup_clusters_exact_oracle_premise(ray_session):
         f"FROM read_parquet('{sf}/documents.parquet')"
     ).df().sort_values("doc_id")
     assert (mine["cluster_id"].to_numpy() == ora["cluster_id"].to_numpy()).all()
+
+
+def test_quantile_sketch_error_bound(ray_session):
+    """Sketch estimates must land within the ±2/m rank bracket of the
+    exact distribution, per event type, at every checked quantile."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.relational.windows import (
+        SKETCH_M,
+        event_value_quantiles,
+        event_value_quantiles_sketch,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sk = event_value_quantiles_sketch(sf).to_pandas().set_index("event_type")
+    ex = event_value_quantiles(sf).to_pandas().set_index("event_type")
+    assert (sk["n"].sort_index() == ex["n"].sort_index()).all()
+    raw = pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "value"]).to_pandas()
+    eps = 2.0 / SKETCH_M
+    for t, g in raw.groupby("event_type"):
+        v = np.sort(g["value"].to_numpy(np.float64))
+        for p, col in ((0.5, "p50"), (0.9, "p90")):
+            lo = np.percentile(v, max(0.0, (p - eps)) * 100)
+            hi = np.percentile(v, min(1.0, (p + eps)) * 100)
+            assert lo - 1e-9 <= sk.loc[t, col] <= hi + 1e-9, (t, col)
+
+
+def test_quantile_sketch_deterministic_merge():
+    import numpy as np
+
+    from nidaba_ray.relational.windows import merged_quantile, quantile_summary
+
+    rng = np.random.default_rng(5)
+    data = rng.lognormal(size=10_000)
+    chunks = np.array_split(data, 13)
+    summaries = [quantile_summary(c) for c in chunks]
+    vals = np.concatenate([s for s, _ in summaries])
+    wts = np.concatenate([np.full(len(s), w) for s, w in summaries])
+    a = merged_quantile(vals, wts, 0.9)
+    # reversed merge order → identical estimate (determinism)
+    vals_r = np.concatenate([s for s, _ in reversed(summaries)])
+    wts_r = np.concatenate([np.full(len(s), w) for s, w in reversed(summaries)])
+    assert a == merged_quantile(vals_r, wts_r, 0.9)
+    exact = np.percentile(data, 90)
+    lo, hi = np.percentile(data, 100 * (0.9 - 2 / 256)), np.percentile(data, 100 * (0.9 + 2 / 256))
+    assert lo <= a <= hi and abs(a - exact) < 0.2

@@ -189,3 +189,44 @@ def test_tei_rows_roundtrip():
             assert z.text == s["text"] and z.get("type") == s["kind"]
         # respStmt lineage present
         assert root.findall(".//respStmt")
+
+
+def test_hocr_rows_roundtrip():
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+
+    from nidaba_ray.record import SPAN_TYPE
+    from nidaba_ray.stages.serialize import to_hocr_rows
+
+    spans = [
+        {"block_id": 0, "kind": "p", "depth": 2, "text_density": 1.0,
+         "link_density": 0.0, "score": 9.0, "text": "first & <best> block",
+         "start": 0, "end": 20},
+        {"block_id": 1, "kind": "h2", "depth": 1, "text_density": 1.0,
+         "link_density": 0.0, "score": 5.0, "text": "heading täxt",
+         "start": 21, "end": 33},
+    ]
+    batch = pa.table({
+        "url": pa.array(["https://x/doc"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "spans": pa.array([spans], SPAN_TYPE),
+    })
+    out = to_hocr_rows(batch)
+    doc = out["hocr"].to_pylist()[0]
+    root = ET.fromstring(doc)  # well-formed XHTML
+    page = root.find("./body/div")
+    assert page.get("class") == "ocr_page" and "https://x/doc" in page.get("title")
+    areas = page.findall("./div")
+    assert [a.get("id") for a in areas] == ["block_0", "block_1"]
+    assert "x_kind p" in areas[0].get("title")
+    assert "x_offsets 0 20" in areas[0].get("title")
+    lines = [a.find("./p/span").text for a in areas]
+    assert lines == ["first & <best> block", "heading täxt"]
+
+
+def test_output_hocr_registered():
+    from nidaba_ray.stages.registry import get_stage
+
+    spec = get_stage("output.hocr")
+    assert spec is not None
