@@ -72,6 +72,11 @@ _LETTERS_EQ_SLASH = frozenset(
 _INTEREST_ATTRS = frozenset(
     ("class", "id", "role", "hidden", "aria-hidden", "style")
 )
+# Cheap pre-check on the raw tag slice: when none of the interesting
+# attr names can occur, the attr walk skips all group extraction (the
+# common case — most tags carry only href/src; false positives from
+# substrings in values just take the slower exact path).
+_HAS_INTEREST = re.compile(r"class|id|role|hidden|style", re.I)
 
 
 class _FastFront:
@@ -141,22 +146,29 @@ def segment_html_fast(html_text: str) -> list[Block]:
             name = tm.group(1).lower()
             k = tm.end()
             attrs: list[tuple[str, str | None]] = []
-            while k < endpos:
-                am = _ATTRFIND.match(html_text, k)
-                if not am:
-                    break
-                aname = am.group(1).lower()
-                if aname in _INTEREST_ATTRS:
-                    rest, avalue = am.group(2), am.group(3)
-                    if not rest:
-                        avalue = None
-                    elif avalue[:1] == "'" == avalue[-1:] or \
-                            avalue[:1] == '"' == avalue[-1:]:
-                        avalue = avalue[1:-1]
-                    if avalue:
-                        avalue = unescape(avalue)
-                    attrs.append((aname, avalue))
-                k = am.end()
+            if _HAS_INTEREST.search(html_text, k, endpos) is None:
+                while k < endpos:  # fast path: no group extraction
+                    am = _ATTRFIND.match(html_text, k)
+                    if not am:
+                        break
+                    k = am.end()
+            else:
+                while k < endpos:
+                    am = _ATTRFIND.match(html_text, k)
+                    if not am:
+                        break
+                    aname = am.group(1).lower()
+                    if aname in _INTEREST_ATTRS:
+                        rest, avalue = am.group(2), am.group(3)
+                        if not rest:
+                            avalue = None
+                        elif avalue[:1] == "'" == avalue[-1:] or \
+                                avalue[:1] == '"' == avalue[-1:]:
+                            avalue = avalue[1:-1]
+                        if avalue:
+                            avalue = unescape(avalue)
+                        attrs.append((aname, avalue))
+                    k = am.end()
             end = html_text[k:endpos].strip()
             if end not in (">", "/>"):
                 seg.data(html_text[lt:endpos])  # malformed slice → text
