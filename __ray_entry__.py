@@ -35,6 +35,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.pipelines import conformance, curate, media
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
+    from nidaba_ray.sources import crawl
+    from nidaba_ray.stages import quality
 
     return {
         # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
@@ -80,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search over embeddings
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
+        "ann_topk_ivf": ann.ann_topk_ivf,
         "embedding_near_dup": ann.embedding_near_dup_pairs,
         "kmeans_embeddings": ann.kmeans_embeddings,
         # --- flagship extraction pipeline (byte-identity gate)
@@ -90,6 +93,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- hand-labelled realistic page shapes (rows check; every
         #     row's `match` flag must be true — pinned in pytest)
         "extract_golden_real": realpages.extract_golden_real,
+        # --- block-quality classifier served as an actor stage (rows
+        #     check; accuracy pinned in tests/test_quality_model.py)
+        "block_quality_scores": quality.block_quality_scores,
+        # --- streaming crawl-shard Datasource feeding the same
+        #     pipeline (rows check; identity pinned in pytest)
+        "streaming_extract_stats": crawl.streaming_extract_stats,
         # --- multimodal feature pipeline (stub decoders, real plumbing)
         "media_features": media.media_features,
         # --- composed curation pipeline (gate + dedup, oracle-checked)

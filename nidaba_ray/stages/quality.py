@@ -1,0 +1,195 @@
+"""Block-level quality classifier — the model-serving shape on Ray
+Data (docs/NEXT.md item 5): a tiny logistic scorer over the span's
+structural features, trained on the synthetic ground truth, served as
+an actor-pool ``map_batches`` stage (weights loaded once per actor in
+``__init__`` — the model-load analog of the heavy OCR recognizers).
+
+Training is deterministic (full-batch gradient descent, fixed epochs,
+zero init) and cheap enough to run at query time, so there are no
+frozen weights to drift when the synthetic generator changes: the
+train→broadcast→serve loop is the demonstrated pattern. A real
+deployment would load real weights from a checkpoint path instead —
+the ``QualityScorer`` signature already takes them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+__all__ = [
+    "span_features",
+    "train_logistic",
+    "training_blocks",
+    "QualityScorer",
+    "block_quality_scores",
+]
+
+_KINDS = ("p", "li", "td", "pre", "div")
+N_FEATURES = 4 + len(_KINDS) + 1  # structural + kind flags + bias
+
+
+def span_features(span: dict) -> np.ndarray:
+    """Structural features only — deliberately excludes the heuristic
+    ``score`` (the classifier must be an independent signal, not a
+    rescaling of the ensemble it might vote against)."""
+    kind = span["kind"]
+    is_heading = kind in ("h1", "h2", "h3", "h4", "h5", "h6")
+    return np.array(
+        [
+            np.log1p(len(span["text"])),
+            span["link_density"],
+            np.log1p(max(span["text_density"], 0.0)),
+            float(span["depth"]),
+            *[1.0 if kind == k else 0.0 for k in _KINDS],
+            1.0 if is_heading else 0.0,
+        ],
+        dtype=np.float64,
+    )
+
+
+def train_logistic(
+    x: np.ndarray, y: np.ndarray, lr: float = 0.5, epochs: int = 300,
+    l2: float = 1e-3,
+) -> np.ndarray:
+    """Full-batch gradient descent, zero init — deterministic for a
+    given (x, y). Returns weights incl. bias (append 1s column)."""
+    xb = np.concatenate([x, np.ones((len(x), 1))], axis=1)
+    # standardize non-flag columns for conditioning (affine fold-back)
+    mu = xb.mean(axis=0)
+    sd = np.where(xb.std(axis=0) > 0, xb.std(axis=0), 1.0)
+    mu[-1], sd[-1] = 0.0, 1.0  # leave the bias column alone
+    xs = (xb - mu) / sd
+    w = np.zeros(xs.shape[1])
+    for _ in range(epochs):
+        p = 1.0 / (1.0 + np.exp(-(xs @ w)))
+        grad = xs.T @ (p - y) / len(y) + l2 * w
+        w -= lr * grad
+    # fold standardization back into raw-space weights
+    raw = w / sd
+    raw[-1] = w[-1] - float((w[:-1] * mu[:-1] / sd[:-1]).sum())
+    return raw
+
+
+def training_blocks(n_pages: int = 300) -> tuple[np.ndarray, np.ndarray]:
+    """Labeled block set from the synthetic corpus: a block is content
+    iff its text occurs in the page's golden main text (true by
+    construction for paragraph blocks; chrome strings never collide
+    with the word-soup goldens)."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.extract import extract_row
+
+    t = synth.pages_table(n=n_pages)
+    xs, ys = [], []
+    for html, golden in zip(t["html"].to_pylist(), t["golden"].to_pylist()):
+        kind, spans, err = extract_row(html or b"")
+        if err or kind != "html":
+            continue
+        for s in spans:
+            xs.append(span_features(s))
+            ys.append(1.0 if s["text"] and s["text"] in golden else 0.0)
+    return np.stack(xs), np.array(ys)
+
+
+class QualityScorer:
+    """Actor-pool stage: per-span content probability (quantized to 6
+    decimals so downstream sums are exact in micro-units), plus the
+    per-row content-block count under a 0.5 decision threshold.
+
+    Weights are built once per actor in ``__init__`` (trained on the
+    synthetic ground truth when none are passed — a real deployment
+    passes checkpoint weights)."""
+
+    def __init__(self, weights: np.ndarray | None = None,
+                 train_pages: int = 200) -> None:
+        self.w = (np.asarray(weights, dtype=np.float64) if weights is not None
+                  else train_logistic(*training_blocks(train_pages)))
+
+    def _prob(self, span: dict) -> float:
+        f = np.append(span_features(span), 1.0)
+        return round(float(1.0 / (1.0 + np.exp(-(f @ self.w)))), 6)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        spans_col = batch["spans"].to_pylist()
+        probs, n_content = [], []
+        for spans in spans_col:
+            p = [self._prob(s) for s in (spans or [])]
+            probs.append(p)
+            n_content.append(sum(1 for x in p if x >= 0.5))
+        return batch.append_column(
+            "block_quality", pa.array(probs, pa.list_(pa.float64()))
+        ).append_column("n_content_blocks", pa.array(n_content, pa.int32()))
+
+
+def block_quality_scores(sf_dir: str) -> pa.Table:
+    """queries() entry (rows check): extraction → QualityScorer over
+    the synthetic pages, rolled up per lang — an independent AUDIT of
+    the kept spans (the pipeline output carries post-threshold blocks,
+    so a healthy corpus scores a high-but-not-perfect content
+    fraction; the flagged remainder is the review queue). Sums run in
+    integer micro-units (order-independent, deterministic across
+    parallelism). Classifier accuracy vs ground truth is pinned in
+    tests/test_quality_model.py."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum
+
+    from nidaba_ray.pipelines.extract import extract_pipeline
+    from nidaba_ray.synth import pages_dataset_from_documents
+
+    pages = pages_dataset_from_documents(sf_dir)
+    extracted = extract_pipeline(pages, spell=False)
+    scored = extracted.map_batches(
+        QualityScorer, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4), num_cpus=1,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        langs = batch["lang"].to_pylist()
+        quals = batch["block_quality"].to_pylist()
+        ncs = batch["n_content_blocks"].to_pylist()
+        errs = batch["error"].to_pylist()
+        out: dict[str, list] = {"lang": [], "n_docs": [], "n_blocks": [],
+                                "n_content": [], "prob_micro": []}
+        agg: dict[str, list] = {}
+        for l, q, nc, e in zip(langs, quals, ncs, errs):
+            if e:
+                continue
+            row = agg.setdefault(l, [0, 0, 0, 0])
+            row[0] += 1
+            row[1] += len(q or [])
+            row[2] += int(nc)
+            row[3] += sum(int(round(x * 1_000_000)) for x in (q or []))
+        for l in sorted(agg):
+            out["lang"].append(l)
+            out["n_docs"].append(agg[l][0])
+            out["n_blocks"].append(agg[l][1])
+            out["n_content"].append(agg[l][2])
+            out["prob_micro"].append(agg[l][3])
+        return pa.table(
+            {
+                "lang": pa.array(out["lang"], pa.string()),
+                "n_docs": pa.array(out["n_docs"], pa.int64()),
+                "n_blocks": pa.array(out["n_blocks"], pa.int64()),
+                "n_content": pa.array(out["n_content"], pa.int64()),
+                "prob_micro": pa.array(out["prob_micro"], pa.int64()),
+            }
+        )
+
+    g = (
+        scored.map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_blocks", alias_name="n_blocks"),
+                   Sum("n_content", alias_name="n_content"),
+                   Sum("prob_micro", alias_name="prob_micro"))
+        .to_pandas()  # ≤ n_langs rows
+        .sort_values("lang")
+        .reset_index(drop=True)
+    )
+    g["mean_prob"] = (g["prob_micro"] / g["n_blocks"] / 1_000_000).round(4)
+    g = g.drop(columns=["prob_micro"]).astype(
+        {"lang": "string", "n_docs": "int64", "n_blocks": "int64",
+         "n_content": "int64"}
+    )
+    return pa.Table.from_pandas(g, preserve_index=False)

@@ -121,6 +121,13 @@ def _ensure_builtin() -> None:
     from nidaba_ray.stages.serialize import to_hocr_rows
 
     register_stage("output.hocr")(to_hocr_rows)
+    from nidaba_ray.stages.serialize import to_alto_rows
+
+    register_stage("output.alto")(to_alto_rows)
+    from nidaba_ray.stages.quality import QualityScorer
+
+    register_stage("postprocess.quality", batch_size=256,
+                   concurrency=(1, 4), num_cpus=1)(QualityScorer)
     from nidaba_ray.stages.multimodal import (
         AudioFeatures, ImageDecoder, VideoFrameSampler,
     )

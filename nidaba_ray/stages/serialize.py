@@ -16,7 +16,7 @@ import pyarrow as pa
 from nidaba_ray.record import spans_to_jsonl
 
 __all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
-           "to_tei_rows", "to_hocr_rows"]
+           "to_tei_rows", "to_hocr_rows", "to_alto_rows"]
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
@@ -154,3 +154,41 @@ def to_hocr_rows(batch: pa.Table) -> pa.Table:
         docs.append(ET.tostring(html, encoding="unicode"))
     return pa.table({"url": pa.array(urls, pa.string()),
                      "hocr": pa.array(docs, pa.string())})
+
+
+def to_alto_rows(batch: pa.Table) -> pa.Table:
+    """One ALTO-flavored XML document per row — the write_alto analog
+    (nidaba output layer; ALTO is a public LoC schema: Layout → Page →
+    PrintSpace → TextBlock → TextLine → String@CONTENT). Geometry
+    slots (HPOS/VPOS) carry the canonical-text char offsets, same
+    lossless convention as the hOCR dialect. Parse-roundtrip tested."""
+    import xml.etree.ElementTree as ET
+
+    urls = batch["url"].to_pylist()
+    spans = batch["spans"].to_pylist()
+    docs = []
+    for u, ss in zip(urls, spans):
+        alto = ET.Element("alto")
+        desc = ET.SubElement(alto, "Description")
+        ET.SubElement(desc, "sourceImageInformation").append(
+            ET.Element("fileName")
+        )
+        desc.find("sourceImageInformation/fileName").text = u
+        space = ET.SubElement(
+            ET.SubElement(ET.SubElement(alto, "Layout"), "Page", {"ID": "p1"}),
+            "PrintSpace",
+        )
+        for s in ss or []:
+            block = ET.SubElement(
+                space, "TextBlock",
+                {"ID": f"b{s['block_id']}", "STYLEREFS": s["kind"]},
+            )
+            line = ET.SubElement(block, "TextLine")
+            ET.SubElement(
+                line, "String",
+                {"CONTENT": s["text"], "HPOS": str(s["start"]),
+                 "VPOS": str(s["end"])},
+            )
+        docs.append(ET.tostring(alto, encoding="unicode"))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "alto": pa.array(docs, pa.string())})

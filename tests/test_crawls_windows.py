@@ -311,3 +311,17 @@ def test_quantile_sketch_deterministic_merge():
     exact = np.percentile(data, 90)
     lo, hi = np.percentile(data, 100 * (0.9 - 2 / 256)), np.percentile(data, 100 * (0.9 + 2 / 256))
     assert lo <= a <= hi and abs(a - exact) < 0.2
+
+
+def test_ann_ivf_recall(ray_session):
+    """IVF top-k must recover most of the exact top-k (multi-probe),
+    and be deterministic across runs."""
+    from nidaba_ray.functions.ann import ann_topk_bruteforce, ann_topk_ivf
+
+    sf = "/root/testdata/sf0.001"
+    exact = set(ann_topk_bruteforce(sf, k=10)["vec_id"].to_pylist())
+    ivf = ann_topk_ivf(sf, k=10)
+    got = set(ivf["vec_id"].to_pylist())
+    assert len(got & exact) >= 7  # recall@10 >= 0.7 with 4/16 probes
+    again = ann_topk_ivf(sf, k=10)
+    assert ivf.equals(again)

@@ -230,3 +230,30 @@ def test_output_hocr_registered():
 
     spec = get_stage("output.hocr")
     assert spec is not None
+
+
+def test_alto_rows_roundtrip():
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+
+    from nidaba_ray.record import SPAN_TYPE
+    from nidaba_ray.stages.serialize import to_alto_rows
+    from nidaba_ray.stages.registry import get_stage
+
+    assert get_stage("output.alto") is not None
+    spans = [
+        {"block_id": 0, "kind": "p", "depth": 2, "text_density": 1.0,
+         "link_density": 0.0, "score": 9.0, "text": "alpha & beta",
+         "start": 0, "end": 12},
+    ]
+    batch = pa.table({
+        "url": pa.array(["https://x/alto"], pa.string()),
+        "spans": pa.array([spans], SPAN_TYPE),
+    })
+    doc = to_alto_rows(batch)["alto"].to_pylist()[0]
+    root = ET.fromstring(doc)
+    assert root.find("Description/sourceImageInformation/fileName").text == "https://x/alto"
+    strings = root.findall(".//TextBlock/TextLine/String")
+    assert [s.get("CONTENT") for s in strings] == ["alpha & beta"]
+    assert strings[0].get("HPOS") == "0" and strings[0].get("VPOS") == "12"
