@@ -54,6 +54,12 @@ TIMED_QUERIES = [
     "ngram_jaccard_pairs",
     "curated_corpus",
     "extract_documents",
+    # round-2 additions (one per new operator family)
+    "extract_documents_pdf2",
+    "ann_topk_ivf",
+    "event_value_quantiles_sketch",
+    "block_quality_scores",
+    "streaming_extract_stats",
 ]
 
 
