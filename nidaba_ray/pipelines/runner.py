@@ -58,7 +58,27 @@ def run_job(
             if os.path.isdir(bdir):
                 shutil.rmtree(bdir)
 
-    pages = rd.read_parquet(input_path)
+    # Read-side FILE pruning: when the input is itself a
+    # bucket-partitioned dataset stamped by this runner (a prior run's
+    # output or a bucket-prepared corpus), finished buckets' files are
+    # excluded from the read entirely — their bytes never leave
+    # storage. Falls back to the row-level prune otherwise. The row
+    # prune stays on in both paths (idempotent; also covers rows whose
+    # bucket moved because the marker lied).
+    pruned_dirs = mf.prunable_bucket_dirs(input_path, done, n_buckets)
+    n_pruned_dirs = 0
+    if pruned_dirs is not None:
+        n_pruned_dirs = sum(
+            1 for b in done
+            if os.path.isdir(os.path.join(input_path, f"bucket={b}"))
+        )
+        if not pruned_dirs:  # every remaining bucket has no input data
+            return {"processed_buckets": 0, "skipped_buckets": len(done),
+                    "n_rows": 0, "n_quarantined": 0,
+                    "pruned_input_buckets": n_pruned_dirs}
+        pages = rd.read_parquet(pruned_dirs)
+    else:
+        pages = rd.read_parquet(input_path)
     pages = pages.map_batches(
         partial(mf.add_bucket_column, n_buckets=n_buckets), batch_format="pyarrow"
     )
@@ -75,6 +95,9 @@ def run_job(
     # the int bucket key leaves each output task holding 1-2 buckets.
     out = out.sort("bucket")
     out.write_parquet(data_dir, partition_cols=["bucket"])
+    # stamp the output so a downstream run (or a resume reading it)
+    # can prune whole bucket files
+    mf.write_bucketing_marker(data_dir, n_buckets)
 
     # Manifest pass: scan ONLY the tiny stat columns of what we just
     # wrote (columnar pruning — the payload columns never move), roll
@@ -85,7 +108,8 @@ def run_job(
         .to_pandas()
     )
     summary = {"processed_buckets": 0, "skipped_buckets": len(done),
-               "n_rows": 0, "n_quarantined": 0}
+               "n_rows": 0, "n_quarantined": 0,
+               "pruned_input_buckets": n_pruned_dirs}
     if len(stats):
         rollup = stats.groupby("bucket", as_index=False).sum()
         for row in rollup.itertuples(index=False):

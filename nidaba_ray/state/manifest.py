@@ -77,8 +77,16 @@ def bucket_of(urls, n_buckets: int) -> np.ndarray:
 
 
 def add_bucket_column(batch: pa.Table, n_buckets: int, key: str = "url") -> pa.Table:
+    """Recompute is authoritative: an existing ``bucket`` column (e.g.
+    hive-partition re-injection when reading a bucketed dataset) is
+    REPLACED, never duplicated — and its dtype normalizes to int64."""
     b = bucket_of(batch[key].to_pylist(), n_buckets)
-    return batch.append_column("bucket", pa.array(b, pa.int64()))
+    arr = pa.array(b, pa.int64())
+    if "bucket" in batch.column_names:
+        return batch.set_column(
+            batch.column_names.index("bucket"), "bucket", arr
+        )
+    return batch.append_column("bucket", arr)
 
 
 def _manifest_path(out_dir: str, bucket: int, n_buckets: int) -> str:
@@ -146,3 +154,49 @@ def config_fingerprint(config: dict) -> str:
     return hashlib.md5(
         json.dumps(config, sort_keys=True).encode("utf-8")
     ).hexdigest()[:16]
+
+
+BUCKETING_MARKER = "_BUCKETING.json"
+BUCKETING_SCHEME = "md5_url_mod"  # bucket_of(): md5(url) % n_buckets
+
+
+def write_bucketing_marker(data_dir: str, n_buckets: int) -> None:
+    """Stamp a bucket-partitioned dataset with its bucketing config so
+    a later run can prune whole FILES on resume (path-level pruning is
+    only valid when the input's bucket ids were produced by the same
+    (scheme, n_buckets) — the marker is the proof)."""
+    import json
+
+    with open(os.path.join(data_dir, BUCKETING_MARKER), "w") as f:
+        json.dump({"scheme": BUCKETING_SCHEME, "n_buckets": n_buckets}, f)
+
+
+def prunable_bucket_dirs(
+    input_path: str, done: frozenset[int], n_buckets: int
+) -> list[str] | None:
+    """If ``input_path`` is a bucket-partitioned directory stamped with
+    a matching bucketing marker, return the parquet files of
+    UNFINISHED buckets only (read-side file pruning — finished buckets'
+    bytes never leave storage). Returns None when the layout or the
+    marker doesn't match — callers fall back to the row-level prune."""
+    import json
+
+    marker = os.path.join(input_path, BUCKETING_MARKER)
+    if not os.path.isfile(marker):
+        return None
+    try:
+        with open(marker) as f:
+            m = json.load(f)
+    except json.JSONDecodeError:
+        return None
+    if m.get("scheme") != BUCKETING_SCHEME or m.get("n_buckets") != n_buckets:
+        return None
+    import glob
+
+    files = []
+    for b in range(n_buckets):
+        d = os.path.join(input_path, f"bucket={b}")
+        if b not in done and os.path.isdir(d):
+            # expand to files: Dataset readers take file paths in lists
+            files.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return files

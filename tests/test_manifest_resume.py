@@ -177,3 +177,68 @@ def test_noop_resume_is_fast(ray_session, pages_file, tmp_path):
     s = runner.run_job(pages_file, out_dir, n_buckets=8, pipeline_config=cfg)
     assert s["skipped_buckets"] == 8 and s["processed_buckets"] == 0
     assert time.time() - t0 < 5.0  # no input scan, no actor spin-up
+
+
+def _bucketed_pages_input(tmp_path, n=120, n_buckets=8):
+    """Write a pages corpus bucket-partitioned by the runner's own
+    scheme and stamped with the bucketing marker."""
+    import ray.data as rd
+
+    from nidaba_ray import synth
+
+    t = synth.pages_table(n=n).drop_columns(["golden", "doc_id"])
+    t = mf.add_bucket_column(t, n_buckets=n_buckets)
+    in_dir = str(tmp_path / "input")
+    rd.from_arrow(t).repartition(4).write_parquet(
+        in_dir, partition_cols=["bucket"]
+    )
+    mf.write_bucketing_marker(in_dir, n_buckets)
+    return in_dir, t
+
+
+def test_read_side_bucket_pruning(ray_session, tmp_path):
+    """Resume over a bucket-partitioned input prunes finished buckets
+    at the FILE level (pruned_input_buckets > 0) and still produces a
+    complete, correct output."""
+    import duckdb
+
+    from nidaba_ray.pipelines.runner import run_job
+
+    n_buckets = 8
+    in_dir, src = _bucketed_pages_input(tmp_path, n=120, n_buckets=n_buckets)
+    out_dir = str(tmp_path / "out")
+    cfg = {"extract_concurrency": (1, 2), "spell_concurrency": (1, 2)}
+    s1 = run_job(in_dir, out_dir, n_buckets, cfg)
+    assert s1["processed_buckets"] == n_buckets
+    assert s1["pruned_input_buckets"] == 0  # nothing was done yet
+
+    # knock out three buckets (manifest + data) → resume
+    for b in (1, 4, 6):
+        os.remove(os.path.join(out_dir, "manifest", f"part-{b:05d}.json"))
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "data", f"bucket={b}"))
+    s2 = run_job(in_dir, out_dir, n_buckets, cfg)
+    assert s2["processed_buckets"] == 3
+    assert s2["pruned_input_buckets"] == n_buckets - 3  # files skipped
+    # output is complete and row-exact vs the input
+    n_out = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{out_dir}/data/*/*.parquet')"
+    ).fetchone()[0]
+    assert n_out == src.num_rows
+    # output itself carries the marker (chainable)
+    assert os.path.isfile(os.path.join(out_dir, "data", mf.BUCKETING_MARKER))
+
+
+def test_marker_mismatch_falls_back(tmp_path):
+    # wrong n_buckets in the marker → no path pruning (row prune covers)
+    in_dir = str(tmp_path / "inp")
+    os.makedirs(os.path.join(in_dir, "bucket=0"))
+    mf.write_bucketing_marker(in_dir, 16)
+    assert mf.prunable_bucket_dirs(in_dir, frozenset(), 8) is None
+    # matching marker → unfinished dirs only
+    mf.write_bucketing_marker(in_dir, 8)
+    os.makedirs(os.path.join(in_dir, "bucket=1"))
+    open(os.path.join(in_dir, "bucket=1", "f.parquet"), "w").close()
+    files = mf.prunable_bucket_dirs(in_dir, frozenset({0}), 8)
+    assert files == [os.path.join(in_dir, "bucket=1", "f.parquet")]
