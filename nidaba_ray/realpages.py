@@ -421,6 +421,106 @@ this weekend only at SleepCo</a></div>
 </div></div></div>{_FOOTER}</body></html>""",
         [_P1, _P2],
     ),
+    # 29. RTL content (Arabic) survives byte-exactly with dir attrs
+    _page(
+        "rtl_content",
+        f"""<html dir="rtl" lang="ar"><body><main><article dir="rtl">
+<p>وافقت اللجنة على الميزانية الجديدة يوم الثلاثاء بعد نقاش طويل
+استمر حتى ساعات المساء وتناول كل إدارات المدينة.</p>
+<p>قال المؤيدون إن الخطة ستصلح الجسور القديمة وتوسع شبكة المكتبات
+بينما حذر المعارضون من ارتفاع كلفة الاقتراض خلال العقد المقبل.</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["وافقت اللجنة على الميزانية الجديدة يوم الثلاثاء بعد نقاش طويل "
+         "استمر حتى ساعات المساء وتناول كل إدارات المدينة.",
+         "قال المؤيدون إن الخطة ستصلح الجسور القديمة وتوسع شبكة المكتبات "
+         "بينما حذر المعارضون من ارتفاع كلفة الاقتراض خلال العقد المقبل."],
+    ),
+    # 30. mixed-language page: content paragraphs in two languages
+    _page(
+        "mixed_language",
+        f"""<html><body><main><article>
+<p>{_P1}</p>
+<p>Der Stadtrat stimmte dem Haushalt in erster Lesung zu und verwies
+die Änderungsanträge an den Finanzausschuss zurück.</p>
+<p>{_P3}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1,
+         "Der Stadtrat stimmte dem Haushalt in erster Lesung zu und "
+         "verwies die Änderungsanträge an den Finanzausschuss zurück.",
+         _P3],
+    ),
+    # 31. long pull-quote duplicated from body text stays (it is content)
+    _page(
+        "pull_quote",
+        f"""<html><body><main><article><p>{_P1}</p>
+<blockquote class="pullquote-wide">Supporters argued the plan would
+repair aging bridges and expand the library system.</blockquote>
+<p>{_P2}</p><p>{_P3}</p></article></main>{_FOOTER}</body></html>""",
+        [_P1,
+         "Supporters argued the plan would repair aging bridges and "
+         "expand the library system.",
+         _P2, _P3],
+    ),
+    # 32. paywall teaser: visible teaser + hidden full text + prompt
+    _page(
+        "paywall_teaser",
+        f"""<html><body><main><article>
+<p>{_P1}</p>
+<div class="paywall-gate"><h4>Subscribe to keep reading</h4>
+<p>Get unlimited access for two euros a month, cancel anytime.</p></div>
+<div class="article-full" style="display:none"><p>{_P2}</p><p>{_P3}</p></div>
+</article></main>{_FOOTER}</body></html>""",
+        [_P1],
+    ),
+    # 33. markup-heavy inline styling: every word wrapped in spans
+    _page(
+        "span_soup",
+        """<html><body><main><article>
+<p><span class="w">The</span> <span class="w">committee</span>
+<span class="w">approved</span> <span class="w">the</span>
+<span class="w">new</span> <span class="w">budget</span>
+<span class="w">after</span> <span class="w">the</span>
+<span class="w">longest</span> <span class="w">debate</span>
+<span class="w">of</span> <span class="w">the</span>
+<span class="w">year</span>.</p>
+<p>A second paragraph written plainly to anchor the page's score
+distribution with ordinary markup density.</p>
+</article></main>""" + _FOOTER + """</body></html>""",
+        ["The committee approved the new budget after the longest "
+         "debate of the year.",
+         "A second paragraph written plainly to anchor the page's "
+         "score distribution with ordinary markup density."],
+    ),
+    # 34. content inside a table-of-tables wrapper (markup-heavy)
+    _page(
+        "table_wrapper_article",
+        f"""<html><body><table class="outer"><tr><td>
+<table class="inner"><tr><td>
+<p>{_P1}</p><p>{_P2}</p>
+</td></tr></table>
+</td></tr></table>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 35. code-heavy technical doc: more code than prose, all content
+    _page(
+        "code_heavy",
+        """<html><body><main><article>
+<p>Configure the reader with explicit column pruning before running.</p>
+<pre>reader = open_table("pages")
+reader.select(["url", "html"])
+for batch in reader.batches(size=256):
+    process(batch)
+    checkpoint(batch.id)</pre>
+<p>Then enable the manifest writer so interrupted runs resume.</p>
+<pre>writer = manifest(dir="out", buckets=64)
+writer.commit_all()</pre>
+</article></main>""" + _FOOTER + """</body></html>""",
+        ["Configure the reader with explicit column pruning before running.",
+         'reader = open_table("pages") reader.select(["url", "html"]) '
+         "for batch in reader.batches(size=256): process(batch) "
+         "checkpoint(batch.id)",
+         "Then enable the manifest writer so interrupted runs resume.",
+         'writer = manifest(dir="out", buckets=64) writer.commit_all()'],
+    ),
 ]
 
 
