@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk_bruteforce,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_dup": ann.embedding_near_dup_pairs,
         "kmeans_embeddings": ann.kmeans_embeddings,
         # --- flagship extraction pipeline (byte-identity gate)

@@ -342,3 +342,100 @@ def kmeans_embeddings(
     out["inertia"] = round_like_sql(out["inertia"], 4)
     out = out.astype({"cluster": "int64", "n_points": "int64"})
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
+                    train_iter: int = 4) -> np.ndarray:
+    """Ingest-side IVF: train the coarse quantizer, assign every
+    vector, and write the embeddings PARTITIONED BY LIST ID (one
+    directory per inverted list) with a centroids sidecar. This is the
+    10^12-scale layout the ann_topk_ivf docstring promises: a query
+    then reads only its probed partitions — whole-file pruning instead
+    of an in-batch filter."""
+    import os
+
+    import pyarrow.parquet as pqm
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    init = (
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+            filters=[("vec_id", "<", n_lists)],
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    if len(init) < n_lists:
+        init = ds.sort("vec_id").limit(n_lists).to_pandas()
+    centroids = _train_centroids(
+        ds, np.array(list(init["embedding"]), dtype=np.float64), train_iter
+    )
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return batch.append_column(
+            "list_id", pa.array(d2.argmin(axis=1).astype(np.int64))
+        )
+
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        out_dir, partition_cols=["list_id"]
+    )
+    np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    with open(os.path.join(out_dir, "_IVF_DONE"), "w") as f:
+        f.write(f"{n_lists}")
+    return centroids
+
+
+def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return f"/tmp/nidaba_ray_ivf/{tag}_L{n_lists}"
+
+
+def ann_topk_ivf_partitioned(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0,
+    n_lists: int = 16, n_probe: int = 4,
+) -> pa.Table:
+    """IVF query over the partitioned layout: builds (and caches) the
+    list-partitioned index once per sf dir, then answers by reading
+    ONLY the probed partitions' parquet files — the bytes of the other
+    n_lists−n_probe lists never leave storage. Identical results to
+    ann_topk_ivf (same quantizer, same probes; pinned in pytest)."""
+    import glob
+    import os
+
+    idx = _ivf_index_dir(sf_dir, n_lists)
+    if not os.path.isfile(os.path.join(idx, "_IVF_DONE")):
+        build_ivf_index(sf_dir, idx, n_lists)
+    centroids = np.load(os.path.join(idx, "centroids.npy"))
+    q = _query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    cd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probed = np.sort(np.argsort(cd, kind="stable")[:n_probe])
+    files: list[str] = []
+    for l in probed:
+        files.extend(sorted(glob.glob(os.path.join(idx, f"list_id={l}",
+                                                   "*.parquet"))))
+    if not files:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        cos = round_like_sql((m @ qn) / np.where(norms > 0, norms, 1.0), 6)
+        ids = np.asarray(batch["vec_id"])
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "cos_sim": pa.array(cos[order], pa.float64())})
+
+    parts = (
+        rd.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(topk, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()
+    )
+    out = parts.sort_values(["cos_sim", "vec_id"],
+                            ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)

@@ -325,3 +325,32 @@ def test_ann_ivf_recall(ray_session):
     assert len(got & exact) >= 7  # recall@10 >= 0.7 with 4/16 probes
     again = ann_topk_ivf(sf, k=10)
     assert ivf.equals(again)
+
+
+def test_ann_ivf_partitioned_matches_inbatch(ray_session, tmp_path):
+    """The partitioned-layout IVF query must return exactly what the
+    in-batch IVF filter returns (same quantizer, same probes) while
+    reading only the probed partitions' files."""
+    import glob
+    import os
+
+    from nidaba_ray.functions import ann
+
+    sf = "/root/testdata/sf0.001"
+    idx = str(tmp_path / "ivf")
+    ann.build_ivf_index(sf, idx, n_lists=16)
+    # every vector landed in exactly one list partition
+    files = glob.glob(os.path.join(idx, "list_id=*", "*.parquet"))
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet({[f for f in files]!r})"
+    ).fetchone()[0]
+    assert n == 500
+    # redirect the cache at the prebuilt index and compare results
+    import unittest.mock as mock
+
+    with mock.patch.object(ann, "_ivf_index_dir", lambda s, l: idx):
+        part = ann.ann_topk_ivf_partitioned(sf, k=10)
+    flat = ann.ann_topk_ivf(sf, k=10)
+    assert part.to_pandas().equals(flat.to_pandas())
