@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ngram_jaccard_pairs_exact": dedup.ngram_jaccard_pairs_exact,
         "dup_clusters": dedup.dup_clusters,
         "dup_clusters_distributed": dedup.dup_clusters_distributed,
         "dup_clusters_exact": dedup.dup_clusters_exact,

@@ -205,30 +205,18 @@ def minhash_candidates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
     return joined.map_batches(to_pairs, batch_format="pyarrow")
 
 
-def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
-    """End-to-end MinHash-LSH near-dup: candidates from band buckets,
-    deduplicated, then EXACT n-gram Jaccard verification (so the output
-    has no LSH false positives; false negatives bounded by the band
-    curve).
-
-    Verification is two hash joins of the candidate-pair list against
-    the corpus, with the (pairs-sized) candidate id set broadcast as a
-    pre-filter so only candidate documents are shuffled — the driver
-    holds ids only, never texts (the 10^12-scale shape)."""
-    from ray.data.aggregate import Count
-
+def _verify_jaccard_pairs(
+    uniq: rd.Dataset, sf_dir: str, threshold: float
+) -> pa.Table:
+    """EXACT n-gram Jaccard verification of a distinct candidate-pair
+    Dataset: two hash joins of the pair list against the corpus, with
+    the (pairs-sized) candidate id set broadcast as a pre-filter so
+    only candidate documents are shuffled — the driver holds ids only,
+    never texts (the 10^12-scale shape). Shared by the MinHash-LSH and
+    prefix-filter paths."""
     empty = pa.table(
         {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
          "jaccard": pa.array([], pa.float64())}
-    )
-    # distinct candidate pairs (a band collision per shared band →
-    # duplicates); groupby-count is the distributed drop_duplicates
-    uniq = (
-        minhash_candidates(sf_dir)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
-        .materialize()
     )
     if uniq.count() == 0:
         return empty
@@ -288,6 +276,85 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
         return empty
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """End-to-end MinHash-LSH near-dup: candidates from band buckets,
+    deduplicated (distributed groupby = the drop_duplicates), then
+    exact verification via :func:`_verify_jaccard_pairs` — no LSH
+    false positives in the output; false negatives bounded by the band
+    curve."""
+    from ray.data.aggregate import Count
+
+    uniq = (
+        minhash_candidates(sf_dir)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
+        .materialize()
+    )
+    return _verify_jaccard_pairs(uniq, sf_dir, threshold)
+
+
+def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+    """EXACT set-similarity join at scale via prefix filtering (the
+    public PPJoin/AllPairs principle: order the shingle universe
+    globally; a pair with Jaccard ≥ t must share at least one of each
+    member's first ``|S| − ⌈t·|S|⌉ + 1`` smallest shingles — so only
+    those prefix shingles need to be join keys).
+
+    Unlike :func:`ngram_jaccard_pairs` (bounded-block demonstrator,
+    loses cross-bucket pairs and is quadratic per block), this path is
+    lossless and shuffles only (prefix_shingle, doc_id) rows followed
+    by the standard pairs-sized verification — no O(n²) anywhere.
+    Hot shingles (stopword n-grams) are the skew risk; the standard
+    mitigation at 10^12 scale is dropping the few universally-frequent
+    shingles from prefixes on both sides (not needed at test scale)."""
+    from ray.data.aggregate import Count
+
+    def prefix_rows(batch: pa.Table) -> pa.Table:
+        import math
+
+        sh_col, doc_col = [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            sh = np.sort(shingle_hashes(text))
+            plen = len(sh) - math.ceil(threshold * len(sh)) + 1
+            for h in sh[:plen]:
+                sh_col.append(int(h))
+                doc_col.append(doc_id)
+        return pa.table(
+            {
+                # uint64 → int64 view keeps the join key fixed-width
+                "shingle": pa.array(
+                    np.array(sh_col, dtype=np.uint64).view(np.int64)
+                ),
+                "doc_id": pa.array(doc_col, pa.int64()),
+            }
+        )
+
+    prefixes = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        prefix_rows, batch_format="pyarrow"
+    ).materialize()  # self-join below; no CSE in Ray Data
+    joined = prefixes.join(
+        prefixes, "inner", join_partitions(8), on=("shingle",),
+        left_suffix="_a", right_suffix="_b",
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        mask = pc.less(batch["doc_id_a"], batch["doc_id_b"])
+        b = batch.filter(mask)
+        return pa.table({"doc_a": b["doc_id_a"], "doc_b": b["doc_id_b"]})
+
+    uniq = (
+        joined.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    return _verify_jaccard_pairs(uniq, sf_dir, threshold)
 
 
 # ---------------------------------------------------------------------------

@@ -354,3 +354,47 @@ def test_ann_ivf_partitioned_matches_inbatch(ray_session, tmp_path):
         part = ann.ann_topk_ivf_partitioned(sf, k=10)
     flat = ann.ann_topk_ivf(sf, k=10)
     assert part.to_pandas().equals(flat.to_pandas())
+
+
+def test_prefix_join_exactness(ray_session, tmp_path):
+    """Prefix filtering is LOSSLESS: the prefix-join output must equal
+    brute-force all-pairs Jaccard over the corpus, at two thresholds —
+    and be a superset of the bounded-block demonstrator."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_exact,
+        shingle_hashes,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    variant = " ".join(f"tok{i}" for i in range(2, 40))  # high overlap
+    other = " ".join(f"zz{i}" for i in range(30))
+    texts = [base, base, variant, other, " ".join(f"yy{i}" for i in range(25)),
+             base + " extra tail tokens here", other]
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    for thr in (0.5, 0.8):
+        got = ngram_jaccard_pairs_exact(str(d), threshold=thr).to_pandas()
+        got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+        want = set()
+        sets = [set(shingle_hashes(t).tolist()) for t in texts]
+        for i, j in itertools.combinations(range(len(texts)), 2):
+            jac = len(sets[i] & sets[j]) / len(sets[i] | sets[j])
+            if jac >= thr:
+                want.add((i, j))
+        assert got_pairs == want, (thr, got_pairs, want)
+        if thr == 0.5:
+            # the bounded-block demonstrator can only lose pairs
+            blocked = ngram_jaccard_pairs(str(d), threshold=thr).to_pandas()
+            assert set(zip(blocked["doc_a"], blocked["doc_b"])) <= got_pairs
