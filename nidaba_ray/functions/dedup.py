@@ -226,28 +226,28 @@ def _verify_jaccard_pairs(
     for b in uniq.iter_batches(batch_format="pyarrow"):
         ids.update(b["doc_a"].to_pylist())
         ids.update(b["doc_b"].to_pylist())
-    ids_ref = ray.put(ids)
+    ids_ref = ray.put(pa.array(sorted(ids), pa.int64()))
 
     def only_candidates(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ids_ref)
-        return batch.filter(
-            pa.array([i in keys for i in batch["doc_id"].to_pylist()])
-        )
+        # vectorized membership (Arrow is_in) against the broadcast ids
+        return batch.filter(pc.is_in(batch["doc_id"], ray.get(ids_ref)))
 
     cand_docs = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(only_candidates, batch_format="pyarrow")
         .materialize()  # pairs-sized; joined twice below
     )
+    # pairs-sized joins: few partitions — each partition is an actor
+    # spawn, and the data is tiny
     with_a = uniq.join(
-        cand_docs, "inner", join_partitions(8), on=("doc_a",), right_on=("doc_id",)
+        cand_docs, "inner", join_partitions(4), on=("doc_a",), right_on=("doc_id",)
     ).map_batches(
         lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
                             "text_a": t["text"]}),
         batch_format="pyarrow",
     )
     with_b = with_a.join(
-        cand_docs, "inner", join_partitions(8), on=("doc_b",), right_on=("doc_id",)
+        cand_docs, "inner", join_partitions(4), on=("doc_b",), right_on=("doc_id",)
     )
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -296,7 +296,7 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     return _verify_jaccard_pairs(uniq, sf_dir, threshold)
 
 
-def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.5) -> pa.Table:
+def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     """EXACT set-similarity join at scale via prefix filtering (the
     public PPJoin/AllPairs principle: order the shingle universe
     globally; a pair with Jaccard ≥ t must share at least one of each
@@ -309,7 +309,10 @@ def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.5) -> pa.Table:
     by the standard pairs-sized verification — no O(n²) anywhere.
     Hot shingles (stopword n-grams) are the skew risk; the standard
     mitigation at 10^12 scale is dropping the few universally-frequent
-    shingles from prefixes on both sides (not needed at test scale)."""
+    shingles from prefixes on both sides (not needed at test scale).
+    Prefix length scales with (1−t)·|S|, so low thresholds inflate the
+    join input — default 0.7 keeps prefixes at ~30% of shingles; the
+    t=0.5 exactness case is covered in tests."""
     from ray.data.aggregate import Count
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
