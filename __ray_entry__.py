@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ann_topk_ivf,
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_dup": ann.embedding_near_dup_pairs,
+        "embedding_near_dup_scalable": ann.embedding_near_dup_scalable,
         "kmeans_embeddings": ann.kmeans_embeddings,
         # --- flagship extraction pipeline (byte-identity gate)
         "extract_documents": conformance.extract_documents,

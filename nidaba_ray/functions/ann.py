@@ -439,3 +439,113 @@ def ann_topk_ivf_partitioned(
                             ascending=[False, True]).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def embedding_near_dup_scalable(
+    sf_dir: str, threshold: float = 0.95
+) -> pa.Table:
+    """The at-scale shape of :func:`embedding_near_dup_pairs`: the
+    LSH-bucket shuffle moves only (bucket, vec_id) — never the
+    embedding column, which dominates bytes at corpus scale — and the
+    (tiny) candidate-pair list is verified by joining the vectors back
+    (candidate-id broadcast pre-filter + two hash joins, the same
+    pattern as dedup._verify_jaccard_pairs). Output is pinned equal to
+    the in-bucket variant in pytest."""
+    import ray as _ray
+
+    from ray.data.aggregate import Count
+
+    from nidaba_ray.util import join_partitions
+
+    def bucket_ids_only(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        codes = lsh_bucket_ids(m, _planes(m.shape[1]))
+        return pa.table({"bucket": pa.array(codes.astype(np.int64)),
+                         "vec_id": batch["vec_id"]})
+
+    narrow = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).map_batches(bucket_ids_only, batch_format="pyarrow").materialize()
+    joined = narrow.join(
+        narrow, "inner", join_partitions(8), on=("bucket",),
+        left_suffix="_a", right_suffix="_b",
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch["vec_id_a"], batch["vec_id_b"]))
+        return pa.table({"vec_a": b["vec_id_a"], "vec_b": b["vec_id_b"]})
+
+    import pyarrow.compute as pc  # noqa: F811 — local for the closure
+
+    uniq = (
+        joined.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="_n"))
+        .map_batches(lambda t: t.select(["vec_a", "vec_b"]),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    empty = pa.table({"vec_a": pa.array([], pa.int64()),
+                      "vec_b": pa.array([], pa.int64()),
+                      "cos_sim": pa.array([], pa.float64())})
+    if uniq.count() == 0:
+        return empty
+    ids: set[int] = set()
+    for b in uniq.iter_batches(batch_format="pyarrow"):
+        ids.update(b["vec_a"].to_pylist())
+        ids.update(b["vec_b"].to_pylist())
+    ids_ref = _ray.put(pa.array(sorted(ids), pa.int64()))
+
+    def only_candidates(batch: pa.Table) -> pa.Table:
+        # Arrow hash joins don't carry list<float> payload columns —
+        # pack each vector as float64 bytes (decoded after the join)
+        b = batch.filter(pc.is_in(batch["vec_id"], _ray.get(ids_ref)))
+        packed = [np.asarray(v, dtype=np.float64).tobytes()
+                  for v in b["embedding"].to_pylist()]
+        return pa.table({"vec_id": b["vec_id"],
+                         "emb": pa.array(packed, pa.binary())})
+
+    cand_vecs = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(only_candidates, batch_format="pyarrow")
+        .materialize()
+    )
+    with_a = uniq.join(
+        cand_vecs, "inner", join_partitions(4), on=("vec_a",),
+        right_on=("vec_id",),
+    ).map_batches(
+        lambda t: pa.table({"vec_a": t["vec_a"], "vec_b": t["vec_b"],
+                            "emb_a": t["emb"]}),
+        batch_format="pyarrow",
+    )
+    with_b = with_a.join(
+        cand_vecs, "inner", join_partitions(4), on=("vec_b",),
+        right_on=("vec_id",),
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = np.stack([np.frombuffer(x, dtype=np.float64)
+                      for x in batch["emb_a"].to_pylist()])
+        b = np.stack([np.frombuffer(x, dtype=np.float64)
+                      for x in batch["emb"].to_pylist()])
+        na = np.linalg.norm(a, axis=1)
+        nb = np.linalg.norm(b, axis=1)
+        cos = (a * b).sum(axis=1) / np.where(na * nb > 0, na * nb, 1.0)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(np.asarray(batch["vec_a"])[keep], pa.int64()),
+                "vec_b": pa.array(np.asarray(batch["vec_b"])[keep], pa.int64()),
+                "cos_sim": pa.array(
+                    [round_like_sql(float(c), 6) for c in cos[keep]],
+                    pa.float64(),
+                ),
+            }
+        )
+
+    out = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
+    if "vec_a" not in out.columns:
+        return empty
+    out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -398,3 +398,36 @@ def test_prefix_join_exactness(ray_session, tmp_path):
             # the bounded-block demonstrator can only lose pairs
             blocked = ngram_jaccard_pairs(str(d), threshold=thr).to_pandas()
             assert set(zip(blocked["doc_a"], blocked["doc_b"])) <= got_pairs
+
+
+def test_embedding_near_dup_scalable_matches(ray_session, tmp_path):
+    """The ids-only-shuffle variant must produce exactly the in-bucket
+    variant's pairs (same buckets → same candidates → same verified
+    set) — on a corpus constructed to HAVE near-dups, so the
+    comparison is not vacuous."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.ann import (
+        embedding_near_dup_pairs,
+        embedding_near_dup_scalable,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((40, 16))
+    vecs = list(base)
+    for i in range(0, 40, 5):  # every 5th vector gets a near-twin
+        vecs.append(base[i] + 0.001 * rng.standard_normal(16))
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float64())),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    a = embedding_near_dup_pairs(str(d), threshold=0.95).to_pandas()
+    b = embedding_near_dup_scalable(str(d), threshold=0.95).to_pandas()
+    assert len(a) >= 8  # the twins collide in their bucket
+    assert a.equals(b), (len(a), len(b))
