@@ -58,6 +58,23 @@ def extract_documents_pdf2(sf_dir: str) -> rd.Dataset:
     )
 
 
+def extract_documents_gzip(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate with HTML payloads per-record gzipped
+    (the CC WARC convention) — proves the transparent-inflate sniff in
+    ``extract_row`` preserves the identity."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        b = batch.filter(pc.equal(batch["error"], ""))
+        return b.select(["doc_id", "text"])
+
+    pages = pages_dataset_from_documents(sf_dir, html_variant="gzip")
+    return extract_pipeline(pages, spell=False).map_batches(
+        project, batch_format="pyarrow"
+    )
+
+
 def extract_stats(sf_dir: str) -> pa.Table:
     """Per-lang corpus stats of the extraction output (counts must
     match the oracle computed from the source texts)."""

@@ -30,9 +30,26 @@ from nidaba_ray.record import SPAN_TYPE
 __all__ = ["ExtractCandidates", "extract_row"]
 
 
+GZIP_MAGIC = b"\x1f\x8b"
+
+
 def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
-    """One payload → (kind, spans, error). Pure; unit-testable."""
+    """One payload → (kind, spans, error). Pure; unit-testable.
+
+    Payload dialects (sniffed in order): gzip member (transparently
+    inflated — CC WARC records are commonly per-record gzip), %PDF,
+    UTF-8 HTML, latin-1 HTML fallback (only when the decoded text has
+    unambiguous html structure — a ``<html``/``<!doctype`` marker; a
+    bare latin-1 decode never fails, so without the marker random
+    binary would stop quarantining)."""
     try:
+        if payload[:2] == GZIP_MAGIC:
+            import gzip
+
+            try:
+                payload = gzip.decompress(payload)
+            except (OSError, EOFError):
+                return "invalid", [], "gzip: corrupt stream"
         if pdfmod.is_pdf(payload):
             blocks = pdfmod.extract_pdf_blocks(payload)
             spans = [
@@ -53,8 +70,15 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
                 return "pdf", [], "pdf: no text operators found"
             return "pdf", spans, ""
         # HTML path: strict decode first — payloads that are neither PDF
-        # nor valid UTF-8 text are quarantined.
-        text = payload.decode("utf-8")
+        # nor valid UTF-8 text are quarantined (latin-1 fallback below
+        # requires unambiguous html structure).
+        try:
+            text = payload.decode("utf-8")
+        except UnicodeDecodeError:
+            text = payload.decode("latin-1")
+            low512 = text[:512].lower()
+            if "<html" not in low512 and "<!doctype" not in low512:
+                return "invalid", [], "payload is neither PDF nor valid UTF-8"
         low = text[:512].lower()
         if "<" not in text:
             return "invalid", [], "payload is not markup"

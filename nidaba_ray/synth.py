@@ -197,7 +197,8 @@ def payload_kind(doc_id: int) -> str:
 
 
 def make_page(doc_id: int, text: str, lang: str,
-              pdf_variant: str = "plain") -> dict:
+              pdf_variant: str = "plain",
+              html_variant: str = "plain") -> dict:
     kind = payload_kind(doc_id)
     if kind == "invalid":
         html = make_invalid(doc_id)
@@ -206,6 +207,12 @@ def make_page(doc_id: int, text: str, lang: str,
                 else make_pdf_flate(doc_id, text))
     else:
         html = make_html(doc_id, text, lang)
+        if html_variant == "gzip":
+            # per-record gzip (CC WARC convention); mtime=0 keeps the
+            # member bytes deterministic
+            import gzip
+
+            html = gzip.compress(html, mtime=0)
     return {
         "url": url_for(doc_id),
         "warc_ts": BASE_TS_US + doc_id * 1_000_000,
@@ -216,7 +223,8 @@ def make_page(doc_id: int, text: str, lang: str,
 
 
 def pages_batch_from_documents(batch: pa.Table,
-                               pdf_variant: str = "plain") -> pa.Table:
+                               pdf_variant: str = "plain",
+                               html_variant: str = "plain") -> pa.Table:
     """Vectorizable wrapper: a documents batch → a pages batch.
 
     Runs inside ``map_batches`` so page synthesis is itself distributed
@@ -225,7 +233,7 @@ def pages_batch_from_documents(batch: pa.Table,
     doc_ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
     langs = batch["lang"].to_pylist()
-    rows = [make_page(d, t, l, pdf_variant)
+    rows = [make_page(d, t, l, pdf_variant, html_variant)
             for d, t, l in zip(doc_ids, texts, langs)]
     return pa.table(
         {
@@ -239,19 +247,20 @@ def pages_batch_from_documents(batch: pa.Table,
     )
 
 
-def pages_dataset_from_documents(sf_dir: str, pdf_variant: str = "plain"):
+def pages_dataset_from_documents(sf_dir: str, pdf_variant: str = "plain",
+                                 html_variant: str = "plain"):
     """documents.parquet → Dataset of pages (distributed synthesis)."""
     import ray.data as rd
 
     docs = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
     )
-    if pdf_variant == "plain":
+    if pdf_variant == "plain" and html_variant == "plain":
         return docs.map_batches(
             pages_batch_from_documents, batch_format="pyarrow"
         )
     return docs.map_batches(
-        lambda b: pages_batch_from_documents(b, pdf_variant),
+        lambda b: pages_batch_from_documents(b, pdf_variant, html_variant),
         batch_format="pyarrow",
     )
 

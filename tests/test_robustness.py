@@ -68,3 +68,48 @@ def test_cross_parallelism_block_layout(ray_session, tmp_path):
             dict(zip(zip(df["url"], df["warc_ts"]), df["text"]))
         )
     assert outs[0] == outs[1]
+
+
+def test_gzip_payload_inflated():
+    import gzip
+
+    from nidaba_ray.stages.extract import extract_row
+
+    html = b"<html><body><p>gzipped page body with enough words to "\
+           b"score as the single content block here</p></body></html>"
+    kind, spans, err = extract_row(gzip.compress(html, mtime=0))
+    assert kind == "html" and err == ""
+    assert any("gzipped page body" in s["text"] for s in spans)
+    # corrupt gzip member → quarantine, not a crash
+    kind, spans, err = extract_row(b"\x1f\x8b" + b"\x00" * 20)
+    assert kind == "invalid" and "gzip" in err
+
+
+def test_latin1_fallback_requires_html_marker():
+    from nidaba_ray.stages.extract import extract_row
+
+    # latin-1 page with a non-utf8 byte (é = 0xe9) and an <html> marker
+    page = ("<html><body><p>caf\xe9 culture thrives in the old town "
+            "and the article continues for a while</p></body></html>"
+            ).encode("latin-1")
+    kind, spans, err = extract_row(page)
+    assert kind == "html" and err == ""
+    assert any("café culture" in s["text"] for s in spans)
+    # non-utf8 bytes WITHOUT html structure stay quarantined
+    kind, spans, err = extract_row(b"\xe9\xfa\xfb random binary <p not html")
+    assert kind == "invalid"
+
+
+def test_gzip_identity_through_pipeline(ray_session):
+    import duckdb
+
+    from nidaba_ray.pipelines.conformance import extract_documents_gzip
+
+    sf = "/root/testdata/sf0.001"
+    out = extract_documents_gzip(sf).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    ora = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet') "
+        f"WHERE doc_id % 97 <> 13 ORDER BY doc_id"
+    ).df()
+    assert out.equals(ora)
