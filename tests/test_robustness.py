@@ -113,3 +113,33 @@ def test_gzip_identity_through_pipeline(ray_session):
         f"WHERE doc_id % 97 <> 13 ORDER BY doc_id"
     ).df()
     assert out.equals(ora)
+
+
+def test_lang_id_discriminates_distinct_vocab():
+    """The Cavnar-Trenkle profile classifier must pick the right
+    language when the text is dominated by that language's
+    DISTINCTIVE lexicon words (the shared synth-core vocabulary is
+    deliberately excluded — on generic tokens every profile ties, which
+    is why corpus-level accuracy on the synthetic documents table is
+    uninformative; this pins the classifier mechanics instead)."""
+    import pyarrow as pa
+
+    from nidaba_ray.functions.lexicon import wordlist
+    from nidaba_ray.functions.textops import LangId
+
+    langs = ("en", "de", "es", "fr", "zh")
+    all_sets = {l: wordlist(l) for l in langs}
+    texts, want = [], []
+    for lang in langs:
+        others = set().union(*(all_sets[o] for o in langs if o != lang))
+        distinct = sorted(all_sets[lang] - others)
+        assert len(distinct) >= 3, (lang, distinct)
+        texts.append(" ".join((distinct * 4)[:12]))
+        want.append(lang)
+    batch = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(want),
+    })
+    out = LangId()(batch)
+    assert out["pred_lang"].to_pylist() == want
