@@ -257,3 +257,19 @@ def test_alto_rows_roundtrip():
     strings = root.findall(".//TextBlock/TextLine/String")
     assert [s.get("CONTENT") for s in strings] == ["alpha & beta"]
     assert strings[0].get("HPOS") == "0" and strings[0].get("VPOS") == "12"
+
+
+def test_compile_quality_hocr_chain(ray_session, tmp_path):
+    """The round-2 example spec compiles and runs end to end."""
+    import ray.data as rd
+
+    from nidaba_ray.stages.registry import compile_pipeline, load_spec
+
+    t = synth.pages_table(n=30)
+    pq.write_table(t.drop_columns(["golden", "doc_id"]),
+                   str(tmp_path / "p.parquet"))
+    spec = load_spec("/root/repo/examples/extract_quality_hocr.yaml")
+    ds = compile_pipeline(rd.read_parquet(str(tmp_path / "p.parquet")), spec)
+    df = ds.to_pandas()
+    assert set(df.columns) == {"url", "hocr"}
+    assert df["hocr"].str.contains("ocr_page").all()
