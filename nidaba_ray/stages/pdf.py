@@ -38,6 +38,7 @@ _STREAM_RE = re.compile(
     rb"<<((?:(?!<<).)*?)>>\s*stream(?:\r\n|\n|\r)(.*?)(?:\r\n|\n|\r)?endstream",
     re.S,
 )
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
 _WS_BYTES = frozenset(b" \t\r\n\f\x00")
 _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
@@ -227,10 +228,26 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
     content fragments)."""
     blocks: list[str] = []
     found = False
-    for dict_src, body in _STREAM_RE.findall(payload):
+    for m in _STREAM_RE.finditer(payload):
         found = True
+        dict_src, body = m.group(1), m.group(2)
+        is_flate = b"FlateDecode" in dict_src
+        if is_flate:
+            # honor /Length for BINARY bodies: the pattern's optional
+            # EOL before `endstream` would otherwise eat a trailing
+            # 0x0D/0x0A data byte — the exact ambiguity /Length exists
+            # to resolve (spec §7.3.8.1). Direct integer lengths only
+            # (indirect-ref lengths are outside the subset); text
+            # bodies keep the pattern capture, which tolerates files
+            # whose declared length is wrong.
+            lm = _LENGTH_RE.search(dict_src)
+            if lm:
+                start = m.start(2)
+                length = int(lm.group(1))
+                if start + length <= len(payload):
+                    body = payload[start : start + length]
         data = body
-        if b"FlateDecode" in dict_src:
+        if is_flate:
             try:
                 data = zlib.decompress(body)
             except zlib.error:

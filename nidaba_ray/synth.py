@@ -121,10 +121,13 @@ def make_pdf(doc_id: int, text: str) -> bytes:
     the same actor interface (SURVEY.md §2.2 ocr.kraken analog)."""
     body = "\n".join(f"BT /F1 12 Tf 72 {700 - 14 * i} Td ({pdf_escape(p)}) Tj ET"
                      for i, p in enumerate(paragraphs_for(doc_id, text)))
+    # /Length counts BYTES (spec) — identical to len(body) for ASCII
+    # content, so the frozen goldens (ASCII vocab) are unaffected
+    n_bytes = len(body.encode("utf-8"))
     return (
         "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
         "2 0 obj << /Type /Pages /Count 1 >> endobj\n"
-        f"3 0 obj << /Length {len(body)} >> stream\n{body}\nendstream endobj\n"
+        f"3 0 obj << /Length {n_bytes} >> stream\n{body}\nendstream endobj\n"
         "trailer << /Root 1 0 R >>\n%%EOF\n"
     ).encode("utf-8")
 

@@ -83,7 +83,11 @@ def test_align_vote_majority_wins(maj, minority):
 @settings(max_examples=100, deadline=None)
 def test_round_like_sql_properties(x, d):
     r = round_like_sql(x, d)
-    assert abs(r - x) <= 0.5 * 10.0 ** (-d) + 1e-9       # never further than half a quantum
+    # never further than half a quantum, up to the double-precision ulp
+    # of the value itself (at |x|≈2^26 an ulp is ~1.5e-8 — a fixed
+    # 1e-9 slack is too tight for large magnitudes)
+    slack = 1e-9 + 4.0 * np.spacing(abs(x) + 1.0)
+    assert abs(r - x) <= 0.5 * 10.0 ** (-d) + slack
     assert round_like_sql(r, d) == r                      # idempotent
     assert round_like_sql(-x, d) == -r                    # odd function
 
@@ -141,3 +145,20 @@ def test_round_like_sql_matches_duckdb_live(x, d):
     got = round_like_sql(x, d)
     want = duckdb.sql(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {d})").fetchone()[0]
     assert got == want, (x, d, got, want)
+
+
+@given(st.lists(st.sampled_from(
+    [f"w{i}" for i in range(60)] + ["(p)", ")q(", "a\\b", "ü", "—", "€"]
+), min_size=1, max_size=250))
+@settings(max_examples=120, deadline=None)
+def test_pdf_both_dialects_roundtrip_property(tokens):
+    """Any token text survives both PDF dialects byte-exactly:
+    paragraphs → (plain | FlateDecode) pdf bytes → parsed blocks →
+    space-join == original text."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    for maker in (synth.make_pdf, synth.make_pdf_flate):
+        got = " ".join(extract_pdf_blocks(maker(7, text)))
+        assert got == text, maker.__name__
