@@ -521,6 +521,77 @@ writer.commit_all()</pre>
          "Then enable the manifest writer so interrupted runs resume.",
          'writer = manifest(dir="out", buckets=64) writer.commit_all()'],
     ),
+    # 36. wiki-style page: infobox table is metadata, prose is content
+    _page(
+        "wiki_infobox",
+        f"""<html><body><main>
+<table class="infobox"><tr><th>Founded</th><td>1887</td></tr>
+<tr><th>Population</th><td>412,000</td></tr>
+<tr><th>Mayor</th><td>I. Example</td></tr></table>
+<p>{_P1}</p><p>{_P2}</p><p>{_P3}</p></main>{_FOOTER}</body></html>""",
+        [_P1, _P2, _P3],
+    ),
+    # 37. forum thread: the original post is content, replies are not
+    _page(
+        "forum_thread",
+        f"""<html><body><main>
+<div class="post original-post">
+<p>Has anyone measured how long the detour adds to the morning
+commute across the old bridge since the repair work started? My own
+timing over two weeks says about eleven minutes on average, and I am
+curious whether the pattern holds on the north side.</p>
+</div>
+<div class="reply"><p>About ten minutes for me, slightly worse on
+Mondays when the market traffic joins in.</p></div>
+<div class="reply"><p>Take the ferry, honestly.</p></div>
+</main>{_FOOTER}</body></html>""",
+        ["Has anyone measured how long the detour adds to the morning "
+         "commute across the old bridge since the repair work started? "
+         "My own timing over two weeks says about eleven minutes on "
+         "average, and I am curious whether the pattern holds on the "
+         "north side."],
+    ),
+    # 38. product page: description kept, commerce chrome dropped
+    _page(
+        "product_page",
+        f"""<html><body><main>
+<h2>Meridian 24 inch touring frame</h2>
+<div class="promo">Save 15 percent this week with code RIDE15</div>
+<p>The touring frame is welded from double-butted tubing and carries
+mounts for three bottle cages, front and rear racks, and full
+fenders, with clearance for forty millimeter tires.</p>
+<p>Every frame ships with a hardware kit and a ten year warranty
+against manufacturing defects, registered at purchase.</p>
+<div class="related"><h4>Customers also viewed</h4><ul>
+<li><a href="/p/2">Canyon handlebars</a></li>
+<li><a href="/p/3">Touring panniers</a></li></ul></div>
+</main>{_FOOTER}</body></html>""",
+        ["Meridian 24 inch touring frame",
+         "The touring frame is welded from double-butted tubing and "
+         "carries mounts for three bottle cages, front and rear racks, "
+         "and full fenders, with clearance for forty millimeter tires.",
+         "Every frame ships with a hardware kit and a ten year "
+         "warranty against manufacturing defects, registered at "
+         "purchase."],
+    ),
+    # 39. liveblog: every timestamped update block is content
+    _page(
+        "liveblog_updates",
+        f"""<html><body><main><article>
+<div class="update"><p>14:05 The council session opened with a roll
+call and the chair moved the budget to the top of the agenda.</p></div>
+<div class="update"><p>14:32 The first amendment on library funding
+passed by eleven votes to four after a short debate.</p></div>
+<div class="update"><p>15:10 The session adjourned; the final vote is
+scheduled for next month's meeting.</p></div>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["14:05 The council session opened with a roll call and the "
+         "chair moved the budget to the top of the agenda.",
+         "14:32 The first amendment on library funding passed by "
+         "eleven votes to four after a short debate.",
+         "15:10 The session adjourned; the final vote is scheduled "
+         "for next month's meeting."],
+    ),
 ]
 
 

@@ -71,7 +71,8 @@ _CHROME_WORDS = (
     "cookie|consent|gdpr|promo|ads?|advert|advertisement|sponsored?|"
     "share|sharing|social|related|recommended|recommendations|widget|"
     "newsletter|subscribe|signup|modal|popup|overlay|paywall|"
-    "comments?|disqus|pagination|pager|toolbar|masthead|byline|meta"
+    "comments?|disqus|pagination|pager|toolbar|masthead|byline|meta|"
+    "infobox|reply|replies"
 )
 _CHROME_CLASS = re.compile(
     rf"(?:^|[-_])(?:{_CHROME_WORDS})(?:[-_]|$)", re.IGNORECASE
