@@ -150,13 +150,17 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         ids = recs["vec_id"].to_numpy()
         norms = np.linalg.norm(m, axis=1)
         mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
-        sim = mn @ mn.T
+        # quantize BEFORE the keep decision (determinism invariant:
+        # floats feeding decisions are quantized) — also keeps this
+        # variant bit-consistent with embedding_near_dup_scalable's
+        # differently-ordered cosine kernel
+        sim = round_like_sql(mn @ mn.T, 6)
         rows = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
                 if sim[i, j] >= threshold:
                     a, b = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a, b, round_like_sql(float(sim[i, j]), 6)))
+                    rows.append((a, b, float(sim[i, j])))
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"]).astype(
             {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
         )
@@ -383,13 +387,30 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
         out_dir, partition_cols=["list_id"]
     )
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    import json
+
     with open(os.path.join(out_dir, "_IVF_DONE"), "w") as f:
-        f.write(f"{n_lists}")
+        json.dump({"n_lists": n_lists,
+                   "src": _embeddings_fingerprint(sf_dir)}, f)
     return centroids
 
 
+def _embeddings_fingerprint(sf_dir: str) -> str:
+    """Source-content stamp (size + mtime) — cheap staleness check for
+    the cached IVF index; a regenerated embeddings.parquet at the same
+    path invalidates the cache."""
+    import os
+
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
 def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
-    tag = sf_dir.strip("/").replace("/", "_")
+    import hashlib as _hl
+
+    # md5 of the absolute path — no collisions between distinct dirs
+    # whose separators happen to flatten to the same tag
+    tag = _hl.md5(sf_dir.encode("utf-8")).hexdigest()[:16]
     return f"/tmp/nidaba_ray_ivf/{tag}_L{n_lists}"
 
 
@@ -403,10 +424,25 @@ def ann_topk_ivf_partitioned(
     n_lists−n_probe lists never leave storage. Identical results to
     ann_topk_ivf (same quantizer, same probes; pinned in pytest)."""
     import glob
+    import json
     import os
+    import shutil
 
     idx = _ivf_index_dir(sf_dir, n_lists)
-    if not os.path.isfile(os.path.join(idx, "_IVF_DONE")):
+    marker = os.path.join(idx, "_IVF_DONE")
+    fresh = False
+    if os.path.isfile(marker):
+        try:
+            with open(marker) as f:
+                m = json.load(f)
+            fresh = (m.get("n_lists") == n_lists
+                     and m.get("src") == _embeddings_fingerprint(sf_dir))
+        except (json.JSONDecodeError, OSError):
+            fresh = False
+    if not fresh:
+        # stale or torn cache (crashed build leaves partial list files
+        # that a rebuild's write_parquet would ADD to) — wipe first
+        shutil.rmtree(idx, ignore_errors=True)
         build_ivf_index(sf_dir, idx, n_lists)
     centroids = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vec(sf_dir, query_vec_id)
@@ -529,18 +565,21 @@ def embedding_near_dup_scalable(
                       for x in batch["emb_a"].to_pylist()])
         b = np.stack([np.frombuffer(x, dtype=np.float64)
                       for x in batch["emb"].to_pylist()])
+        # same kernel shape as the in-bucket variant: normalize first,
+        # then dot — and quantize BEFORE the keep decision so a pair
+        # within one ulp of the threshold can't diverge between the
+        # two implementations
         na = np.linalg.norm(a, axis=1)
         nb = np.linalg.norm(b, axis=1)
-        cos = (a * b).sum(axis=1) / np.where(na * nb > 0, na * nb, 1.0)
+        an = a / np.where(na[:, None] > 0, na[:, None], 1.0)
+        bn = b / np.where(nb[:, None] > 0, nb[:, None], 1.0)
+        cos = round_like_sql((an * bn).sum(axis=1), 6)
         keep = cos >= threshold
         return pa.table(
             {
                 "vec_a": pa.array(np.asarray(batch["vec_a"])[keep], pa.int64()),
                 "vec_b": pa.array(np.asarray(batch["vec_b"])[keep], pa.int64()),
-                "cos_sim": pa.array(
-                    [round_like_sql(float(c), 6) for c in cos[keep]],
-                    pa.float64(),
-                ),
+                "cos_sim": pa.array(cos[keep], pa.float64()),
             }
         )
 

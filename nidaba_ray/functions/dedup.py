@@ -543,7 +543,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
 # Duplicate clusters (connected components over the near-dup pair graph)
 # ---------------------------------------------------------------------------
 
-def dup_clusters(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+def dup_clusters(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     """doc_id → cluster_id (min doc_id of its near-dup component).
 
     The verified MinHash pair list is tiny relative to the corpus

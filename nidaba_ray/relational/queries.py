@@ -379,7 +379,11 @@ def latest_event_per_user(sf_dir: str) -> pa.Table:
 
     reduced = _read(
         sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]
-    ).map_batches(partial_latest, batch_format="pyarrow", batch_size=65536)
+    ).map_batches(
+        partial_latest, batch_format="pyarrow", batch_size=65536
+    ).materialize()  # consumed by BOTH the aggregate and the join —
+    # without this, Ray Data (no CSE) would re-run the events scan +
+    # partial reduce twice
     maxes = reduced.groupby("user_id").aggregate(Max("_k", alias_name="_kmax"))
     joined = reduced.join(maxes, "inner", join_partitions(8), on=("user_id",))
     out = joined.map_batches(
@@ -388,6 +392,14 @@ def latest_event_per_user(sf_dir: str) -> pa.Table:
         ),
         batch_format="pyarrow",
     ).to_pandas()
+    # exact-duplicate (ts, event_id) rows arriving in different batches
+    # would both carry the max key; the oracle's row_number()=1 keeps
+    # exactly one row per user — mirror that deterministically
+    out = (
+        out.sort_values(list(out.columns))
+        .drop_duplicates(subset=["user_id"], keep="first")
+        .reset_index(drop=True)
+    )
     return pa.Table.from_pandas(out, preserve_index=False)
 
 

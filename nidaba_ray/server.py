@@ -44,6 +44,8 @@ class JobRegistry:
         self._worker.start()
 
     def submit(self, spec: dict) -> str:
+        if not isinstance(spec, dict):
+            raise ValueError("body must be a JSON object")
         if "input" not in spec or "out_dir" not in spec:
             raise ValueError("spec needs 'input' and 'out_dir'")
         job_id = uuid.uuid4().hex[:12]

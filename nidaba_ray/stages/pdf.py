@@ -38,7 +38,10 @@ _STREAM_RE = re.compile(
     rb"<<((?:(?!<<).)*?)>>\s*stream(?:\r\n|\n|\r)(.*?)(?:\r\n|\n|\r)?endstream",
     re.S,
 )
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+\d+\s+R)")
+# (?!\d) pins the capture to the FULL integer — without it the
+# indirect-ref lookahead backtracks to a digit prefix ("/Length 15 0 R"
+# would capture b"1") and mis-slice the stream body
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _WS_BYTES = frozenset(b" \t\r\n\f\x00")
 _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")

@@ -139,9 +139,14 @@ def block_quality_scores(sf_dir: str) -> pa.Table:
 
     pages = pages_dataset_from_documents(sf_dir)
     extracted = extract_pipeline(pages, spell=False)
+    # train ONCE on the driver; every actor receives the ready weights
+    # (otherwise each actor spawn would redo the identical 200-page
+    # training in its __init__)
+    weights = train_logistic(*training_blocks(200))
     scored = extracted.map_batches(
         QualityScorer, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4), num_cpus=1,
+        fn_constructor_kwargs={"weights": weights},
     )
 
     def partial(batch: pa.Table) -> pa.Table:

@@ -154,3 +154,14 @@ def test_pdf_corrupt_stream_isolated():
     )
     # the corrupt stream is skipped, the good one still extracts
     assert extract_pdf_blocks(pdf) == ["ok"]
+
+
+def test_pdf_length_regex_indirect_refs():
+    from nidaba_ray.stages.pdf import _LENGTH_RE
+
+    # direct length → full integer captured
+    assert _LENGTH_RE.search(b"<< /Length 1234 /Filter /FlateDecode >>").group(1) == b"1234"
+    # indirect reference (multi-digit object number) → NO capture; a
+    # backtracking bug used to capture the digit prefix b"1"
+    assert _LENGTH_RE.search(b"<< /Length 15 0 R /Filter /FlateDecode >>") is None
+    assert _LENGTH_RE.search(b"<< /Length 7 0 R >>") is None

@@ -93,3 +93,10 @@ def test_bad_requests_and_error_isolation(ray_session, server, tmp_path):
     assert rec["state"] == "error" and rec["error"]
     code, h = _get(server + "/health")
     assert code == 200
+
+
+def test_non_dict_json_body_is_400(ray_session, server):
+    code, r = _post(server + "/jobs", 5)
+    assert code == 400
+    code, r = _post(server + "/jobs", ["input", "out_dir"])
+    assert code == 400
