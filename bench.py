@@ -36,6 +36,7 @@ TIMED_QUERIES = [
     "filter_high_value",
     "join_customer_orders",
     "join_lineitem_orders",
+    "q3_shipping_priority",
     "topk_orders",
     "events_hourly",
     "latest_event_per_user",

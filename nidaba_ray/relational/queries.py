@@ -564,3 +564,107 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 analog — the 3-way join composed the scale-correct way
+# ---------------------------------------------------------------------------
+
+Q3_CUTOFF = pd.Timestamp("1997-01-01")
+Q3_SEGMENT = "BUILDING"
+Q3_K = 10
+
+
+def q3_shipping_priority(sf_dir: str) -> pa.Table:
+    """customer ⋈ orders ⋈ lineitem → top-K orders by revenue.
+
+    Composition (each leg the cheapest shape for its side):
+      1. lineitem (the big side) pre-aggregates revenue per order
+         INSIDE map_batches, so the one groupby shuffle moves
+         (l_orderkey, partial_sum) — never line items;
+      2. customer is a broadcast semi-filter (BUILDING custkeys via
+         ray.put) applied to orders — no customer shuffle at all;
+      3. the surviving (o_orderkey, o_orderdate) rows hash-join the
+         per-order revenue table (partitions clamped to the cluster);
+      4. top-K is per-batch partial top-K merged on the driver
+         (≤ K rows per batch) — the corpus is never sorted."""
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(Q3_CUTOFF, pa.timestamp("us"))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        df = pa.table({"l_orderkey": b["l_orderkey"],
+                       "rev": rev}).to_pandas()
+        g = df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
+
+    keys = set(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(
+            lambda t: t.filter(
+                pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"]),
+            batch_format="pyarrow",
+        )
+        .unique("c_custkey")
+    )
+    keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+
+    def orders_filter(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.less(batch["o_orderdate"], cutoff))
+        b = b.filter(pc.is_in(b["o_custkey"], ray.get(keys_ref)))
+        return b.select(["o_orderkey", "o_orderdate"])
+
+    ords = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(orders_filter, batch_format="pyarrow")
+
+    joined = rev.join(
+        ords, "inner", join_partitions(8),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = round_like_sql(df["rev"], 2)
+        df = df.sort_values(
+            ["revenue", "o_orderdate", "l_orderkey"],
+            ascending=[False, True, True],
+        ).head(Q3_K)
+        return pa.Table.from_pandas(
+            df[["l_orderkey", "revenue", "o_orderdate"]], preserve_index=False
+        )
+
+    parts = joined.map_batches(
+        topk_partial, batch_format="pyarrow"
+    ).to_pandas()  # ≤ K rows per batch
+    out = parts.sort_values(
+        ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
+    ).head(Q3_K).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q3_SQL = f"""
+SELECT l_orderkey,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate  > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT {Q3_K}
+"""
