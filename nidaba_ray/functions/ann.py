@@ -125,6 +125,14 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def _cos6(an_i: np.ndarray, bn_j: np.ndarray) -> float:
+    """Canonical quantized pair cosine — ONE kernel shared by both
+    near-dup variants (np.dot over pre-normalized rows, rounded to 6
+    decimals BEFORE any keep decision), so a pair within one ulp of a
+    rounding boundary cannot diverge between implementations."""
+    return float(round_like_sql(float(np.dot(an_i, bn_j)), 6))
+
+
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     """Embedding-cosine near-dup pairs via LSH blocking: vectors
     sharing a bucket are candidates; exact cosine verifies. The
@@ -150,17 +158,13 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         ids = recs["vec_id"].to_numpy()
         norms = np.linalg.norm(m, axis=1)
         mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
-        # quantize BEFORE the keep decision (determinism invariant:
-        # floats feeding decisions are quantized) — also keeps this
-        # variant bit-consistent with embedding_near_dup_scalable's
-        # differently-ordered cosine kernel
-        sim = round_like_sql(mn @ mn.T, 6)
         rows = []
         for i in range(len(ids)):
             for j in range(i + 1, len(ids)):
-                if sim[i, j] >= threshold:
+                c = _cos6(mn[i], mn[j])  # shared canonical kernel
+                if c >= threshold:
                     a, b = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a, b, float(sim[i, j])))
+                    rows.append((a, b, c))
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"]).astype(
             {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
         )
@@ -407,11 +411,16 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
 
 def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
     import hashlib as _hl
+    import os
+    import tempfile
 
     # md5 of the absolute path — no collisions between distinct dirs
-    # whose separators happen to flatten to the same tag
+    # whose separators happen to flatten to the same tag; per-uid base
+    # dir so shared machines never hit cross-user permission errors
     tag = _hl.md5(sf_dir.encode("utf-8")).hexdigest()[:16]
-    return f"/tmp/nidaba_ray_ivf/{tag}_L{n_lists}"
+    base = os.path.join(tempfile.gettempdir(),
+                        f"nidaba_ray_ivf_{os.getuid()}")
+    return os.path.join(base, f"{tag}_L{n_lists}")
 
 
 def ann_topk_ivf_partitioned(
@@ -440,10 +449,19 @@ def ann_topk_ivf_partitioned(
         except (json.JSONDecodeError, OSError):
             fresh = False
     if not fresh:
-        # stale or torn cache (crashed build leaves partial list files
-        # that a rebuild's write_parquet would ADD to) — wipe first
+        # build into a scratch dir, then atomically rename into place:
+        # a crashed build never leaves a torn index at the final path,
+        # and a concurrent builder losing the rename race just discards
+        # its scratch (readers only ever see complete indexes)
+        import uuid
+
+        tmp = f"{idx}.build-{uuid.uuid4().hex[:8]}"
+        build_ivf_index(sf_dir, tmp, n_lists)
         shutil.rmtree(idx, ignore_errors=True)
-        build_ivf_index(sf_dir, idx, n_lists)
+        try:
+            os.rename(tmp, idx)
+        except OSError:  # another builder won — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     centroids = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
@@ -561,19 +579,21 @@ def embedding_near_dup_scalable(
     )
 
     def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # np.stack rejects empty input
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "cos_sim": pa.array([], pa.float64())})
         a = np.stack([np.frombuffer(x, dtype=np.float64)
                       for x in batch["emb_a"].to_pylist()])
         b = np.stack([np.frombuffer(x, dtype=np.float64)
                       for x in batch["emb"].to_pylist()])
-        # same kernel shape as the in-bucket variant: normalize first,
-        # then dot — and quantize BEFORE the keep decision so a pair
-        # within one ulp of the threshold can't diverge between the
-        # two implementations
+        # the SAME canonical kernel as the in-bucket variant (_cos6):
+        # normalize, per-pair np.dot, quantize before the decision
         na = np.linalg.norm(a, axis=1)
         nb = np.linalg.norm(b, axis=1)
         an = a / np.where(na[:, None] > 0, na[:, None], 1.0)
         bn = b / np.where(nb[:, None] > 0, nb[:, None], 1.0)
-        cos = round_like_sql((an * bn).sum(axis=1), 6)
+        cos = np.array([_cos6(an[i], bn[i]) for i in range(len(an))])
         keep = cos >= threshold
         return pa.table(
             {

@@ -23,17 +23,21 @@ def _extracted(sf_dir: str, spell: bool = False) -> rd.Dataset:
     return extract_pipeline(pages, spell=spell)
 
 
+def _project_identity(batch: pa.Table) -> pa.Table:
+    """Non-quarantined (doc_id, text) rows — the identity-gate
+    projection shared by every extraction-dialect query."""
+    import pyarrow.compute as pc
+
+    b = batch.filter(pc.equal(batch["error"], ""))
+    return b.select(["doc_id", "text"])
+
+
 def extract_documents(sf_dir: str) -> rd.Dataset:
     """Full pipeline; returns (doc_id, text) for non-quarantined rows.
     Byte-identity gate: text must equal documents.text exactly."""
-
-    def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = batch.filter(pc.equal(batch["error"], ""))
-        return b.select(["doc_id", "text"])
-
-    return _extracted(sf_dir).map_batches(project, batch_format="pyarrow")
+    return _extracted(sf_dir).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
 
 
 EXTRACT_SQL = "SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 13"
@@ -45,16 +49,9 @@ def extract_documents_pdf2(sf_dir: str) -> rd.Dataset:
     line operators, synth.make_pdf_flate) — proves the real PDF subset
     parser (stages/pdf.py) preserves the identity, not just the plain
     ``(..) Tj`` dialect."""
-
-    def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = batch.filter(pc.equal(batch["error"], ""))
-        return b.select(["doc_id", "text"])
-
     pages = pages_dataset_from_documents(sf_dir, pdf_variant="flate")
     return extract_pipeline(pages, spell=False).map_batches(
-        project, batch_format="pyarrow"
+        _project_identity, batch_format="pyarrow"
     )
 
 
@@ -62,16 +59,9 @@ def extract_documents_gzip(sf_dir: str) -> rd.Dataset:
     """Same byte-identity gate with HTML payloads per-record gzipped
     (the CC WARC convention) — proves the transparent-inflate sniff in
     ``extract_row`` preserves the identity."""
-
-    def project(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        b = batch.filter(pc.equal(batch["error"], ""))
-        return b.select(["doc_id", "text"])
-
     pages = pages_dataset_from_documents(sf_dir, html_variant="gzip")
     return extract_pipeline(pages, spell=False).map_batches(
-        project, batch_format="pyarrow"
+        _project_identity, batch_format="pyarrow"
     )
 
 

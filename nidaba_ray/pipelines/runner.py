@@ -42,9 +42,12 @@ def run_job(
 
     if len(done) == n_buckets:
         # nothing to do — skip the read entirely (a no-op resume must
-        # not pay a full input scan + actor-pool spin-up)
+        # not pay a full input scan + actor-pool spin-up). Summary
+        # schema matches the other return paths; 0 pruned because no
+        # read happened at all.
         return {"processed_buckets": 0, "skipped_buckets": n_buckets,
-                "n_rows": 0, "n_quarantined": 0}
+                "n_rows": 0, "n_quarantined": 0,
+                "pruned_input_buckets": 0}
 
     # Crash safety: a bucket without a manifest may hold TORN data from
     # an interrupted run; appending a rerun's rows would duplicate.

@@ -368,12 +368,14 @@ def latest_event_per_user(sf_dir: str) -> pa.Table:
 
     def partial_latest(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        # epoch-µs and event_id are non-negative, so zero-padded
-        # fixed-width concatenation preserves (ts, event_id) order
-        df["_k"] = (
-            df["ts"].astype("int64").map("{:020d}".format)
-            + ":" + df["event_id"].map("{:012d}".format)
-        )
+        # sign-bit XOR maps int64 to uint64 ORDER-PRESERVINGLY, so the
+        # fixed 20-digit zero-padded key covers the ENTIRE int64 range
+        # (negatives included) with lexicographic == numeric order —
+        # no width/sign assumptions on ts or event_id
+        sign = np.uint64(1 << 63)
+        ts_u = df["ts"].astype("int64").to_numpy().view(np.uint64) ^ sign
+        ev_u = df["event_id"].astype("int64").to_numpy().view(np.uint64) ^ sign
+        df["_k"] = [f"{a:020d}:{b:020d}" for a, b in zip(ts_u, ev_u)]
         df = df.sort_values("_k").groupby("user_id", as_index=False).tail(1)
         return pa.Table.from_pandas(df, preserve_index=False)
 

@@ -21,9 +21,42 @@ __all__ = [
     "span_features",
     "train_logistic",
     "training_blocks",
+    "default_weights",
     "QualityScorer",
     "block_quality_scores",
 ]
+
+# bump when training data/features change — invalidates the weight cache
+_WEIGHTS_VERSION = "v1"
+
+
+def default_weights(train_pages: int = 200) -> np.ndarray:
+    """Deterministic trained weights with a per-user tmpdir cache:
+    training is deterministic, so at most one actor/process per
+    machine pays the 200-page training; everyone else loads the
+    atomically-written cache file. This keeps registry-spawned
+    QualityScorer actors (which get no explicit weights) from each
+    redoing the identical training in ``__init__``."""
+    import os
+    import tempfile
+
+    cache_dir = os.path.join(tempfile.gettempdir(),
+                             f"nidaba_ray_quality_{os.getuid()}")
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(
+        cache_dir, f"logistic_{_WEIGHTS_VERSION}_p{train_pages}.npy"
+    )
+    if os.path.isfile(path):
+        try:
+            return np.load(path)
+        except (OSError, ValueError):
+            pass  # torn write from a crashed process — retrain
+    w = train_logistic(*training_blocks(train_pages))
+    tmp = f"{path}.tmp-{os.getpid()}"
+    with open(tmp, "wb") as f:
+        np.save(f, w)
+    os.replace(tmp, path)
+    return w
 
 _KINDS = ("p", "li", "td", "pre", "div")
 N_FEATURES = 4 + len(_KINDS) + 1  # structural + kind flags + bias
@@ -103,7 +136,7 @@ class QualityScorer:
     def __init__(self, weights: np.ndarray | None = None,
                  train_pages: int = 200) -> None:
         self.w = (np.asarray(weights, dtype=np.float64) if weights is not None
-                  else train_logistic(*training_blocks(train_pages)))
+                  else default_weights(train_pages))
 
     def _prob(self, span: dict) -> float:
         f = np.append(span_features(span), 1.0)
@@ -139,10 +172,9 @@ def block_quality_scores(sf_dir: str) -> pa.Table:
 
     pages = pages_dataset_from_documents(sf_dir)
     extracted = extract_pipeline(pages, spell=False)
-    # train ONCE on the driver; every actor receives the ready weights
-    # (otherwise each actor spawn would redo the identical 200-page
-    # training in its __init__)
-    weights = train_logistic(*training_blocks(200))
+    # train ONCE on the driver (tmpdir-cached across invocations);
+    # every actor receives the ready weights
+    weights = default_weights(200)
     scored = extracted.map_batches(
         QualityScorer, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4), num_cpus=1,
