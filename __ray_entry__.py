@@ -45,6 +45,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": rel.join_customer_orders,
         "join_lineitem_orders": rel.join_lineitem_orders,
         "q3_shipping_priority": rel.q3_shipping_priority,
+        "q5_local_supplier_volume": rel.q5_local_supplier_volume,
         "topk_orders": rel.topk_orders,
         "customers_with_orders": rel.customers_with_orders,
         "customers_without_orders": rel.customers_without_orders,
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "join_customer_orders": rel.JOIN_CUSTOMER_SQL,
         "join_lineitem_orders": rel.JOIN_LARGE_SQL,
         "q3_shipping_priority": rel.Q3_SQL,
+        "q5_local_supplier_volume": rel.Q5_SQL,
         "topk_orders": rel.TOPK_SQL,
         "customers_with_orders": rel.SEMI_JOIN_SQL,
         "customers_without_orders": rel.ANTI_JOIN_SQL,

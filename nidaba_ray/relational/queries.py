@@ -670,3 +670,109 @@ GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT {Q3_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 analog — star join via chained dimension broadcasts
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_FROM = pd.Timestamp("1996-01-01")
+Q5_TO = pd.Timestamp("1997-01-01")
+
+
+def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
+    """Six-table star join, composed as ONE fact-fact hash join plus
+    chained broadcast lookups — the 100 TB plan for star schemas:
+
+      * region→nation→supplier/customer are DIMENSIONS: the ASIA
+        nation-key set, the supplier→nation and customer→nation maps
+        and the nation names ship once via ray.put and are read inside
+        every map task (zero dimension shuffles);
+      * lineitem ⋈ date-filtered orders is the only shuffle (hash join
+        on orderkey, partitions clamped to the cluster);
+      * the local-supplier predicate (c_nationkey = s_nationkey) and
+        the per-nation revenue rollup run vectorized per batch, so the
+        final groupby moves ≤ n_nations rows per block."""
+    from ray.data.aggregate import Sum
+
+    # --- dimension broadcasts (all tiny)
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    rkeys = set(region.loc[region["r_name"] == Q5_REGION, "r_regionkey"])
+    nation = _read(
+        sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas()
+    nation = nation[nation["n_regionkey"].isin(rkeys)]
+    nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    supp = supp[supp["s_nationkey"].isin(nation_names)]
+    supp_nation_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    cust_nation_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
+    names_ref = ray.put(nation_names)
+
+    lo = pa.scalar(Q5_FROM, pa.timestamp("us"))
+    hi = pa.scalar(Q5_TO, pa.timestamp("us"))
+
+    ords = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                    pc.less(t["o_orderdate"], hi))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+    )
+    line = _read(
+        sf_dir, "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+    joined = line.join(
+        ords, "inner", join_partitions(8),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s_map = ray.get(supp_nation_ref)
+        c_map = ray.get(cust_nation_ref)
+        df = batch.to_pandas()
+        s_nat = df["l_suppkey"].map(s_map)          # NaN → non-ASIA supplier
+        c_nat = df["o_custkey"].map(c_map)
+        keep = s_nat.notna() & (s_nat == c_nat)     # local-supplier predicate
+        df = df[keep]
+        df = df.assign(
+            nationkey=s_nat[keep].astype("int64"),
+            rev=df["l_extendedprice"] * (1.0 - df["l_discount"]),
+        )
+        g = df.groupby("nationkey", as_index=False).agg(rev=("rev", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("nationkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+        .to_pandas()  # ≤ n_nations rows
+    )
+    names = {k: v for k, v in nation_names.items()}
+    agg["n_name"] = agg["nationkey"].map(names).astype("string")
+    agg["revenue"] = round_like_sql(agg["rev"], 2)
+    out = agg[["n_name", "revenue"]].sort_values(
+        ["revenue", "n_name"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+Q5_SQL = f"""
+SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
