@@ -693,7 +693,13 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
         on orderkey, partitions clamped to the cluster);
       * the local-supplier predicate (c_nationkey = s_nationkey) and
         the per-nation revenue rollup run vectorized per batch, so the
-        final groupby moves ≤ n_nations rows per block."""
+        final groupby moves ≤ n_nations rows per block.
+
+    Honest scale caveat: supplier/nation/region are genuinely tiny,
+    but customer grows with the corpus — when the customer→nation map
+    stops fitting the object store comfortably, orders ⋈ customer
+    becomes a second clamped hash join (the Q3 shape) and everything
+    else here is unchanged."""
     from ray.data.aggregate import Sum
 
     # --- dimension broadcasts (all tiny)
