@@ -125,12 +125,15 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
-def _cos6(an_i: np.ndarray, bn_j: np.ndarray) -> float:
-    """Canonical quantized pair cosine — ONE kernel shared by both
-    near-dup variants (np.dot over pre-normalized rows, rounded to 6
-    decimals BEFORE any keep decision), so a pair within one ulp of a
-    rounding boundary cannot diverge between implementations."""
-    return float(round_like_sql(float(np.dot(an_i, bn_j)), 6))
+def _pair_cos6(an_rows: np.ndarray, bn_rows: np.ndarray) -> np.ndarray:
+    """Canonical quantized pair cosine — ONE vectorized kernel shared
+    by both near-dup variants (row-wise einsum over pre-normalized
+    rows, rounded to 6 decimals BEFORE any keep decision), so a pair
+    within one ulp of a rounding boundary cannot diverge between
+    implementations, and skewed buckets don't pay a Python loop."""
+    if len(an_rows) == 0:
+        return np.zeros(0)
+    return round_like_sql(np.einsum("ij,ij->i", an_rows, bn_rows), 6)
 
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
@@ -158,13 +161,13 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         ids = recs["vec_id"].to_numpy()
         norms = np.linalg.norm(m, axis=1)
         mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        cos = _pair_cos6(mn[iu], mn[ju])  # shared canonical kernel
         rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                c = _cos6(mn[i], mn[j])  # shared canonical kernel
-                if c >= threshold:
-                    a, b = sorted((int(ids[i]), int(ids[j])))
-                    rows.append((a, b, c))
+        for i, j, c in zip(iu, ju, cos):
+            if c >= threshold:
+                a, b = sorted((int(ids[i]), int(ids[j])))
+                rows.append((a, b, float(c)))
         return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cos_sim"]).astype(
             {"vec_a": "int64", "vec_b": "int64", "cos_sim": "float64"}
         )
@@ -414,10 +417,13 @@ def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
     import os
     import tempfile
 
-    # md5 of the absolute path — no collisions between distinct dirs
-    # whose separators happen to flatten to the same tag; per-uid base
-    # dir so shared machines never hit cross-user permission errors
-    tag = _hl.md5(sf_dir.encode("utf-8")).hexdigest()[:16]
+    # md5 of the REAL path — trailing-slash/relative aliases of the
+    # same directory share one cache; no collisions between distinct
+    # dirs whose separators happen to flatten to the same tag; per-uid
+    # base so shared machines never hit cross-user permission errors
+    tag = _hl.md5(
+        os.path.realpath(sf_dir).encode("utf-8")
+    ).hexdigest()[:16]
     base = os.path.join(tempfile.gettempdir(),
                         f"nidaba_ray_ivf_{os.getuid()}")
     return os.path.join(base, f"{tag}_L{n_lists}")
@@ -435,33 +441,41 @@ def ann_topk_ivf_partitioned(
     import glob
     import json
     import os
-    import shutil
 
-    idx = _ivf_index_dir(sf_dir, n_lists)
-    marker = os.path.join(idx, "_IVF_DONE")
-    fresh = False
-    if os.path.isfile(marker):
+    # versioned-dir + pointer-file layout: the base dir holds
+    # CURRENT.json (atomic os.replace) naming a complete versioned
+    # index subdir. Builders never delete what a reader might hold —
+    # they install a NEW version and swap the pointer; stale versions
+    # are garbage-collected only once unreferenced by the pointer.
+    base = _ivf_index_dir(sf_dir, n_lists)
+    pointer = os.path.join(base, "CURRENT.json")
+    want_src = _embeddings_fingerprint(sf_dir)
+    idx = None
+    if os.path.isfile(pointer):
         try:
-            with open(marker) as f:
-                m = json.load(f)
-            fresh = (m.get("n_lists") == n_lists
-                     and m.get("src") == _embeddings_fingerprint(sf_dir))
-        except (json.JSONDecodeError, OSError):
-            fresh = False
-    if not fresh:
-        # build into a scratch dir, then atomically rename into place:
-        # a crashed build never leaves a torn index at the final path,
-        # and a concurrent builder losing the rename race just discards
-        # its scratch (readers only ever see complete indexes)
+            with open(pointer) as f:
+                cur = json.load(f)
+            if cur.get("n_lists") == n_lists and cur.get("src") == want_src:
+                cand = os.path.join(base, cur["dir"])
+                if os.path.isfile(os.path.join(cand, "_IVF_DONE")):
+                    idx = cand
+        except (json.JSONDecodeError, OSError, KeyError):
+            idx = None
+    if idx is None:
+        import shutil
         import uuid
 
-        tmp = f"{idx}.build-{uuid.uuid4().hex[:8]}"
-        build_ivf_index(sf_dir, tmp, n_lists)
-        shutil.rmtree(idx, ignore_errors=True)
-        try:
-            os.rename(tmp, idx)
-        except OSError:  # another builder won — use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+        vname = f"v-{uuid.uuid4().hex[:8]}"
+        idx = os.path.join(base, vname)
+        build_ivf_index(sf_dir, idx, n_lists)
+        tmp_ptr = f"{pointer}.tmp-{os.getpid()}"
+        with open(tmp_ptr, "w") as f:
+            json.dump({"dir": vname, "n_lists": n_lists, "src": want_src}, f)
+        os.replace(tmp_ptr, pointer)  # atomic pointer swap
+        # best-effort GC of versions the pointer no longer references
+        for d in os.listdir(base):
+            if d.startswith("v-") and d != vname:
+                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
     centroids = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
@@ -587,13 +601,14 @@ def embedding_near_dup_scalable(
                       for x in batch["emb_a"].to_pylist()])
         b = np.stack([np.frombuffer(x, dtype=np.float64)
                       for x in batch["emb"].to_pylist()])
-        # the SAME canonical kernel as the in-bucket variant (_cos6):
-        # normalize, per-pair np.dot, quantize before the decision
+        # the SAME canonical kernel as the in-bucket variant
+        # (_pair_cos6): normalize, row-wise einsum, quantize before
+        # the decision
         na = np.linalg.norm(a, axis=1)
         nb = np.linalg.norm(b, axis=1)
         an = a / np.where(na[:, None] > 0, na[:, None], 1.0)
         bn = b / np.where(nb[:, None] > 0, nb[:, None], 1.0)
-        cos = np.array([_cos6(an[i], bn[i]) for i in range(len(an))])
+        cos = _pair_cos6(an, bn)
         keep = cos >= threshold
         return pa.table(
             {

@@ -130,13 +130,18 @@ def assign_offsets(spans: list[dict]) -> list[dict]:
     return spans
 
 
-def spans_to_jsonl(url: str, lang: str, spans: list[dict], provenance: list[dict]) -> str:
-    """One JSON object per record — the hOCR/ALTO-dialect analog sink."""
+def spans_to_jsonl(url: str, lang: str, spans: list[dict],
+                   provenance: list[dict],
+                   warc_ts_us: int | None = None) -> str:
+    """One JSON object per record — the hOCR/ALTO-dialect analog sink.
+    ``warc_ts_us`` (epoch microseconds) rides along when the source
+    carried a crawl timestamp, so a JSONL re-ingest keeps the
+    keep-latest tie-break usable."""
+    d = {"url": url, "lang": lang, "spans": spans, "provenance": provenance}
+    if warc_ts_us is not None:
+        d["warc_ts_us"] = int(warc_ts_us)
     return json.dumps(
-        {"url": url, "lang": lang, "spans": spans, "provenance": provenance},
-        sort_keys=True,
-        ensure_ascii=False,
-        separators=(",", ":"),
+        d, sort_keys=True, ensure_ascii=False, separators=(",", ":"),
     )
 
 

@@ -636,7 +636,15 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
+    _Q3_EMPTY = pa.table({
+        "l_orderkey": pa.array([], pa.int64()),
+        "revenue": pa.array([], pa.float64()),
+        "o_orderdate": pa.array([], pa.timestamp("us")),
+    })
+
     def topk_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # schema-less empty batches
+            return _Q3_EMPTY
         df = batch.to_pandas()
         df["revenue"] = round_like_sql(df["rev"], 2)
         df = df.sort_values(
@@ -650,6 +658,8 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
     parts = joined.map_batches(
         topk_partial, batch_format="pyarrow"
     ).to_pandas()  # ≤ K rows per batch
+    if "revenue" not in parts.columns:  # nothing survived the filters
+        return _Q3_EMPTY
     out = parts.sort_values(
         ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
     ).head(Q3_K).reset_index(drop=True)
@@ -711,11 +721,24 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
     nation = nation[nation["n_regionkey"].isin(rkeys)]
     nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
-    supp = supp[supp["s_nationkey"].isin(nation_names)]
-    supp_nation_ref = ray.put(dict(zip(supp["s_suppkey"], supp["s_nationkey"])))
+    supp = supp[supp["s_nationkey"].isin(nation_names)].sort_values("s_suppkey")
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust_nation_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_nationkey"])))
-    names_ref = ray.put(nation_names)
+    cust = cust.sort_values("c_custkey")
+    # broadcast sorted numpy key/value ARRAYS, not dicts: ray.get of a
+    # numpy array is zero-copy from the object store, while a dict
+    # would be re-deserialized per batch; lookup = searchsorted
+    supp_k = ray.put(supp["s_suppkey"].to_numpy(np.int64))
+    supp_v = ray.put(supp["s_nationkey"].to_numpy(np.int64))
+    cust_k = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    cust_v = ray.put(cust["c_nationkey"].to_numpy(np.int64))
+
+    def _lookup(keys_arr, vals_arr, q: np.ndarray):
+        """Sorted-array map: returns (values, found_mask)."""
+        if len(keys_arr) == 0:
+            return np.zeros(len(q), dtype=np.int64), np.zeros(len(q), bool)
+        pos = np.clip(np.searchsorted(keys_arr, q), 0, len(keys_arr) - 1)
+        found = keys_arr[pos] == q
+        return vals_arr[pos], found
 
     lo = pa.scalar(Q5_FROM, pa.timestamp("us"))
     hi = pa.scalar(Q5_TO, pa.timestamp("us"))
@@ -739,17 +762,19 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
     )
 
     def partial(batch: pa.Table) -> pa.Table:
-        s_map = ray.get(supp_nation_ref)
-        c_map = ray.get(cust_nation_ref)
-        df = batch.to_pandas()
-        s_nat = df["l_suppkey"].map(s_map)          # NaN → non-ASIA supplier
-        c_nat = df["o_custkey"].map(c_map)
-        keep = s_nat.notna() & (s_nat == c_nat)     # local-supplier predicate
-        df = df[keep]
-        df = df.assign(
-            nationkey=s_nat[keep].astype("int64"),
-            rev=df["l_extendedprice"] * (1.0 - df["l_discount"]),
-        )
+        sk, sv = ray.get(supp_k), ray.get(supp_v)   # zero-copy arrays
+        ck, cv = ray.get(cust_k), ray.get(cust_v)
+        if batch.num_rows == 0 or len(sk) == 0:
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        supp_q = batch["l_suppkey"].to_numpy(zero_copy_only=False)
+        cust_q = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        s_nat, s_ok = _lookup(sk, sv, supp_q)       # miss → non-ASIA supplier
+        c_nat, c_ok = _lookup(ck, cv, cust_q)
+        keep = s_ok & c_ok & (s_nat == c_nat)       # local-supplier predicate
+        rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+               * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))
+        df = pd.DataFrame({"nationkey": s_nat[keep], "rev": rev[keep]})
         g = df.groupby("nationkey", as_index=False).agg(rev=("rev", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -759,8 +784,10 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
         .aggregate(Sum("rev", alias_name="rev"))
         .to_pandas()  # ≤ n_nations rows
     )
-    names = {k: v for k, v in nation_names.items()}
-    agg["n_name"] = agg["nationkey"].map(names).astype("string")
+    if "nationkey" not in agg.columns:  # nothing survived the filters
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue": pa.array([], pa.float64())})
+    agg["n_name"] = agg["nationkey"].map(nation_names).astype("string")
     agg["revenue"] = round_like_sql(agg["rev"], 2)
     out = agg[["n_name", "revenue"]].sort_values(
         ["revenue", "n_name"], ascending=[False, True]

@@ -25,8 +25,10 @@ __all__ = ["records_from_json_column", "read_extracted_jsonl"]
 def records_from_json_column(batch: pa.Table, column: str = "json") -> pa.Table:
     """Parse serialized record strings back into canonical columns.
     The ``text`` column is reconstructed from the kept spans (the
-    reading-order join the pipeline itself produces)."""
-    urls, langs, texts, spans_col, provs = [], [], [], [], []
+    reading-order join the pipeline itself produces); ``warc_ts`` is
+    restored (null for records serialized without one) so downstream
+    keep-latest logic still works on re-ingested data."""
+    urls, langs, texts, spans_col, provs, tss = [], [], [], [], [], []
     for line in batch[column].to_pylist():
         d = json.loads(line)
         urls.append(d["url"])
@@ -35,9 +37,11 @@ def records_from_json_column(batch: pa.Table, column: str = "json") -> pa.Table:
         spans_col.append(spans)
         texts.append(SPAN_SEP.join(s["text"] for s in spans))
         provs.append(d.get("provenance") or [])
+        tss.append(d.get("warc_ts_us"))
     return pa.table(
         {
             "url": pa.array(urls, pa.string()),
+            "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
             "lang": pa.array(langs, pa.string()),
             "text": pa.array(texts, pa.string()),
             "spans": pa.array(spans_col, SPAN_TYPE),

@@ -233,29 +233,32 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
     found = False
     for m in _STREAM_RE.finditer(payload):
         found = True
-        dict_src, body = m.group(1), m.group(2)
+        dict_src, captured = m.group(1), m.group(2)
         is_flate = b"FlateDecode" in dict_src
-        if is_flate:
-            # honor /Length for BINARY bodies: the pattern's optional
-            # EOL before `endstream` would otherwise eat a trailing
-            # 0x0D/0x0A data byte — the exact ambiguity /Length exists
-            # to resolve (spec §7.3.8.1). Direct integer lengths only
-            # (indirect-ref lengths are outside the subset); text
-            # bodies keep the pattern capture, which tolerates files
-            # whose declared length is wrong.
-            lm = _LENGTH_RE.search(dict_src)
-            if lm:
-                start = m.start(2)
-                length = int(lm.group(1))
-                if start + length <= len(payload):
-                    body = payload[start : start + length]
-        data = body
-        if is_flate:
+        if not is_flate:
+            blocks.extend(_parse_content(captured))
+            continue
+        # honor /Length for BINARY bodies: the pattern's optional EOL
+        # before `endstream` would otherwise eat a trailing 0x0D/0x0A
+        # data byte — the exact ambiguity /Length exists to resolve
+        # (spec §7.3.8.1). Direct integer lengths only. Try the
+        # declared slice FIRST, then the pattern capture (tolerates
+        # the common malformation of an under-declared /Length —
+        # zlib ignores trailing bytes), and skip only if both fail.
+        candidates = []
+        lm = _LENGTH_RE.search(dict_src)
+        if lm:
+            start = m.start(2)
+            length = int(lm.group(1))
+            if start + length <= len(payload):
+                candidates.append(payload[start : start + length])
+        candidates.append(captured)
+        for body in candidates:
             try:
-                data = zlib.decompress(body)
+                blocks.extend(_parse_content(zlib.decompress(body)))
+                break
             except zlib.error:
                 continue
-        blocks.extend(_parse_content(data))
     if not found:
         blocks = _parse_content(payload)
     return blocks

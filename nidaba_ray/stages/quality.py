@@ -26,8 +26,20 @@ __all__ = [
     "block_quality_scores",
 ]
 
-# bump when training data/features change — invalidates the weight cache
-_WEIGHTS_VERSION = "v1"
+def _weights_fingerprint() -> str:
+    """Content fingerprint for the weight cache key: md5 of this
+    module's and the synth generator's source bytes — any change to
+    features, training data or generator invalidates the cache
+    automatically (no human version bump to forget)."""
+    import hashlib
+
+    from nidaba_ray import synth as _synth
+
+    h = hashlib.md5()
+    for mod_file in (__file__, _synth.__file__):
+        with open(mod_file, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
 
 
 def default_weights(train_pages: int = 200) -> np.ndarray:
@@ -44,7 +56,7 @@ def default_weights(train_pages: int = 200) -> np.ndarray:
                              f"nidaba_ray_quality_{os.getuid()}")
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(
-        cache_dir, f"logistic_{_WEIGHTS_VERSION}_p{train_pages}.npy"
+        cache_dir, f"logistic_{_weights_fingerprint()}_p{train_pages}.npy"
     )
     if os.path.isfile(path):
         try:

@@ -20,8 +20,11 @@ __all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
-    """One JSON document per row (url, lang, spans, provenance) — the
-    structured-dialect serialization."""
+    """One JSON document per row (url, lang, spans, provenance, and
+    warc_ts when the source carries it) — the structured-dialect
+    serialization."""
+    import pyarrow.compute as pc
+
     urls = batch["url"].to_pylist()
     langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
     spans = batch["spans"].to_pylist()
@@ -30,9 +33,13 @@ def to_jsonl_rows(batch: pa.Table) -> pa.Table:
         if "provenance" in batch.column_names
         else [[] for _ in urls]
     )
+    if "warc_ts" in batch.column_names:
+        ts_us = pc.cast(batch["warc_ts"], pa.int64()).to_pylist()
+    else:
+        ts_us = [None] * len(urls)
     lines = [
-        spans_to_jsonl(u, l or "", s or [], p or [])
-        for u, l, s, p in zip(urls, langs, spans, provs)
+        spans_to_jsonl(u, l or "", s or [], p or [], t)
+        for u, l, s, p, t in zip(urls, langs, spans, provs, ts_us)
     ]
     return pa.table({"json": pa.array(lines, pa.string())})
 
