@@ -2,8 +2,15 @@
 
 Ray Data has no event-time windows/watermarks; the reference is pure
 batch anyway. The pattern (ray_guide): treat events as a partitioned
-log — groupby(key), sort by ts inside the group, window with pandas.
-The oracle SQL expresses the same with LAG/window functions.
+log — hash-bucket the key, shuffle ONCE on the bucket, then run ONE
+vectorized pandas pass per bucket (groupby.shift / cumsum /
+merge_asof(by=key) are C-level across all users in the bucket). This
+replaces the round-2 per-user ``map_groups`` — per-group pandas
+overhead over near-singleton groups was the repo's measured ~20×
+anti-pattern (BASELINE.md item 6); bucketed groups are ``n/64`` rows
+each, so the overhead amortizes to nothing while per-user semantics
+are untouched. The oracle SQL expresses the same with LAG/window
+functions.
 """
 
 from __future__ import annotations
@@ -19,6 +26,38 @@ from nidaba_ray.functions.compat import round_like_sql
 
 SESSION_GAP_SEC = 1800
 
+# Fixed bucket count: partitioning must not depend on cluster size or
+# block layout (byte-identity across parallelism levels). 64 buckets
+# keep every bucket ≪ one worker's heap yet large enough to amortize
+# the per-group pandas dispatch; at a larger cluster raise it — any
+# value gives identical results, only balance changes.
+N_KEY_BUCKETS = 64
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Deterministic integer mix (splitmix64 finalizer, public domain
+    constant set) — avalanche so strided user_ids don't skew buckets.
+    Cheap (3 mults) vs md5; process-stable unlike ``hash()``."""
+    z = x.view(np.uint64).copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _bucket_by(ds: rd.Dataset, key: str) -> rd.Dataset:
+    """Append ``_b = splitmix64(key) % N_KEY_BUCKETS`` — the one
+    shuffle key for the whole window family."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (_splitmix64(k) % np.uint64(N_KEY_BUCKETS)).astype(np.int64)
+        return t.append_column("_b", pa.array(b))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
@@ -28,21 +67,28 @@ def event_lag(sf_dir: str) -> rd.Dataset:
     """Per event: seconds since the same user's previous event (NULL
     for the first). Ordering assumption: (ts, event_id) is a total
     order within a user — stated here because the oracle's LAG uses
-    the same order."""
+    the same order.
 
-    def lag(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        prev = g["ts"].shift(1)
+    Shape: one bucket shuffle, then a single sort + C-level
+    ``groupby(user).shift`` per ~n/64-row bucket (no per-user pandas
+    dispatch)."""
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        prev = g.groupby("user_id", sort=False)["ts"].shift(1)
         gap = (g["ts"] - prev).dt.total_seconds()
-        out = g[["event_id", "user_id"]].copy()
-        out["gap_sec"] = round_like_sql(gap, 3)
-        out.loc[prev.isna(), "gap_sec"] = np.nan
+        out = pd.DataFrame(
+            {"event_id": g["event_id"].to_numpy(),
+             "user_id": g["user_id"].to_numpy(),
+             "gap_sec": round_like_sql(gap, 3).to_numpy()}
+        )
+        out.loc[prev.isna().to_numpy(), "gap_sec"] = np.nan
         return out
 
     return (
-        _events(sf_dir, ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(lag, batch_format="pandas")
+        _bucket_by(_events(sf_dir, ["event_id", "user_id", "ts"]), "user_id")
+        .groupby("_b")
+        .map_groups(lag_bucket, batch_format="pandas")
     )
 
 
@@ -56,32 +102,40 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 
 def sessionize(sf_dir: str) -> rd.Dataset:
     """Session windows per user: a gap > 30 min starts a new session.
-    Returns (user_id, n_events, n_sessions, max_session_events)."""
+    Returns (user_id, n_events, n_sessions, max_session_events).
 
-    def sess(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = (g["ts"] - g["ts"].shift(1)).dt.total_seconds()
+    Shape: bucket shuffle, then per bucket ONE sort + groupby(user)
+    shift/cumsum/size — every step a C kernel over the whole bucket,
+    never a Python loop or per-user frame."""
+
+    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
+        gap = (g["ts"] - g.groupby("user_id", sort=False)["ts"].shift(1)
+               ).dt.total_seconds()
         # NaN > X is already False (not NaN), so fillna would be a
-        # no-op — the first event must be flagged explicitly
-        new_session = gap.isna() | (gap > SESSION_GAP_SEC)
-        sid = new_session.cumsum()
-        sizes = sid.value_counts()
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [int(sid.max())],
-                "max_session_events": [int(sizes.max())],
-            }
-        ).astype(
+        # no-op — each user's first event must be flagged explicitly
+        new_session = (gap.isna() | (gap > SESSION_GAP_SEC)).to_numpy()
+        df = pd.DataFrame({
+            "user_id": uid,
+            # per-user session counter: cumulative new-session flags
+            "sid": pd.Series(new_session).groupby(uid, sort=False).cumsum().to_numpy(),
+        })
+        sizes = df.groupby(["user_id", "sid"], sort=False).size().reset_index(name="n")
+        out = sizes.groupby("user_id", as_index=False, sort=False).agg(
+            n_events=("n", "sum"),
+            n_sessions=("n", "size"),
+            max_session_events=("n", "max"),
+        )
+        return out.astype(
             {"user_id": "int64", "n_events": "int64", "n_sessions": "int64",
              "max_session_events": "int64"}
         )
 
     return (
-        _events(sf_dir, ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sess, batch_format="pandas")
+        _bucket_by(_events(sf_dir, ["event_id", "user_id", "ts"]), "user_id")
+        .groupby("_b")
+        .map_groups(sess_bucket, batch_format="pandas")
     )
 
 
@@ -179,38 +233,46 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
 # As-of join (ray_guide "As-of / range join" pattern)
 # ---------------------------------------------------------------------------
 
+_ASOF_EMPTY = pd.DataFrame(
+    {"purchase_id": pd.Series([], dtype="int64"),
+     "user_id": pd.Series([], dtype="int64"),
+     "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+     "click_id": pd.Series([], dtype="int64"),
+     "click_ts": pd.Series([], dtype="datetime64[us]")}
+)
+
+
 def asof_last_click_before_purchase(sf_dir: str) -> rd.Dataset:
     """For each purchase event, the same user's most recent STRICTLY
-    prior click — an as-of join expressed as groupby(key) +
-    pd.merge_asof inside the group (both sides sorted by ts).
+    prior click — an as-of join expressed as ONE
+    ``pd.merge_asof(by="user_id")`` per hash bucket (the C-level
+    grouped backward search), not a per-user merge.
 
-    Scale shape: the key (user_id) partitions both sides in ONE
-    shuffle; per-key history is assumed to fit a reducer (documented
+    Scale shape: the bucket key partitions both sides in ONE shuffle;
+    per-bucket history is assumed to fit a reducer (documented
     partitioning assumption — for unbounded histories, range-bucket
-    ts and run the same merge per (key, ts_bucket) with a boundary
-    carry)."""
+    ts and run the same merge per (bucket, ts_range) with a boundary
+    carry). Determinism: clicks sort by (ts, event_id) so at equal
+    click_ts the max event_id wins — a total order."""
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        p = g[g["event_type"] == "purchase"].sort_values("ts")
-        c = g[g["event_type"] == "click"].sort_values("ts")
-        empty = pd.DataFrame(
-            {"purchase_id": pd.Series([], dtype="int64"),
-             "user_id": pd.Series([], dtype="int64"),
-             "purchase_ts": pd.Series([], dtype="datetime64[us]"),
-             "click_id": pd.Series([], dtype="int64"),
-             "click_ts": pd.Series([], dtype="datetime64[us]")}
-        )
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
         if p.empty or c.empty:
-            return empty
+            return _ASOF_EMPTY
+        p = p.sort_values(["ts", "event_id"], kind="mergesort")[
+            ["event_id", "user_id", "ts"]]
+        c = c.sort_values(["ts", "event_id"], kind="mergesort")[
+            ["event_id", "user_id", "ts"]
+        ].rename(columns={"event_id": "click_id", "ts": "click_ts"})
         m = pd.merge_asof(
-            p[["event_id", "user_id", "ts"]],
-            c[["event_id", "ts"]].rename(columns={"event_id": "click_id", "ts": "click_ts"}),
-            left_on="ts", right_on="click_ts",
+            p, c,
+            left_on="ts", right_on="click_ts", by="user_id",
             allow_exact_matches=False,  # strictly prior (c.ts < p.ts)
         )
         m = m.dropna(subset=["click_id"])
         if m.empty:
-            return empty
+            return _ASOF_EMPTY
         return pd.DataFrame(
             {"purchase_id": m["event_id"].astype("int64"),
              "user_id": m["user_id"].astype("int64"),
@@ -219,16 +281,18 @@ def asof_last_click_before_purchase(sf_dir: str) -> rd.Dataset:
              "click_ts": m["click_ts"].astype("datetime64[us]")}
         )
 
+    filtered = _events(
+        sf_dir, ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(  # pre-filter: only the two event types shuffle
+        lambda t: t.filter(
+            pa.compute.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
     return (
-        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"])
-        .map_batches(  # pre-filter: only the two event types shuffle
-            lambda t: t.filter(
-                pa.compute.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
-            ),
-            batch_format="pyarrow",
-        )
-        .groupby("user_id")
-        .map_groups(per_user, batch_format="pandas")
+        _bucket_by(filtered, "user_id")
+        .groupby("_b")
+        .map_groups(asof_bucket, batch_format="pandas")
     )
 
 
@@ -246,9 +310,13 @@ def event_value_quantiles(sf_dir: str) -> rd.Dataset:
 
     DuckDB's quantile_cont and numpy's linear-interpolation percentile
     are bit-identical on the same sorted doubles (validated), so the
-    result is oracle-exact after round_like_sql. Group count is tiny
-    (event types); at scale, swap the exact per-group sort for a
-    mergeable KLL/t-digest sketch — same pipeline shape."""
+    result is oracle-exact after round_like_sql. ``map_groups`` here is
+    NOT the near-singleton-group anti-pattern the rest of this module
+    avoids: the key is event_type (a handful of large groups), so the
+    per-group dispatch amortizes — but exact grouped quantiles
+    inherently gather each group's values on one reducer, so at scale
+    use ``event_value_quantiles_sketch`` (mergeable summaries, shuffle
+    carries KBs) — same pipeline shape, bounded rank error."""
 
     def q(g: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(g["value"].to_numpy(dtype=np.float64))
