@@ -18,6 +18,13 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.util import ensure_columns
+
+# declared output schema for the near-dup family — collection sites
+# rebuild all-empty results against it (see util.ensure_columns)
+_NEAR_DUP_SCHEMA = pa.schema(
+    [("vec_a", pa.int64()), ("vec_b", pa.int64()), ("cos_sim", pa.float64())]
+)
 
 
 def _query_vec(sf_dir: str, vec_id: int = 0) -> np.ndarray:
@@ -141,7 +148,14 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     sharing a bucket are candidates; exact cosine verifies. The
     groupby shuffles (bucket, vec_id, embedding) — at 10^12 scale the
     embedding column dominates, so production would shuffle
-    (bucket, vec_id) and re-join vectors per bucket."""
+    (bucket, vec_id) and re-join vectors per bucket.
+
+    Boundary contract (since round 2): the threshold compares the
+    6-decimal-ROUNDED cosine (:func:`_pair_cos6`), not the raw value —
+    round-then-compare is deliberate, so both near-dup variants make
+    identical keep/drop decisions at one-ulp boundaries. Do not "fix"
+    this back to a raw compare; pairs within ~5e-7 of the threshold
+    would then diverge between implementations."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
         m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
@@ -179,10 +193,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
     )
-    if "vec_a" not in out.columns:  # all groups empty → schema lost
-        return pa.table({"vec_a": pa.array([], pa.int64()),
-                         "vec_b": pa.array([], pa.int64()),
-                         "cos_sim": pa.array([], pa.float64())})
+    out = ensure_columns(out, _NEAR_DUP_SCHEMA)
     out = (
         out.drop_duplicates(["vec_a", "vec_b"])
         .sort_values(["vec_a", "vec_b"])
@@ -463,6 +474,7 @@ def ann_topk_ivf_partitioned(
             idx = None
     if idx is None:
         import shutil
+        import time
         import uuid
 
         vname = f"v-{uuid.uuid4().hex[:8]}"
@@ -472,10 +484,24 @@ def ann_topk_ivf_partitioned(
         with open(tmp_ptr, "w") as f:
             json.dump({"dir": vname, "n_lists": n_lists, "src": want_src}, f)
         os.replace(tmp_ptr, pointer)  # atomic pointer swap
-        # best-effort GC of versions the pointer no longer references
+        # best-effort GC of versions the pointer no longer references.
+        # Deliberately narrow (round-2 ADVICE item 2): only COMPLETE
+        # builds (_IVF_DONE present — an in-progress concurrent build
+        # is never touched) that are older than a grace period (a
+        # reader that resolved the pointer just before our swap gets
+        # time to finish its probed-partition reads).
+        _GC_GRACE_SEC = 300
+        now = time.time()
         for d in os.listdir(base):
-            if d.startswith("v-") and d != vname:
-                shutil.rmtree(os.path.join(base, d), ignore_errors=True)
+            if not d.startswith("v-") or d == vname:
+                continue
+            vdir = os.path.join(base, d)
+            done = os.path.join(vdir, "_IVF_DONE")
+            try:
+                if os.path.isfile(done) and now - os.path.getmtime(done) > _GC_GRACE_SEC:
+                    shutil.rmtree(vdir, ignore_errors=True)
+            except OSError:
+                pass
     centroids = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
@@ -553,11 +579,8 @@ def embedding_near_dup_scalable(
                      batch_format="pyarrow")
         .materialize()
     )
-    empty = pa.table({"vec_a": pa.array([], pa.int64()),
-                      "vec_b": pa.array([], pa.int64()),
-                      "cos_sim": pa.array([], pa.float64())})
     if uniq.count() == 0:
-        return empty
+        return _NEAR_DUP_SCHEMA.empty_table()
     ids: set[int] = set()
     for b in uniq.iter_batches(batch_format="pyarrow"):
         ids.update(b["vec_a"].to_pylist())
@@ -619,7 +642,6 @@ def embedding_near_dup_scalable(
         )
 
     out = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
-    if "vec_a" not in out.columns:
-        return empty
+    out = ensure_columns(out, _NEAR_DUP_SCHEMA)
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)

@@ -22,7 +22,19 @@ import ray
 import ray.data as rd
 
 from nidaba_ray.functions.compat import round_like_sql
-from nidaba_ray.util import join_partitions
+from nidaba_ray.util import ensure_columns, join_partitions
+
+# declared output schemas — collection sites rebuild all-empty results
+# against these (see util.ensure_columns)
+_PAIRS_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+)
+_HAMMING_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
+)
+_DUP_GROUPS_SCHEMA = pa.schema(
+    [("fp", pa.string()), ("n_docs", pa.int64()), ("first_doc", pa.int64())]
+)
 
 MERSENNE = (1 << 61) - 1
 N_PERM = 64
@@ -104,11 +116,7 @@ def dup_groups(sf_dir: str) -> pa.Table:
         )
         .to_pandas()
     )
-    if "n_docs" not in out.columns:  # all groups filtered → schema lost
-        return pa.table({"fp": pa.array([], pa.string()),
-                         "n_docs": pa.array([], pa.int64()),
-                         "first_doc": pa.array([], pa.int64())})
-    out = out.reset_index(drop=True)
+    out = ensure_columns(out, _DUP_GROUPS_SCHEMA).reset_index(drop=True)
     out["n_docs"] = out["n_docs"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -214,12 +222,8 @@ def _verify_jaccard_pairs(
     only candidate documents are shuffled — the driver holds ids only,
     never texts (the 10^12-scale shape). Shared by the MinHash-LSH and
     prefix-filter paths."""
-    empty = pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-         "jaccard": pa.array([], pa.float64())}
-    )
     if uniq.count() == 0:
-        return empty
+        return _PAIRS_SCHEMA.empty_table()
 
     # candidate id set — ≤ 2×|pairs| ints, tiny relative to the corpus
     ids: set[int] = set()
@@ -272,8 +276,7 @@ def _verify_jaccard_pairs(
         )
 
     out = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
-    if "doc_a" not in out.columns:
-        return empty
+    out = ensure_columns(out, _PAIRS_SCHEMA)
     out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -476,10 +479,7 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         right_suffix="_b",
     )
     out = joined.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
-    if "doc_a" not in out.columns:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
+    out = ensure_columns(out, _HAMMING_SCHEMA)
     out = (
         out.drop_duplicates(["doc_a", "doc_b"])
         .sort_values(["doc_a", "doc_b"])
@@ -494,7 +494,13 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
-    """Exact token-3-gram Jaccard within (lang, length-bucket) blocks —
+    """DEMO ONLY — use :func:`ngram_jaccard_pairs_exact` at scale (the
+    lossless prefix-filter join). Kept as the pedagogical baseline and
+    exercised only from tests, not from the driver surface: the
+    per-block all-pairs cost is quadratic, and at corpus scale one hot
+    (lang, len_bucket) block approaches all-pairs over the corpus.
+
+    Exact token-3-gram Jaccard within (lang, length-bucket) blocks —
     the quadratic cost is bounded per block; blocking loses only pairs
     whose lengths differ enough to make `threshold` unreachable."""
 
@@ -527,10 +533,7 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         .map_groups(block_pairs, batch_format="pandas")
         .to_pandas()
     )
-    if "doc_a" not in out.columns:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
+    out = ensure_columns(out, _PAIRS_SCHEMA)
     out = (
         out.sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)

@@ -26,7 +26,17 @@ import ray
 import ray.data as rd
 
 from nidaba_ray.functions.compat import round_like_sql
-from nidaba_ray.util import join_partitions
+from nidaba_ray.util import ensure_columns, join_partitions
+
+# declared output schemas for queries whose final filter can drop every
+# row — collection sites rebuild all-empty results against these
+# (util.ensure_columns; round-2 verdict item 3)
+_Q3_SCHEMA = pa.schema([
+    ("l_orderkey", pa.int64()),
+    ("revenue", pa.float64()),
+    ("o_orderdate", pa.timestamp("us")),
+])
+_Q5_AGG_SCHEMA = pa.schema([("nationkey", pa.int64()), ("rev", pa.float64())])
 
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
@@ -581,36 +591,25 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
     """customer ⋈ orders ⋈ lineitem → top-K orders by revenue.
 
     Composition (each leg the cheapest shape for its side):
-      1. lineitem (the big side) pre-aggregates revenue per order
-         INSIDE map_batches, so the one groupby shuffle moves
-         (l_orderkey, partial_sum) — never line items;
-      2. customer is a broadcast semi-filter (BUILDING custkeys via
+      1. customer is a broadcast semi-filter (BUILDING custkeys via
          ray.put) applied to orders — no customer shuffle at all;
-      3. the surviving (o_orderkey, o_orderdate) rows hash-join the
-         per-order revenue table (partitions clamped to the cluster);
+      2. the surviving o_orderkey set is itself broadcast back into
+         the lineitem scan, so the per-order revenue pre-aggregate
+         only groups QUALIFYING orders — at TPC-H selectivities that
+         cuts the (l_orderkey, partial_sum) shuffle and the grouped
+         aggregate to ~1/5 (the round-2 verdict's q3 fix). At a scale
+         where the surviving key set outgrows the object store,
+         substitute a Bloom filter of the keys (functions/bloom.py) —
+         same broadcast shape, exactness restored by the join in 3;
+      3. lineitem pre-aggregates revenue per order INSIDE map_batches
+         (the one groupby shuffle moves (l_orderkey, partial_sum) —
+         never line items), then hash-joins the surviving
+         (o_orderkey, o_orderdate) rows (partitions clamped);
       4. top-K is per-batch partial top-K merged on the driver
          (≤ K rows per batch) — the corpus is never sorted."""
     from ray.data.aggregate import Sum
 
     cutoff = pa.scalar(Q3_CUTOFF, pa.timestamp("us"))
-
-    def rev_partial(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
-        rev = pc.multiply(b["l_extendedprice"],
-                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
-        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
-        # pyarrow-native partial combine (~20% faster than a pandas
-        # round trip; same shuffle reduction)
-        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
-        return g.rename_columns(["l_orderkey", "rev"])
-
-    rev = (
-        _read(sf_dir, "lineitem",
-              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
-        .map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("rev", alias_name="rev"))
-    )
 
     keys = set(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
@@ -630,22 +629,41 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
 
     ords = _read(
         sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]
-    ).map_batches(orders_filter, batch_format="pyarrow")
+    ).map_batches(orders_filter, batch_format="pyarrow").materialize()
+    # ^ consumed twice (orderkey set below + the join) — no CSE in Ray
+    # Data, and the filtered orders table is 2 narrow columns
+
+    okeys_ref = ray.put(
+        pa.array(sorted(ords.unique("o_orderkey")), pa.int64())
+    )
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        b = b.filter(pc.is_in(b["l_orderkey"], ray.get(okeys_ref)))
+        rev = pc.multiply(b["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        t = pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+        # pyarrow-native partial combine (~20% faster than a pandas
+        # round trip; same shuffle reduction)
+        g = t.group_by("l_orderkey").aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    rev = (
+        _read(sf_dir, "lineitem",
+              ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        .map_batches(rev_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="rev"))
+    )
 
     joined = rev.join(
         ords, "inner", join_partitions(8),
         on=("l_orderkey",), right_on=("o_orderkey",),
     )
 
-    _Q3_EMPTY = pa.table({
-        "l_orderkey": pa.array([], pa.int64()),
-        "revenue": pa.array([], pa.float64()),
-        "o_orderdate": pa.array([], pa.timestamp("us")),
-    })
-
     def topk_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:  # schema-less empty batches
-            return _Q3_EMPTY
+            return _Q3_SCHEMA.empty_table()
         df = batch.to_pandas()
         df["revenue"] = round_like_sql(df["rev"], 2)
         df = df.sort_values(
@@ -659,8 +677,7 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
     parts = joined.map_batches(
         topk_partial, batch_format="pyarrow"
     ).to_pandas()  # ≤ K rows per batch
-    if "revenue" not in parts.columns:  # nothing survived the filters
-        return _Q3_EMPTY
+    parts = ensure_columns(parts, _Q3_SCHEMA)
     out = parts.sort_values(
         ["revenue", "o_orderdate", "l_orderkey"], ascending=[False, True, True]
     ).head(Q3_K).reset_index(drop=True)
@@ -785,9 +802,7 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
         .aggregate(Sum("rev", alias_name="rev"))
         .to_pandas()  # ≤ n_nations rows
     )
-    if "nationkey" not in agg.columns:  # nothing survived the filters
-        return pa.table({"n_name": pa.array([], pa.string()),
-                         "revenue": pa.array([], pa.float64())})
+    agg = ensure_columns(agg, _Q5_AGG_SCHEMA)
     agg["n_name"] = agg["nationkey"].map(nation_names).astype("string")
     agg["revenue"] = round_like_sql(agg["rev"], 2)
     out = agg[["n_name", "revenue"]].sort_values(

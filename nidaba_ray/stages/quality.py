@@ -27,16 +27,25 @@ __all__ = [
 ]
 
 def _weights_fingerprint() -> str:
-    """Content fingerprint for the weight cache key: md5 of this
-    module's and the synth generator's source bytes — any change to
-    features, training data or generator invalidates the cache
-    automatically (no human version bump to forget)."""
+    """Content fingerprint for the weight cache key: md5 of the source
+    bytes of EVERY module the training labels depend on — this module,
+    the synth generator, and the extraction chain that
+    ``training_blocks`` drives (extract → segment/fastsegment →
+    score). A segmenter or scorer change alters the training matrix,
+    so it must invalidate cached weights too, or a machine holding a
+    cache from an older checkout would serve stale weights and break
+    byte-identity across machines (round-2 ADVICE item 1)."""
     import hashlib
 
     from nidaba_ray import synth as _synth
+    from nidaba_ray.stages import extract as _extract
+    from nidaba_ray.stages import fastsegment as _fastsegment
+    from nidaba_ray.stages import score as _score
+    from nidaba_ray.stages import segment as _segment
 
     h = hashlib.md5()
-    for mod_file in (__file__, _synth.__file__):
+    for mod in (None, _synth, _extract, _segment, _fastsegment, _score):
+        mod_file = __file__ if mod is None else mod.__file__
         with open(mod_file, "rb") as f:
             h.update(f.read())
     return h.hexdigest()[:12]
@@ -71,7 +80,6 @@ def default_weights(train_pages: int = 200) -> np.ndarray:
     return w
 
 _KINDS = ("p", "li", "td", "pre", "div")
-N_FEATURES = 4 + len(_KINDS) + 1  # structural + kind flags + bias
 
 
 def span_features(span: dict) -> np.ndarray:
@@ -227,6 +235,12 @@ def block_quality_scores(sf_dir: str) -> pa.Table:
 
     g = (
         scored.map_batches(partial, batch_format="pyarrow")
+        # partials are ≤ n_langs rows per batch — coalesce them to ONE
+        # block before the final rollup so the grouped aggregate has no
+        # empty reduce partitions (which emit schema-less RefBundles,
+        # the round-2 bench-tail warning). The tree reduce is still
+        # 2-level: batch-local combine above, one small merge task here.
+        .repartition(1)
         .groupby("lang")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("n_blocks", alias_name="n_blocks"),

@@ -11,7 +11,24 @@ on 256 nodes in production.
 
 from __future__ import annotations
 
-__all__ = ["cluster_cpus", "join_partitions"]
+__all__ = ["cluster_cpus", "join_partitions", "ensure_columns"]
+
+
+def ensure_columns(df, schema):
+    """Canonical collection-site guard for all-empty results.
+
+    Ray Data's shuffle ops (Aggregate / sort / map_groups) emit
+    column-less empty blocks whenever a reduce partition receives zero
+    rows, so a Dataset whose every block is empty collects to a
+    ``DataFrame`` with NO columns — downstream ``astype``/``sort_values``
+    then KeyError. Rebuild such a frame against the declared pyarrow
+    schema (typed, zero rows); non-empty frames pass through untouched.
+
+    One helper instead of per-site ``if "col" not in out.columns``
+    guards (round-2 verdict item 3)."""
+    if len(df.columns) == 0:
+        return schema.empty_table().to_pandas()
+    return df
 
 
 def cluster_cpus(default: int = 4) -> int:
