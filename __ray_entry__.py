@@ -129,6 +129,7 @@ def oracle_sql() -> dict[str, str]:
         "topk_orders": rel.TOPK_SQL,
         "customers_with_orders": rel.SEMI_JOIN_SQL,
         "customers_without_orders": rel.ANTI_JOIN_SQL,
+        "sample_lineitem": rel.SAMPLE_SQL,
         "parts_by_brand": rel.PARTS_SQL,
         "supplier_nation_balance": rel.SUPPLIER_NATION_SQL,
         "distinct_segments": rel.DISTINCT_SQL,

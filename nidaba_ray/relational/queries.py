@@ -493,13 +493,43 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
 """
 
 
-def sample_lineitem(sf_dir: str, fraction: float = 0.02) -> rd.Dataset:
-    """Seeded dev-mode sample (SURVEY.md §2.6) — rows-only check: the
-    sampled row SET depends on block layout, only the seed fixes it
-    within one layout."""
-    return _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).random_sample(
-        fraction, seed=7
-    )
+SAMPLE_HEX_LT = "05"  # keep md5-prefix < 0x05 → 5/256 ≈ 1.95%
+
+
+def sample_lineitem(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash sample (SURVEY.md §2.6): keep rows whose
+    md5("orderkey:linenumber") hex prefix sorts below SAMPLE_HEX_LT.
+
+    Unlike ``random_sample(seed=…)`` (row SET depends on block
+    layout), the sampled set here is a pure function of the key — the
+    same rows on 4 CPUs, 32 CPUs, or a 256-node cluster, and across
+    reruns over re-partitioned input. That's the sample you want for a
+    100 TB corpus (reproducible dev slices, resumable downstream), and
+    it makes the op oracle-checkable in SQL (md5 on both sides).
+    Rate tuning is per-256ths via the hex prefix; md5 keys are
+    uniform, so the realized fraction concentrates tightly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        keep = pa.array([
+            hashlib.md5(f"{ok}:{ln}".encode()).hexdigest()[:2] < SAMPLE_HEX_LT
+            for ok, ln in zip(batch["l_orderkey"].to_pylist(),
+                              batch["l_linenumber"].to_pylist())
+        ])
+        return batch.filter(keep)
+
+    return _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+SAMPLE_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem
+WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+                 CAST(l_linenumber AS VARCHAR)), 1, 2) < '{SAMPLE_HEX_LT}'
+"""
 
 
 def parts_by_brand(sf_dir: str) -> pa.Table:

@@ -124,6 +124,9 @@ def _ensure_builtin() -> None:
     from nidaba_ray.stages.serialize import to_alto_rows
 
     register_stage("output.alto")(to_alto_rows)
+    from nidaba_ray.stages.serialize import to_abbyy_rows
+
+    register_stage("output.abbyy")(to_abbyy_rows)
     from nidaba_ray.stages.quality import QualityScorer
 
     register_stage("postprocess.quality", batch_size=256,

@@ -16,7 +16,7 @@ import pyarrow as pa
 from nidaba_ray.record import spans_to_jsonl
 
 __all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
-           "to_tei_rows", "to_hocr_rows", "to_alto_rows"]
+           "to_tei_rows", "to_hocr_rows", "to_alto_rows", "to_abbyy_rows"]
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
@@ -199,3 +199,41 @@ def to_alto_rows(batch: pa.Table) -> pa.Table:
         docs.append(ET.tostring(alto, encoding="unicode"))
     return pa.table({"url": pa.array(urls, pa.string()),
                      "alto": pa.array(docs, pa.string())})
+
+
+def to_abbyy_rows(batch: pa.Table) -> pa.Table:
+    """One ABBYY-FineReader-flavored XML document per row — the last
+    §2.1 output dialect (ABBYY XML is a public schema: document →
+    page → block@blockType → text → par → line → formatting, with
+    l/t/r/b box attributes). As with the hOCR/ALTO dialects, web text
+    has no page geometry, so l/r carry the canonical-text char offsets
+    (t = block depth) — the same lossless span info in the ABBYY
+    container. Parse-roundtrip tested."""
+    import xml.etree.ElementTree as ET
+
+    urls = batch["url"].to_pylist()
+    langs = batch["lang"].to_pylist() if "lang" in batch.column_names else [""] * len(urls)
+    spans = batch["spans"].to_pylist()
+    docs = []
+    for u, l, ss in zip(urls, langs, spans):
+        doc = ET.Element("document", {"producer": "nidaba_ray", "source": u})
+        page = ET.SubElement(doc, "page", {"width": "0", "height": "0",
+                                           "resolution": "0"})
+        for s in ss or []:
+            block = ET.SubElement(
+                page, "block",
+                {"blockType": "Text", "blockName": f"b{s['block_id']}",
+                 "x_kind": s["kind"],
+                 "l": str(s["start"]), "t": str(s["depth"]),
+                 "r": str(s["end"]), "b": str(s["depth"])},
+            )
+            line = ET.SubElement(
+                ET.SubElement(ET.SubElement(block, "text"), "par"),
+                "line",
+                {"l": str(s["start"]), "r": str(s["end"])},
+            )
+            fmt = ET.SubElement(line, "formatting", {"lang": l or ""})
+            fmt.text = s["text"]
+        docs.append(ET.tostring(doc, encoding="unicode"))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "abbyy": pa.array(docs, pa.string())})

@@ -273,3 +273,38 @@ def test_compile_quality_hocr_chain(ray_session, tmp_path):
     df = ds.to_pandas()
     assert set(df.columns) == {"url", "hocr"}
     assert df["hocr"].str.contains("ocr_page").all()
+
+
+def test_abbyy_rows_roundtrip():
+    import xml.etree.ElementTree as ET
+
+    import pyarrow as pa
+
+    from nidaba_ray.record import SPAN_TYPE
+    from nidaba_ray.stages.serialize import to_abbyy_rows
+    from nidaba_ray.stages.registry import get_stage
+
+    assert get_stage("output.abbyy") is not None
+    spans = [
+        {"block_id": 0, "kind": "p", "depth": 2, "text_density": 1.0,
+         "link_density": 0.0, "score": 9.0, "text": "alpha & beta",
+         "start": 0, "end": 12},
+        {"block_id": 1, "kind": "h1", "depth": 1, "text_density": 1.0,
+         "link_density": 0.0, "score": 5.0, "text": "täxt <tag>",
+         "start": 13, "end": 23},
+    ]
+    batch = pa.table({
+        "url": pa.array(["https://x/abbyy"], pa.string()),
+        "lang": pa.array(["de"], pa.string()),
+        "spans": pa.array([spans], SPAN_TYPE),
+    })
+    doc = to_abbyy_rows(batch)["abbyy"].to_pylist()[0]
+    root = ET.fromstring(doc)
+    assert root.get("source") == "https://x/abbyy"
+    blocks = root.findall("page/block")
+    assert [b.get("blockType") for b in blocks] == ["Text", "Text"]
+    fmts = root.findall(".//line/formatting")
+    assert [f.text for f in fmts] == ["alpha & beta", "täxt <tag>"]
+    assert [f.get("lang") for f in fmts] == ["de", "de"]
+    assert blocks[0].get("l") == "0" and blocks[0].get("r") == "12"
+    assert blocks[1].get("x_kind") == "h1" and blocks[1].get("t") == "1"
