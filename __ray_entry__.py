@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship extraction pipeline (byte-identity gate)
         "extract_documents": conformance.extract_documents,
         "extract_documents_pdf2": conformance.extract_documents_pdf2,
+        "extract_documents_pdf3": conformance.extract_documents_pdf3,
         "extract_documents_gzip": conformance.extract_documents_gzip,
         "extract_stats": conformance.extract_stats,
         "extract_quarantine": conformance.extract_quarantine,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": ann.ann_topk_sql(),
         "extract_documents": conformance.EXTRACT_SQL,
         "extract_documents_pdf2": conformance.EXTRACT_SQL,
+        "extract_documents_pdf3": conformance.EXTRACT_SQL,
         "extract_documents_gzip": conformance.EXTRACT_SQL,
         "extract_stats": conformance.EXTRACT_STATS_SQL,
         "extract_quarantine": conformance.EXTRACT_QUARANTINE_SQL,

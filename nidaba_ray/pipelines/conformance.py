@@ -55,6 +55,18 @@ def extract_documents_pdf2(sf_dir: str) -> rd.Dataset:
     )
 
 
+def extract_documents_pdf3(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate, with PDF payloads in the composite-font
+    dialect (synth.make_pdf_utf16): 2-byte show codes through a
+    ToUnicode CMap (bfchar + both bfrange forms) plus BOM'd UTF-16BE
+    literal strings — proves the non-Latin decode paths in
+    stages/pdf.py preserve the identity (round-2 verdict item 6)."""
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="utf16")
+    return extract_pipeline(pages, spell=False).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
+
+
 def extract_documents_gzip(sf_dir: str) -> rd.Dataset:
     """Same byte-identity gate with HTML payloads per-record gzipped
     (the CC WARC convention) — proves the transparent-inflate sniff in

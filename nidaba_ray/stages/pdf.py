@@ -13,13 +13,24 @@ A real (public-spec) PDF *subset* parser, pure stdlib:
   * text operators: BT/ET blocks, ``Tj``, ``TJ`` (array shows —
     kerning numbers concatenate), ``'`` and ``"`` (next-line shows),
     ``Td``/``TD`` (newline when ty≠0), ``T*``, ``Tm`` (newline), so
-    line structure follows the positioning operators.
+    line structure follows the positioning operators;
+  * non-Latin text via the two public mechanisms (spec §7.9.2.2 /
+    §9.10.3): BOM-sniffed UTF-16BE literal/hex strings, and ToUnicode
+    CMaps — ``bfchar`` pairs plus both ``bfrange`` forms (incrementing
+    and array destinations). CMap streams are recognized by their
+    ``begincmap``/``beginbf…`` keywords and merged into ONE
+    document-level code→unicode map applied to 2-byte show-string
+    codes.
 
 Block contract: one block per BT…ET text object; lines within a block
-join with a single space. Out of scope (documented): font-encoding
-CMaps (strings decode as UTF-8 with replacement), encrypted files,
-object streams, inline images. A production build swaps this module
-for a full parser behind the same ``extract_pdf_blocks`` contract.
+join with a single space. Out of scope (documented): per-font CMap
+switching via ``Tf`` (one merged document-level CMap is assumed — true
+for single-composite-font documents), /Differences encoding tables,
+incrementing bfranges that cross a surrogate boundary (bfchar and
+array-form destinations decode fine in any plane, incl. surrogate
+pairs), encrypted files, object streams, inline images. A production build
+swaps this module for a full parser behind the same
+``extract_pdf_blocks`` contract.
 """
 
 from __future__ import annotations
@@ -53,6 +64,85 @@ _ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
 
 def is_pdf(payload: bytes) -> bool:
     return payload[: len(PDF_MAGIC)] == PDF_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# ToUnicode CMaps (spec §9.10.3) + UTF-16BE strings (spec §7.9.2.2)
+# ---------------------------------------------------------------------------
+
+_UTF16_BOM = b"\xfe\xff"
+_CMAP_KEYWORDS = (b"begincmap", b"beginbfchar", b"beginbfrange")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+# hex strings and array brackets are the only tokens inside bf sections
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
+def _u16_hex(h: bytes) -> str:
+    """Destination hex → unicode (UTF-16BE code units, surrogate pairs
+    included)."""
+    b = bytes.fromhex(h.decode("ascii"))
+    if len(b) % 2:  # malformed odd-length destination — pad (lenient)
+        b += b"\x00"
+    return b.decode("utf-16-be", errors="replace")
+
+
+def parse_tounicode_cmap(body: bytes) -> dict[int, str]:
+    """Parse one ToUnicode CMap stream into {2-byte code → str}.
+
+    Handles ``bfchar`` pairs and both ``bfrange`` forms: incrementing
+    (``<lo> <hi> <dst>`` — dst advances with the code) and array
+    destinations (``<lo> <hi> [<d0> <d1> …]``)."""
+    cmap: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(body):
+        toks = [m.group(1) for m in _CMAP_TOK_RE.finditer(sec.group(1))
+                if m.group(1)]
+        for i in range(0, len(toks) - 1, 2):
+            cmap[int(toks[i], 16)] = _u16_hex(toks[i + 1])
+    for sec in _BFRANGE_RE.finditer(body):
+        toks: list = []
+        for m in _CMAP_TOK_RE.finditer(sec.group(1)):
+            toks.append(m.group(1) if m.group(1) else m.group(0))
+        i, n = 0, len(toks)
+        while i + 3 <= n:
+            if toks[i] in (b"[", b"]") or toks[i + 1] in (b"[", b"]"):
+                i += 1  # malformed entry — resync
+                continue
+            lo, hi = int(toks[i], 16), int(toks[i + 1], 16)
+            i += 2
+            if toks[i] == b"[":  # array destinations
+                i += 1
+                c = lo
+                while i < n and toks[i] != b"]":
+                    if c <= hi:
+                        cmap[c] = _u16_hex(toks[i])
+                    c += 1
+                    i += 1
+                i += 1  # past ]
+            else:  # incrementing destination
+                dsthex = toks[i]
+                i += 1
+                width = len(dsthex)
+                base = int(dsthex, 16)
+                for c in range(lo, hi + 1):
+                    cmap[c] = _u16_hex(b"%0*X" % (width, base + (c - lo)))
+    return cmap
+
+
+def _decode_show(b: bytes, cmap: dict[int, str] | None) -> str:
+    """Decode one show-string: BOM-sniffed UTF-16BE first (the spec's
+    explicit marker wins over any CMap), then the document CMap over
+    2-byte codes, else UTF-8 with replacement (the Latin subset)."""
+    if b.startswith(_UTF16_BOM):
+        return b[2:].decode("utf-16-be", errors="replace")
+    if cmap:
+        if len(b) % 2:  # malformed odd-length code string — pad
+            b = b + b"\x00"
+        return "".join(
+            cmap.get((b[i] << 8) | b[i + 1], "�")
+            for i in range(0, len(b), 2)
+        )
+    return b.decode("utf-8", errors="replace")
 
 
 def _scan_string(data: bytes, i: int) -> tuple[bytes, int]:
@@ -102,7 +192,7 @@ def _scan_string(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _parse_content(data: bytes) -> list[str]:
+def _parse_content(data: bytes, cmap: dict[int, str] | None = None) -> list[str]:
     """Tokenize one content stream; emit text blocks (one per BT…ET)."""
     blocks: list[str] = []
     stack: list = []
@@ -116,7 +206,7 @@ def _parse_content(data: bytes) -> list[str]:
             cur = []
 
     def show(b: bytes) -> None:
-        cur.append(b.decode("utf-8", errors="replace"))
+        cur.append(_decode_show(b, cmap))
 
     def flush() -> None:
         nonlocal lines
@@ -221,44 +311,61 @@ def _parse_content(data: bytes) -> list[str]:
     return blocks
 
 
+def _decoded_stream_body(payload: bytes, m: re.Match) -> bytes | None:
+    """Decode one matched stream object's body; None if undecodable.
+
+    Honors /Length for BINARY bodies: the pattern's optional EOL
+    before `endstream` would otherwise eat a trailing 0x0D/0x0A data
+    byte — the exact ambiguity /Length exists to resolve (spec
+    §7.3.8.1). Direct integer lengths only. Tries the declared slice
+    FIRST, then the pattern capture (tolerates the common malformation
+    of an under-declared /Length — zlib ignores trailing bytes)."""
+    dict_src, captured = m.group(1), m.group(2)
+    if b"FlateDecode" not in dict_src:
+        return captured
+    candidates = []
+    lm = _LENGTH_RE.search(dict_src)
+    if lm:
+        start = m.start(2)
+        length = int(lm.group(1))
+        if start + length <= len(payload):
+            candidates.append(payload[start : start + length])
+    candidates.append(captured)
+    for body in candidates:
+        try:
+            return zlib.decompress(body)
+        except zlib.error:
+            continue
+    return None
+
+
 def extract_pdf_blocks(payload: bytes) -> list[str]:
     """All text blocks in document order (one per BT…ET text object).
 
-    Streams are discovered by scan (xref-free); FlateDecode bodies are
-    inflated; undecodable streams are skipped (per-stream isolation —
-    one corrupt stream never hides the rest). Payloads with no stream
-    objects at all fall back to a raw scan of the whole body (bare
-    content fragments)."""
-    blocks: list[str] = []
+    Two passes over the scan-discovered streams (xref-free): pass 1
+    decodes every body (FlateDecode inflated; undecodable streams are
+    skipped — per-stream isolation, one corrupt stream never hides the
+    rest) and merges any ToUnicode CMap streams into one document-level
+    code map; pass 2 parses the remaining streams as content with that
+    map active. Payloads with no stream objects at all fall back to a
+    raw scan of the whole body (bare content fragments)."""
+    bodies: list[bytes] = []
     found = False
     for m in _STREAM_RE.finditer(payload):
         found = True
-        dict_src, captured = m.group(1), m.group(2)
-        is_flate = b"FlateDecode" in dict_src
-        if not is_flate:
-            blocks.extend(_parse_content(captured))
-            continue
-        # honor /Length for BINARY bodies: the pattern's optional EOL
-        # before `endstream` would otherwise eat a trailing 0x0D/0x0A
-        # data byte — the exact ambiguity /Length exists to resolve
-        # (spec §7.3.8.1). Direct integer lengths only. Try the
-        # declared slice FIRST, then the pattern capture (tolerates
-        # the common malformation of an under-declared /Length —
-        # zlib ignores trailing bytes), and skip only if both fail.
-        candidates = []
-        lm = _LENGTH_RE.search(dict_src)
-        if lm:
-            start = m.start(2)
-            length = int(lm.group(1))
-            if start + length <= len(payload):
-                candidates.append(payload[start : start + length])
-        candidates.append(captured)
-        for body in candidates:
-            try:
-                blocks.extend(_parse_content(zlib.decompress(body)))
-                break
-            except zlib.error:
-                continue
+        body = _decoded_stream_body(payload, m)
+        if body is not None:
+            bodies.append(body)
     if not found:
-        blocks = _parse_content(payload)
+        return _parse_content(payload)
+    cmap: dict[int, str] = {}
+    content: list[bytes] = []
+    for body in bodies:
+        if any(k in body for k in _CMAP_KEYWORDS):
+            cmap.update(parse_tounicode_cmap(body))
+        else:
+            content.append(body)
+    blocks: list[str] = []
+    for body in content:
+        blocks.extend(_parse_content(body, cmap or None))
     return blocks

@@ -174,6 +174,118 @@ def make_pdf_flate(doc_id: int, text: str) -> bytes:
     )
 
 
+def pdf_escape_bytes(b: bytes) -> bytes:
+    """Literal-string escaping for BINARY content (UTF-16BE code
+    units): parens/backslash plus every byte < 0x20 as \\ooo octal —
+    raw CR/LF inside a literal string would be EOL-normalized by a
+    conforming reader (spec §7.3.4.2), corrupting code units."""
+    out = bytearray()
+    for x in b:
+        if x in (0x28, 0x29, 0x5C) or x < 0x20:
+            out += b"\\%03o" % x
+        else:
+            out.append(x)
+    return bytes(out)
+
+
+def make_pdf_utf16(doc_id: int, text: str) -> bytes:
+    """Composite-font-style variant (the non-Latin PDF shape): a
+    ToUnicode CMap object maps deterministic 2-byte codes to the
+    document's characters, content shows hex strings of those codes,
+    and every third line is instead a BOM'd UTF-16BE literal string
+    (spec §7.9.2.2) — so one payload exercises bfchar, both bfrange
+    forms AND the BOM path. Extraction remains the identity on
+    ``text``."""
+    import zlib as _zlib
+
+    # --- deterministic code assignment: maximal runs of consecutive
+    # ordinals become incrementing bfranges, pairs become array-form
+    # bfranges, singletons become bfchar entries
+    def u16hex(c: str) -> str:
+        # UTF-16BE hex destination — 4 digits in the BMP, 8 (surrogate
+        # pair) beyond it
+        return c.encode("utf-16-be").hex().upper()
+
+    chars = sorted(set(text))
+    runs: list[list[str]] = [[chars[0]]]
+    for c in chars[1:]:
+        # consecutive-ordinal runs only within the BMP: the
+        # incrementing bfrange form advances a single code unit
+        if ord(c) == ord(runs[-1][-1]) + 1 and ord(c) <= 0xFFFF:
+            runs[-1].append(c)
+        else:
+            runs.append([c])
+    code: dict[str, int] = {}
+    bfchar, bfrange = [], []
+    nxt = 0x0020
+    for run in runs:
+        lo = nxt
+        for j, c in enumerate(run):
+            code[c] = lo + j
+        nxt += len(run)
+        if len(run) >= 3:
+            bfrange.append(f"<{lo:04X}> <{lo + len(run) - 1:04X}> "
+                           f"<{u16hex(run[0])}>")
+        elif len(run) == 2:
+            bfrange.append(
+                f"<{lo:04X}> <{lo + 1:04X}> "
+                f"[<{u16hex(run[0])}> <{u16hex(run[1])}>]"
+            )
+        else:
+            bfchar.append(f"<{lo:04X}> <{u16hex(run[0])}>")
+    cmap_src = "\n".join(
+        [
+            "/CIDInit /ProcSet findresource begin",
+            "12 dict begin",
+            "begincmap",
+            "1 begincodespacerange <0000> <FFFF> endcodespacerange",
+            f"{len(bfchar)} beginbfchar",
+            *bfchar,
+            "endbfchar",
+            f"{len(bfrange)} beginbfrange",
+            *bfrange,
+            "endbfrange",
+            "endcmap",
+            "end end",
+        ]
+    ).encode("ascii")
+    cmap_comp = _zlib.compress(cmap_src)
+
+    def hexshow(s: str) -> str:
+        return "<" + "".join(f"{code[c]:04X}" for c in s) + ">"
+
+    ops: list[str] = []
+    y = 720
+    for i, p in enumerate(paragraphs_for(doc_id, text)):
+        words = p.split(" ")
+        lines = [" ".join(words[j : j + 8]) for j in range(0, len(words), 8)]
+        ops += ["BT", "/F1 11 Tf", f"1 0 0 1 72 {y} Tm", "13 TL"]
+        for k, ln in enumerate(lines):
+            if k and k % 3 == 0:  # BOM'd UTF-16BE literal string
+                esc = pdf_escape_bytes(
+                    b"\xfe\xff" + ln.encode("utf-16-be")
+                ).decode("latin-1")
+                ops.append(f"T* ({esc}) Tj")
+            elif k == 0:
+                h = max(1, len(ln) // 2)  # TJ concatenates around kerning
+                ops.append(f"[{hexshow(ln[:h])} -18 {hexshow(ln[h:])}] TJ")
+            else:
+                ops.append(f"T* {hexshow(ln)} Tj")
+        ops.append("ET")
+        y -= 13 * (len(lines) + 1)
+    body = _zlib.compress("\n".join(ops).encode("latin-1"))
+    return (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        b"4 0 obj << /Length " + str(len(cmap_comp)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + cmap_comp
+        + b"\nendstream endobj\n"
+        b"3 0 obj << /Length " + str(len(body)).encode()
+        + b" /Filter /FlateDecode >> stream\n" + body
+        + b"\nendstream endobj\ntrailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
 def make_invalid(doc_id: int) -> bytes:
     rng = random.Random(f"bad-{SEED}-{doc_id}")
     return bytes([rng.randint(0, 255) for _ in range(rng.randint(5, 64))])
@@ -206,8 +318,8 @@ def make_page(doc_id: int, text: str, lang: str,
     if kind == "invalid":
         html = make_invalid(doc_id)
     elif kind == "pdf":
-        html = (make_pdf(doc_id, text) if pdf_variant == "plain"
-                else make_pdf_flate(doc_id, text))
+        html = {"plain": make_pdf, "flate": make_pdf_flate,
+                "utf16": lambda d, t: make_pdf_utf16(d, t)}[pdf_variant](doc_id, text)
     else:
         html = make_html(doc_id, text, lang)
         if html_variant == "gzip":

@@ -162,3 +162,53 @@ def test_pdf_both_dialects_roundtrip_property(tokens):
     for maker in (synth.make_pdf, synth.make_pdf_flate):
         got = " ".join(extract_pdf_blocks(maker(7, text)))
         assert got == text, maker.__name__
+
+
+@given(st.lists(st.sampled_from(
+    [f"w{i}" for i in range(40)]
+    + ["(p)", ")q(", "a\\b", "ü", "—", "€", "北京", "مرحبا", "Ωμέγα",
+       "ёлка", "😀🎉", "𝕏y", "naïve"]
+), min_size=1, max_size=250))
+@settings(max_examples=120, deadline=None)
+def test_pdf_utf16_cmap_roundtrip_property(tokens):
+    """Any token text — ASCII, BMP non-Latin, RTL, surrogate-pair
+    astral chars — survives the composite-font dialect byte-exactly:
+    ToUnicode CMap (bfchar + incrementing + array bfranges) hex shows
+    plus BOM'd UTF-16BE literal lines → parsed blocks → space-join ==
+    original text."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    for doc_id in (3, 7):  # different paragraph chunking + line mixes
+        got = " ".join(extract_pdf_blocks(synth.make_pdf_utf16(doc_id, text)))
+        assert got == text
+
+
+def test_tounicode_cmap_forms():
+    """The CMap parser handles bfchar, incrementing bfrange, and
+    array-form bfrange, flate or plain; BOM strings win over the CMap."""
+    from nidaba_ray.stages.pdf import _decode_show, parse_tounicode_cmap
+
+    body = b"""
+    begincmap
+    1 begincodespacerange <0000> <FFFF> endcodespacerange
+    2 beginbfchar
+    <0020> <0041>
+    <0021> <D83DDE00>
+    endbfchar
+    2 beginbfrange
+    <0030> <0032> <0061>
+    <0040> <0041> [<00E9> <5317>]
+    endbfrange
+    endcmap
+    """
+    cm = parse_tounicode_cmap(body)
+    assert cm[0x20] == "A"
+    assert cm[0x21] == "\U0001F600"        # surrogate-pair destination
+    assert (cm[0x30], cm[0x31], cm[0x32]) == ("a", "b", "c")
+    assert cm[0x40] == "é" and cm[0x41] == "北"
+    # 2-byte code stream through the map
+    assert _decode_show(b"\x00\x20\x00\x30", cm) == "Aa"
+    # BOM beats the CMap
+    assert _decode_show(("\ufeff" + "Zü").encode("utf-16-be"), cm) == "Zü"
