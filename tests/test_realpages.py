@@ -20,7 +20,9 @@ from nidaba_ray.stages.score import suppress_isolated
 def test_fixture_extracts_to_label(fx):
     kind, spans, err = extract_row(fx["html"].encode("utf-8"))
     assert err == "", fx["name"]
-    final, kept, prov, n_blocks, n_kept = vote_row(spans, None, kind, "en")
+    final, kept, prov, n_blocks, n_kept = vote_row(
+        spans, None, kind, fx.get("lang", "en")
+    )
     assert final == fx["expected"], fx["name"]
     # kept spans carry offsets into the final text (reading order)
     offs = [(s["start"], s["end"]) for s in kept if s["start"] >= 0]
