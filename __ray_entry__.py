@@ -30,6 +30,22 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    """Exactly 50 entries (the driver's CORRECTNESS artifact caps at
+    50 — round-2 verdict item 1), ordered oracle-bearing first so every
+    oracle row is inside the checked window. Superseded/demo variants
+    are NOT listed here but remain implemented and pinned in pytest
+    against the listed entry that covers them:
+
+      * ngram_jaccard_pairs       (DEMO, quadratic)   → ngram_jaccard_pairs_exact
+      * dup_clusters / _exact     (driver union-find) → dup_clusters_exact_distributed
+        (property-pinned ≡; the union-find path stays the pytest reference)
+      * embedding_near_dup        (in-bucket variant) → embedding_near_dup_scalable
+      * ann_topk_ivf              (unpartitioned)     → ann_topk_ivf_partitioned
+      * kmeans_embeddings         (shared Lloyd trainer, convergence-
+        pinned; exercised by the IVF build)
+      * event_value_quantiles_sketch (error-bound-pinned scale variant
+        of the oracle-checked exact quantiles)
+    """
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, textops
     from nidaba_ray.pipelines import conformance, curate, media
@@ -39,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.stages import quality
 
     return {
+        # ===== oracle-bearing (37) — every key below has an
+        # oracle_sql() entry and gets the full rows+schema+hash check
         # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
         "filter_high_value": rel.filter_high_value,
@@ -56,12 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_names": rel.union_names,
         "events_hourly": rel.events_hourly,
         "latest_event_per_user": rel.latest_event_per_user,
-        # --- stream-shaped window ops + sketches (§2.9 / §2.5)
+        # --- stream-shaped window ops (§2.9)
         "event_lag": win.event_lag,
         "sessionize": win.sessionize,
-        "hll_distinct_users": win.hll_distinct_users,
         "event_value_quantiles": win.event_value_quantiles,
-        "event_value_quantiles_sketch": win.event_value_quantiles_sketch,
         "asof_click_purchase": win.asof_last_click_before_purchase,
         # --- text analysis over documents (driver instruction)
         "quality_metrics": textops.quality_metrics,
@@ -69,27 +85,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_per_lang": textops.top_terms_per_lang,
         "subword_token_count": textops.subword_token_count,
         "fingerprint_md5": textops.fingerprint_md5,
-        "lang_id": textops.lang_id,
-        "doc_winnow": textops.doc_winnow,
-        # --- dedup family (exact + near)
+        # --- dedup (exact + clustering) with SQL oracles
         "exact_dedup": dedup.exact_dedup,
         "dup_groups": dedup.dup_groups,
-        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
-        "simhash_dup_pairs": dedup.simhash_dup_pairs,
-        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
-        "ngram_jaccard_pairs_exact": dedup.ngram_jaccard_pairs_exact,
-        "dup_clusters": dedup.dup_clusters,
-        "dup_clusters_distributed": dedup.dup_clusters_distributed,
-        "dup_clusters_exact": dedup.dup_clusters_exact,
         "dup_clusters_exact_distributed": dedup.dup_clusters_exact_distributed,
-        # --- similarity search over embeddings
+        # --- similarity search baseline (exact cosine top-k)
         "ann_topk": ann.ann_topk_bruteforce,
-        "ann_topk_lsh": ann.ann_topk_lsh,
-        "ann_topk_ivf": ann.ann_topk_ivf,
-        "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
-        "embedding_near_dup": ann.embedding_near_dup_pairs,
-        "embedding_near_dup_scalable": ann.embedding_near_dup_scalable,
-        "kmeans_embeddings": ann.kmeans_embeddings,
         # --- flagship extraction pipeline (byte-identity gate)
         "extract_documents": conformance.extract_documents,
         "extract_documents_pdf2": conformance.extract_documents_pdf2,
@@ -97,6 +98,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_documents_gzip": conformance.extract_documents_gzip,
         "extract_stats": conformance.extract_stats,
         "extract_quarantine": conformance.extract_quarantine,
+        # --- composed curation pipeline (gate + dedup, oracle-checked)
+        "curated_corpus": curate.curated_corpus,
+        "curation_stats": curate.curation_stats,
+        # ===== rows-only (13) — non-SQL-expressible; each is pinned by
+        # a unit/property/golden/recall test named in its docstring
+        "hll_distinct_users": win.hll_distinct_users,
+        "lang_id": textops.lang_id,
+        "doc_winnow": textops.doc_winnow,
+        "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
+        "simhash_dup_pairs": dedup.simhash_dup_pairs,
+        "ngram_jaccard_pairs_exact": dedup.ngram_jaccard_pairs_exact,
+        "dup_clusters_distributed": dedup.dup_clusters_distributed,
+        "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
+        "embedding_near_dup_scalable": ann.embedding_near_dup_scalable,
         # --- hand-labelled realistic page shapes (rows check; every
         #     row's `match` flag must be true — pinned in pytest)
         "extract_golden_real": realpages.extract_golden_real,
@@ -108,9 +123,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_extract_stats": crawl.streaming_extract_stats,
         # --- multimodal feature pipeline (stub decoders, real plumbing)
         "media_features": media.media_features,
-        # --- composed curation pipeline (gate + dedup, oracle-checked)
-        "curated_corpus": curate.curated_corpus,
-        "curation_stats": curate.curation_stats,
     }
 
 
@@ -148,7 +160,6 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": textops.FINGERPRINT_SQL,
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "dup_groups": dedup.DUP_GROUPS_SQL,
-        "dup_clusters_exact": dedup.DUP_CLUSTERS_EXACT_SQL,
         "dup_clusters_exact_distributed": dedup.DUP_CLUSTERS_EXACT_SQL,
         "ann_topk": ann.ann_topk_sql(),
         "extract_documents": conformance.EXTRACT_SQL,
@@ -160,8 +171,9 @@ def oracle_sql() -> dict[str, str]:
         "curated_corpus": curate.CURATED_SQL,
         "curation_stats": curate.CURATION_STATS_SQL,
         # no oracle (non-SQL-expressible → rows-only check):
-        #   lang_id, doc_winnow, minhash_dedup_pairs, simhash_dup_pairs,
-        #   ngram_jaccard_pairs, ann_topk_lsh, embedding_near_dup,
-        #   hll_distinct_users, sample_lineitem, kmeans_embeddings,
-        #   media_features, dup_clusters, dup_clusters_distributed
+        #   hll_distinct_users, lang_id, doc_winnow, minhash_dedup_pairs,
+        #   simhash_dup_pairs, ngram_jaccard_pairs_exact,
+        #   dup_clusters_distributed, ann_topk_ivf_partitioned,
+        #   embedding_near_dup_scalable, extract_golden_real,
+        #   block_quality_scores, streaming_extract_stats, media_features
     }

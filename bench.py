@@ -61,7 +61,25 @@ TIMED_QUERIES = [
     "event_value_quantiles_sketch",
     "block_quality_scores",
     "streaming_extract_stats",
+    # round-3 additions
+    "extract_documents_pdf3",
+    "sample_lineitem",
 ]
+
+
+def _extra_timed() -> dict:
+    """Operators timed for round-over-round continuity but no longer on
+    the driver surface (consolidated out of queries() to fit the
+    50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
+    from nidaba_ray.functions import ann, dedup
+    from nidaba_ray.relational import windows as win
+
+    return {
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "ann_topk_ivf": ann.ann_topk_ivf,
+        "ann_topk_lsh": ann.ann_topk_lsh,
+        "event_value_quantiles_sketch": win.event_value_quantiles_sketch,
+    }
 
 
 def pages_cache_dir() -> str:
@@ -142,6 +160,7 @@ def run_queries() -> dict[str, float]:
     import __ray_entry__ as em
 
     qs = em.queries()
+    qs.update(_extra_timed())
     out = {}
     for name in TIMED_QUERIES:
         t0 = time.time()
