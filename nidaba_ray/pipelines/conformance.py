@@ -96,6 +96,9 @@ def extract_stats(sf_dir: str) -> pa.Table:
     out = (
         _extracted(sf_dir, spell=True)
         .map_batches(partial, batch_format="pyarrow")
+        # tiny per-batch partials → one merge block (no empty reduce
+        # partitions; see queries.q1_pricing_summary)
+        .repartition(1)
         .groupby("lang")
         .aggregate(Sum("n_docs", alias_name="n_docs"),
                    Sum("total_tokens", alias_name="total_tokens"))

@@ -78,7 +78,12 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
 
     partials = _read(sf_dir, "lineitem", cols).map_batches(
         partial, batch_format="pyarrow", batch_size=65536
-    )
+    ).repartition(1)
+    # ^ partials are ≤ K rows per batch; coalescing them to one block
+    # makes the final few-group aggregate a single small merge task
+    # with no empty reduce partitions (the schema-less-RefBundle
+    # warning source) — the standard 2-level tree reduce. Applied to
+    # every few-group partial-fed rollup in this module.
     from ray.data.aggregate import Sum
 
     final = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -193,6 +198,7 @@ def join_customer_orders(sf_dir: str) -> pa.Table:
     out = (
         _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)  # tiny partials — see q1_pricing_summary
         .groupby("c_mktsegment")
         .aggregate(Sum("n_orders", alias_name="n_orders"),
                    Sum("total_price", alias_name="total_price"))
@@ -244,6 +250,7 @@ def join_lineitem_orders(sf_dir: str) -> pa.Table:
 
     out = (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)  # tiny partials — see q1_pricing_summary
         .groupby("o_orderpriority")
         .aggregate(Sum("n_items", alias_name="n_items"),
                    Sum("revenue", alias_name="revenue"))
@@ -548,6 +555,7 @@ def parts_by_brand(sf_dir: str) -> pa.Table:
     out = (
         _read(sf_dir, "part", ["p_brand", "p_size", "p_retailprice"])
         .map_batches(partial, batch_format="pyarrow")
+        .repartition(1)  # tiny partials — see q1_pricing_summary
         .groupby("p_brand")
         .aggregate(Sum("n_parts", alias_name="n_parts"),
                    Sum("sum_price", alias_name="sum_price"))
@@ -588,6 +596,7 @@ def supplier_nation_balance(sf_dir: str) -> pa.Table:
     out = (
         _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"])
         .map_batches(fn, batch_format="pyarrow")
+        .repartition(1)  # tiny partials — see q1_pricing_summary
         .groupby("r_name")
         .aggregate(Sum("n_suppliers", alias_name="n_suppliers"),
                    Sum("total_acctbal", alias_name="total_acctbal"))
@@ -828,6 +837,7 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
 
     agg = (
         joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)  # tiny partials — see q1_pricing_summary
         .groupby("nationkey")
         .aggregate(Sum("rev", alias_name="rev"))
         .to_pandas()  # ≤ n_nations rows

@@ -2,20 +2,25 @@
 
 Ray Data has no event-time windows/watermarks; the reference is pure
 batch anyway. The pattern (ray_guide): treat events as a partitioned
-log — hash-bucket the key, shuffle ONCE on the bucket, then run ONE
-vectorized pandas pass per bucket (groupby.shift / cumsum /
-merge_asof(by=key) are C-level across all users in the bucket). This
-replaces the round-2 per-user ``map_groups`` — per-group pandas
-overhead over near-singleton groups was the repo's measured ~20×
-anti-pattern (BASELINE.md item 6); bucketed groups are ``n/64`` rows
-each, so the overhead amortizes to nothing while per-user semantics
-are untouched. The oracle SQL expresses the same with LAG/window
-functions.
+log — ONE range shuffle on the key (``Dataset.sort`` co-locates equal
+keys in one partition, the same guarantee ``map_groups`` builds on),
+then ONE vectorized pandas pass over each whole partition
+(groupby.shift / cumsum / merge_asof(by=key) are C-level across all
+users in the partition). This replaces the round-2 per-user
+``map_groups`` — per-group pandas overhead over near-singleton groups
+was the repo's measured ~20× anti-pattern (BASELINE.md item 6); a
+partition holds many complete users, so the dispatch amortizes to
+nothing while per-user semantics are untouched. Empty sort partitions
+(possible when partitions outnumber occupied key ranges) hit the
+wrapper, which returns the op's TYPED empty frame instead of Ray's
+schema-less empty block. The oracle SQL expresses the same with
+LAG/window functions.
 """
 
 from __future__ import annotations
 
 import hashlib
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -26,37 +31,32 @@ from nidaba_ray.functions.compat import round_like_sql
 
 SESSION_GAP_SEC = 1800
 
-# Fixed bucket count: partitioning must not depend on cluster size or
-# block layout (byte-identity across parallelism levels). 64 buckets
-# keep every bucket ≪ one worker's heap yet large enough to amortize
-# the per-group pandas dispatch; at a larger cluster raise it — any
-# value gives identical results, only balance changes.
-N_KEY_BUCKETS = 64
 
+def sorted_partition_apply(
+    ds: rd.Dataset,
+    keys: list[str],
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    empty: pd.DataFrame,
+) -> rd.Dataset:
+    """Range-shuffle on ``keys`` and apply ``fn`` once per whole
+    partition (every key group arrives complete — Ray's sort
+    range-partitions by key value, the invariant map_groups itself
+    relies on). ``fn`` must be correct for any set of complete groups
+    and is expected to do its own grouped/vectorized work; ``empty``
+    is returned for empty partitions so the output schema survives
+    all-empty collections (belt-and-braces: current Ray skips the fn
+    on empty blocks and forwards them — collection sites still guard
+    with util.ensure_columns)."""
 
-def _splitmix64(x: np.ndarray) -> np.ndarray:
-    """Deterministic integer mix (splitmix64 finalizer, public domain
-    constant set) — avalanche so strided user_ids don't skew buckets.
-    Cheap (3 mults) vs md5; process-stable unlike ``hash()``."""
-    z = x.view(np.uint64).copy()
-    z ^= z >> np.uint64(30)
-    z *= np.uint64(0xBF58476D1CE4E5B9)
-    z ^= z >> np.uint64(27)
-    z *= np.uint64(0x94D049BB133111EB)
-    z ^= z >> np.uint64(31)
-    return z
+    def wrapper(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return empty
+        return fn(df)
 
-
-def _bucket_by(ds: rd.Dataset, key: str) -> rd.Dataset:
-    """Append ``_b = splitmix64(key) % N_KEY_BUCKETS`` — the one
-    shuffle key for the whole window family."""
-
-    def fn(t: pa.Table) -> pa.Table:
-        k = t[key].to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (_splitmix64(k) % np.uint64(N_KEY_BUCKETS)).astype(np.int64)
-        return t.append_column("_b", pa.array(b))
-
-    return ds.map_batches(fn, batch_format="pyarrow")
+    # batch_size=None → the batch is the entire sorted partition
+    return ds.sort(keys).map_batches(
+        wrapper, batch_size=None, batch_format="pandas"
+    )
 
 
 def _events(sf_dir: str, columns: list[str]) -> rd.Dataset:
@@ -69,11 +69,11 @@ def event_lag(sf_dir: str) -> rd.Dataset:
     order within a user — stated here because the oracle's LAG uses
     the same order.
 
-    Shape: one bucket shuffle, then a single sort + C-level
-    ``groupby(user).shift`` per ~n/64-row bucket (no per-user pandas
+    Shape: one range shuffle on user_id, then a single sort + C-level
+    ``groupby(user).shift`` per whole partition (no per-user pandas
     dispatch)."""
 
-    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def lag_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         prev = g.groupby("user_id", sort=False)["ts"].shift(1)
         gap = (g["ts"] - prev).dt.total_seconds()
@@ -85,10 +85,14 @@ def event_lag(sf_dir: str) -> rd.Dataset:
         out.loc[prev.isna().to_numpy(), "gap_sec"] = np.nan
         return out
 
-    return (
-        _bucket_by(_events(sf_dir, ["event_id", "user_id", "ts"]), "user_id")
-        .groupby("_b")
-        .map_groups(lag_bucket, batch_format="pandas")
+    empty = pd.DataFrame(
+        {"event_id": pd.Series([], dtype="int64"),
+         "user_id": pd.Series([], dtype="int64"),
+         "gap_sec": pd.Series([], dtype="float64")}
+    )
+    return sorted_partition_apply(
+        _events(sf_dir, ["event_id", "user_id", "ts"]),
+        ["user_id"], lag_part, empty,
     )
 
 
@@ -104,11 +108,11 @@ def sessionize(sf_dir: str) -> rd.Dataset:
     """Session windows per user: a gap > 30 min starts a new session.
     Returns (user_id, n_events, n_sessions, max_session_events).
 
-    Shape: bucket shuffle, then per bucket ONE sort + groupby(user)
-    shift/cumsum/size — every step a C kernel over the whole bucket,
-    never a Python loop or per-user frame."""
+    Shape: one range shuffle on user_id, then per partition ONE sort +
+    groupby(user) shift/cumsum/size — every step a C kernel over the
+    whole partition, never a Python loop or per-user frame."""
 
-    def sess_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def sess_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         uid = g["user_id"].to_numpy()
         gap = (g["ts"] - g.groupby("user_id", sort=False)["ts"].shift(1)
@@ -132,10 +136,15 @@ def sessionize(sf_dir: str) -> rd.Dataset:
              "max_session_events": "int64"}
         )
 
-    return (
-        _bucket_by(_events(sf_dir, ["event_id", "user_id", "ts"]), "user_id")
-        .groupby("_b")
-        .map_groups(sess_bucket, batch_format="pandas")
+    empty = pd.DataFrame(
+        {"user_id": pd.Series([], dtype="int64"),
+         "n_events": pd.Series([], dtype="int64"),
+         "n_sessions": pd.Series([], dtype="int64"),
+         "max_session_events": pd.Series([], dtype="int64")}
+    )
+    return sorted_partition_apply(
+        _events(sf_dir, ["event_id", "user_id", "ts"]),
+        ["user_id"], sess_part, empty,
     )
 
 
@@ -222,6 +231,10 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
             lambda b: _hll_partial(b, "event_type", "user_id"),
             batch_format="pyarrow",
         )
+        # partials are ≤ n_types 1 KB sketches per batch — coalesce to
+        # one block so the tiny final merge has no empty reduce
+        # partitions (schema-less RefBundle source)
+        .repartition(1)
         .groupby("k")
         .map_groups(merge, batch_format="pandas")
         .to_pandas()
@@ -245,17 +258,17 @@ _ASOF_EMPTY = pd.DataFrame(
 def asof_last_click_before_purchase(sf_dir: str) -> rd.Dataset:
     """For each purchase event, the same user's most recent STRICTLY
     prior click — an as-of join expressed as ONE
-    ``pd.merge_asof(by="user_id")`` per hash bucket (the C-level
+    ``pd.merge_asof(by="user_id")`` per sorted partition (the C-level
     grouped backward search), not a per-user merge.
 
-    Scale shape: the bucket key partitions both sides in ONE shuffle;
-    per-bucket history is assumed to fit a reducer (documented
-    partitioning assumption — for unbounded histories, range-bucket
-    ts and run the same merge per (bucket, ts_range) with a boundary
-    carry). Determinism: clicks sort by (ts, event_id) so at equal
-    click_ts the max event_id wins — a total order."""
+    Scale shape: the user key range-partitions both sides in ONE
+    shuffle; per-partition history is assumed to fit a reducer
+    (documented partitioning assumption — for unbounded histories,
+    range-bucket ts and run the same merge per (user_range, ts_range)
+    with a boundary carry). Determinism: clicks sort by (ts, event_id)
+    so at equal click_ts the max event_id wins — a total order."""
 
-    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def asof_part(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["event_type"] == "purchase"]
         c = g[g["event_type"] == "click"]
         if p.empty or c.empty:
@@ -289,11 +302,8 @@ def asof_last_click_before_purchase(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
-    return (
-        _bucket_by(filtered, "user_id")
-        .groupby("_b")
-        .map_groups(asof_bucket, batch_format="pandas")
-    )
+    return sorted_partition_apply(filtered, ["user_id"], asof_part,
+                                  _ASOF_EMPTY)
 
 
 ASOF_SQL = """
@@ -310,30 +320,44 @@ def event_value_quantiles(sf_dir: str) -> rd.Dataset:
 
     DuckDB's quantile_cont and numpy's linear-interpolation percentile
     are bit-identical on the same sorted doubles (validated), so the
-    result is oracle-exact after round_like_sql. ``map_groups`` here is
-    NOT the near-singleton-group anti-pattern the rest of this module
-    avoids: the key is event_type (a handful of large groups), so the
-    per-group dispatch amortizes — but exact grouped quantiles
-    inherently gather each group's values on one reducer, so at scale
-    use ``event_value_quantiles_sketch`` (mergeable summaries, shuffle
-    carries KBs) — same pipeline shape, bounded rank error."""
+    result is oracle-exact after round_like_sql.
 
-    def q(g: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(g["value"].to_numpy(dtype=np.float64))
+    Shape: per-batch partials pack each type's values as one float64
+    binary blob (same bytes a sort would move, but as ≤ n_types rows
+    per batch), the partials coalesce to one block, and one merge task
+    concatenates + sorts per type. Exact grouped quantiles inherently
+    gather each group's values on one reducer whatever the plumbing —
+    at scale use ``event_value_quantiles_sketch`` (mergeable
+    summaries, shuffle carries KBs); this exact variant stays the
+    oracle-checked reference."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        df = batch.select(["event_type", "value"]).to_pandas()
+        ts, blobs = [], []
+        for t, grp in df.groupby("event_type", sort=True):
+            ts.append(t)
+            blobs.append(grp["value"].to_numpy(dtype=np.float64).tobytes())
+        return pa.table({"event_type": pa.array(ts, pa.string()),
+                         "vals": pa.array(blobs, pa.binary())})
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in g["vals"]]
+        ))
         return pd.DataFrame(
-            {
-                "event_type": [g["event_type"].iloc[0]],
-                "p50": [round_like_sql(float(np.percentile(v, 50)), 4)],
-                "p90": [round_like_sql(float(np.percentile(v, 90)), 4)],
-                "n": [len(v)],
-            }
+            {"event_type": [g["event_type"].iloc[0]],
+             "p50": [round_like_sql(float(np.percentile(v, 50)), 4)],
+             "p90": [round_like_sql(float(np.percentile(v, 90)), 4)],
+             "n": [len(v)]}
         ).astype({"event_type": "string", "p50": "float64",
                   "p90": "float64", "n": "int64"})
 
     return (
         _events(sf_dir, ["event_type", "value"])
+        .map_batches(pack, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)
         .groupby("event_type")
-        .map_groups(q, batch_format="pandas")
+        .map_groups(merge, batch_format="pandas")
     )
 
 
@@ -426,6 +450,7 @@ def event_value_quantiles_sketch(sf_dir: str) -> pa.Table:
     out = (
         _events(sf_dir, ["event_type", "value"])
         .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .repartition(1)  # summaries are KBs — see hll_distinct_users
         .groupby("event_type")
         .map_groups(merge, batch_format="pandas")  # ~n_types tiny groups
         .to_pandas()
