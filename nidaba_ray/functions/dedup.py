@@ -509,30 +509,32 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5) -> pa.Table:
         bucket = pa.array([int(np.log2(max(1, x))) for x in n], pa.int32())
         return batch.append_column("len_bucket", bucket)
 
-    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def partition_pairs(part: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        recs = list(g[["doc_id", "text"]].itertuples(index=False))
-        sets = [set(shingle_hashes(t).tolist()) for _, t in recs]
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                inter = len(sets[i] & sets[j])
-                if not inter:
-                    continue
-                jac = inter / len(sets[i] | sets[j])
-                if jac >= threshold:
-                    a, b = sorted((recs[i][0], recs[j][0]))
-                    rows.append((a, b, round_like_sql(jac, 4)))
+        for _, g in part.groupby(["lang", "len_bucket"], sort=False):
+            recs = list(g[["doc_id", "text"]].itertuples(index=False))
+            sets = [set(shingle_hashes(t).tolist()) for _, t in recs]
+            for i in range(len(recs)):
+                for j in range(i + 1, len(recs)):
+                    inter = len(sets[i] & sets[j])
+                    if not inter:
+                        continue
+                    jac = inter / len(sets[i] | sets[j])
+                    if jac >= threshold:
+                        a, b = sorted((recs[i][0], recs[j][0]))
+                        rows.append((a, b, round_like_sql(jac, 4)))
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"]).astype(
             {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
         )
 
-    out = (
+    from nidaba_ray.relational.windows import sorted_partition_apply
+
+    out = sorted_partition_apply(
         _docs(sf_dir, ["doc_id", "text", "lang"])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .groupby(["lang", "len_bucket"])
-        .map_groups(block_pairs, batch_format="pandas")
-        .to_pandas()
-    )
+        .map_batches(bucketize, batch_format="pyarrow"),
+        ["lang", "len_bucket"], partition_pairs,
+        _PAIRS_SCHEMA.empty_table().to_pandas(),
+    ).to_pandas()
     out = ensure_columns(out, _PAIRS_SCHEMA)
     out = (
         out.sort_values(["doc_a", "doc_b"])
