@@ -20,15 +20,22 @@ A real (public-spec) PDF *subset* parser, pure stdlib:
     and array destinations). CMap streams are recognized by their
     ``begincmap``/``beginbf…`` keywords and merged into ONE
     document-level code→unicode map applied to 2-byte show-string
-    codes.
+    codes;
+  * simple-font ``/Differences`` encoding arrays (spec §9.6.6.3):
+    byte codes remap through an Adobe-Glyph-List subset plus the
+    algorithmic ``uniXXXX``/``uXXXX`` name forms, over an ASCII base.
 
 Block contract: one block per BT…ET text object; lines within a block
-join with a single space. Out of scope (documented): per-font CMap
-switching via ``Tf`` (one merged document-level CMap is assumed — true
-for single-composite-font documents), /Differences encoding tables,
-incrementing bfranges that cross a surrogate boundary (bfchar and
-array-form destinations decode fine in any plane, incl. surrogate
-pairs), encrypted files, object streams, inline images. A production build
+join with a single space. Out of scope (documented): per-font CMap /
+encoding switching via ``Tf`` (one merged document-level CMap and one
+merged Differences table are assumed — true for single-font
+documents), /Differences inside compressed font objects (object
+streams hold only non-stream objects, which this extractor otherwise
+never needs — content streams and ToUnicode CMaps cannot live in an
+ObjStm, so xref/ObjStm parsing stays out), incrementing bfranges that
+cross a surrogate boundary (bfchar and array-form destinations decode
+fine in any plane, incl. surrogate pairs), encrypted files, inline
+images. A production build
 swaps this module for a full parser behind the same
 ``extract_pdf_blocks`` contract.
 """
@@ -64,6 +71,85 @@ _ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
 
 def is_pdf(payload: bytes) -> bool:
     return payload[: len(PDF_MAGIC)] == PDF_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Simple-font /Differences encoding tables (spec §9.6.6.3 + Adobe Glyph List)
+# ---------------------------------------------------------------------------
+
+_DIFF_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.S)
+_DIFF_TOK_RE = re.compile(rb"/([^\s/\[\]()<>{}%]+)|(\d+)")
+
+# Compact Adobe-Glyph-List subset: the names real generators emit for
+# Latin-accent + publisher punctuation. Everything else arrives via the
+# algorithmic uniXXXX / uXXXX forms handled in _glyph_to_unicode.
+_AGL = {
+    "space": " ", "quotesingle": "'", "quotedbl": '"',
+    "quoteleft": "‘", "quoteright": "’",
+    "quotesinglbase": "‚", "quotedblleft": "“",
+    "quotedblright": "”", "quotedblbase": "„",
+    "endash": "–", "emdash": "—", "bullet": "•",
+    "ellipsis": "…", "Euro": "€",
+    "guillemotleft": "«", "guillemotright": "»",
+    "exclamdown": "¡", "questiondown": "¿",
+    "germandbls": "ß", "ae": "æ", "AE": "Æ",
+    "oslash": "ø", "Oslash": "Ø",
+    "agrave": "à", "aacute": "á", "acircumflex": "â",
+    "atilde": "ã", "adieresis": "ä", "aring": "å",
+    "ccedilla": "ç", "egrave": "è", "eacute": "é",
+    "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î",
+    "idieresis": "ï", "ntilde": "ñ",
+    "ograve": "ò", "oacute": "ó", "ocircumflex": "ô",
+    "otilde": "õ", "odieresis": "ö",
+    "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "ydieresis": "ÿ",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "Eacute": "É", "Egrave": "È", "Ccedilla": "Ç",
+    "Ntilde": "Ñ", "Aring": "Å",
+}
+_UNI_NAME_RE = re.compile(r"^uni((?:[0-9A-F]{4})+)$")
+_U_NAME_RE = re.compile(r"^u([0-9A-F]{4,6})$")
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL name → unicode: table lookup, then the algorithmic
+    ``uniXXXX`` (one or more UTF-16 code units) and ``uXXXX[XX]``
+    forms; unknown names decode as replacement."""
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    m = _UNI_NAME_RE.match(name)
+    if m:
+        h = m.group(1)
+        units = [int(h[i : i + 4], 16) for i in range(0, len(h), 4)]
+        return b"".join(u.to_bytes(2, "big") for u in units).decode(
+            "utf-16-be", errors="replace")
+    m = _U_NAME_RE.match(name)
+    if m:
+        cp = int(m.group(1), 16)
+        if cp <= 0x10FFFF:
+            return chr(cp)
+    return "�"
+
+
+def parse_differences(data: bytes) -> dict[int, str]:
+    """Merge every ``/Differences [ code /name /name … ]`` array in
+    ``data`` into one byte-code → unicode map (spec §9.6.6.3: an
+    integer sets the next code, each following name consumes one
+    code)."""
+    diffs: dict[int, str] = {}
+    for m in _DIFF_RE.finditer(data):
+        code = 0
+        for tok in _DIFF_TOK_RE.finditer(m.group(1)):
+            name, num = tok.group(1), tok.group(2)
+            if num is not None:
+                code = int(num)
+            elif name is not None:
+                if 0 <= code <= 255:
+                    diffs[code] = _glyph_to_unicode(name.decode("latin-1"))
+                code += 1
+    return diffs
 
 
 # ---------------------------------------------------------------------------
@@ -129,10 +215,13 @@ def parse_tounicode_cmap(body: bytes) -> dict[int, str]:
     return cmap
 
 
-def _decode_show(b: bytes, cmap: dict[int, str] | None) -> str:
-    """Decode one show-string: BOM-sniffed UTF-16BE first (the spec's
-    explicit marker wins over any CMap), then the document CMap over
-    2-byte codes, else UTF-8 with replacement (the Latin subset)."""
+def _decode_show(b: bytes, cmap: dict[int, str] | None,
+                 diffs: dict[int, str] | None = None) -> str:
+    """Decode one show-string. Priority: BOM-sniffed UTF-16BE (the
+    spec's explicit marker wins), then the document ToUnicode CMap
+    over 2-byte codes (composite fonts), then a simple-font
+    /Differences byte remap over an ASCII base, else UTF-8 with
+    replacement (the Latin subset)."""
     if b.startswith(_UTF16_BOM):
         return b[2:].decode("utf-16-be", errors="replace")
     if cmap:
@@ -141,6 +230,10 @@ def _decode_show(b: bytes, cmap: dict[int, str] | None) -> str:
         return "".join(
             cmap.get((b[i] << 8) | b[i + 1], "�")
             for i in range(0, len(b), 2)
+        )
+    if diffs:
+        return "".join(
+            diffs.get(x, chr(x) if x < 0x80 else "�") for x in b
         )
     return b.decode("utf-8", errors="replace")
 
@@ -192,7 +285,8 @@ def _scan_string(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _parse_content(data: bytes, cmap: dict[int, str] | None = None) -> list[str]:
+def _parse_content(data: bytes, cmap: dict[int, str] | None = None,
+                   diffs: dict[int, str] | None = None) -> list[str]:
     """Tokenize one content stream; emit text blocks (one per BT…ET)."""
     blocks: list[str] = []
     stack: list = []
@@ -206,7 +300,7 @@ def _parse_content(data: bytes, cmap: dict[int, str] | None = None) -> list[str]
             cur = []
 
     def show(b: bytes) -> None:
-        cur.append(_decode_show(b, cmap))
+        cur.append(_decode_show(b, cmap, diffs))
 
     def flush() -> None:
         nonlocal lines
@@ -356,8 +450,12 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
         body = _decoded_stream_body(payload, m)
         if body is not None:
             bodies.append(body)
+    # simple-font /Differences tables live in (uncompressed) font
+    # dicts — scan the raw payload once; compressed font objects
+    # (object streams) are out of scope, documented above
+    diffs = parse_differences(payload) or None
     if not found:
-        return _parse_content(payload)
+        return _parse_content(payload, None, diffs)
     cmap: dict[int, str] = {}
     content: list[bytes] = []
     for body in bodies:
@@ -367,5 +465,5 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
             content.append(body)
     blocks: list[str] = []
     for body in content:
-        blocks.extend(_parse_content(body, cmap or None))
+        blocks.extend(_parse_content(body, cmap or None, diffs))
     return blocks

@@ -286,6 +286,58 @@ def make_pdf_utf16(doc_id: int, text: str) -> bytes:
     )
 
 
+def make_pdf_diff(doc_id: int, text: str) -> bytes:
+    """Simple-font /Differences variant (the accented-Latin PDF
+    shape): non-ASCII characters are assigned byte codes 128-255 and a
+    font object's ``/Encoding << /Differences [...] >>`` maps them
+    back via ``uniXXXX`` glyph names; ASCII passes through. Raises if
+    the text needs more than 128 distinct non-ASCII characters (the
+    single-byte code space — real generators switch to composite
+    fonts there, i.e. :func:`make_pdf_utf16`)."""
+    non_ascii = sorted({c for c in text if ord(c) > 0x7F})
+    if len(non_ascii) > 128:
+        raise ValueError("needs a composite font (make_pdf_utf16)")
+    code = {c: 128 + i for i, c in enumerate(non_ascii)}
+    diff_entries = " ".join(
+        f"{128 + i} /uni{_u16cu(c)}" for i, c in enumerate(non_ascii)
+    )
+    font_obj = (
+        "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica\n"
+        f"/Encoding << /Type /Encoding /Differences [ {diff_entries} ] >>\n"
+        ">> endobj\n"
+    )
+
+    def enc(s: str) -> str:
+        out = []
+        for c in s:
+            if c in code:
+                out.append(f"\\{code[c]:03o}")
+            elif c in "()\\":
+                out.append("\\" + c)
+            else:
+                out.append(c)
+        return "".join(out)
+
+    body = "\n".join(
+        f"BT /F1 12 Tf 72 {700 - 14 * i} Td ({enc(p)}) Tj ET"
+        for i, p in enumerate(paragraphs_for(doc_id, text))
+    )
+    n_bytes = len(body.encode("latin-1"))
+    return (
+        "%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        "2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        + font_obj
+        + f"3 0 obj << /Length {n_bytes} >> stream\n{body}\nendstream endobj\n"
+        "trailer << /Root 1 0 R >>\n%%EOF\n"
+    ).encode("latin-1")
+
+
+def _u16cu(c: str) -> str:
+    """uniXXXX glyph-name payload: UTF-16 code units of one char
+    (surrogate pair beyond the BMP)."""
+    return c.encode("utf-16-be").hex().upper()
+
+
 def make_invalid(doc_id: int) -> bytes:
     rng = random.Random(f"bad-{SEED}-{doc_id}")
     return bytes([rng.randint(0, 255) for _ in range(rng.randint(5, 64))])
@@ -319,7 +371,8 @@ def make_page(doc_id: int, text: str, lang: str,
         html = make_invalid(doc_id)
     elif kind == "pdf":
         html = {"plain": make_pdf, "flate": make_pdf_flate,
-                "utf16": lambda d, t: make_pdf_utf16(d, t)}[pdf_variant](doc_id, text)
+                "utf16": make_pdf_utf16,
+                "diff": make_pdf_diff}[pdf_variant](doc_id, text)
     else:
         html = make_html(doc_id, text, lang)
         if html_variant == "gzip":

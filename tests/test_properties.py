@@ -185,6 +185,60 @@ def test_pdf_utf16_cmap_roundtrip_property(tokens):
         assert got == text
 
 
+@given(st.lists(st.sampled_from(
+    [f"w{i}" for i in range(40)]
+    + ["(p)", ")q(", "a\\b", "ü", "—", "€", "café", "«q»", "¿qué?",
+       "ёлка", "😀", "naïve"]
+), min_size=1, max_size=250))
+@settings(max_examples=100, deadline=None)
+def test_pdf_differences_roundtrip_property(tokens):
+    """Any token text within a 128-char non-ASCII alphabet survives
+    the simple-font /Differences dialect byte-exactly (byte codes →
+    uniXXXX glyph names → unicode, ASCII base passthrough)."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    got = " ".join(extract_pdf_blocks(synth.make_pdf_diff(7, text)))
+    assert got == text
+
+
+def test_differences_named_glyphs_and_limits():
+    """AGL named glyphs, algorithmic uniXXXX/uXXXX forms, unknown
+    names, and the 128-code capacity guard."""
+    import pytest as _pytest
+
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import (
+        _glyph_to_unicode,
+        extract_pdf_blocks,
+        parse_differences,
+    )
+
+    assert _glyph_to_unicode("adieresis") == "ä"
+    assert _glyph_to_unicode("Euro") == "€"
+    assert _glyph_to_unicode("uni00E9") == "é"
+    assert _glyph_to_unicode("uniD83DDE00") == "😀"  # surrogate pair
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("notaglyphname") == "�"
+    d = parse_differences(
+        b"<< /Differences [ 128 /Euro /adieresis 200 /uni4E2D ] >>"
+    )
+    assert d == {128: "€", 129: "ä", 200: "中"}
+    # hand-built pdf with NAMED glyphs (not uniXXXX) decodes too
+    pdf = (
+        b"%PDF-1.4\n"
+        b"5 0 obj << /Type /Font /Encoding << /Differences "
+        b"[ 128 /Euro /adieresis /quotedblleft ] >> >> endobj\n"
+        b"3 0 obj << /Length 34 >> stream\n"
+        b"BT (cost \\200 for \\201 and \\202x) Tj ET\n"
+        b"endstream endobj\n%%EOF\n"
+    )
+    assert extract_pdf_blocks(pdf) == ["cost € for ä and “x"]
+    with _pytest.raises(ValueError):
+        synth.make_pdf_diff(1, "".join(chr(0x100 + i) for i in range(200)))
+
+
 def test_tounicode_cmap_forms():
     """The CMap parser handles bfchar, incrementing bfrange, and
     array-form bfrange, flate or plain; BOM strings win over the CMap."""
