@@ -175,6 +175,72 @@ FROM sizes GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Sliding (hopping) window aggregate — §2.9 beyond tumbling
+# ---------------------------------------------------------------------------
+
+SLIDING_WINDOW_HOURS = 3  # window size; hop = 1 hour
+
+
+def events_sliding_hourly(sf_dir: str) -> pa.Table:
+    """Per (event_type, window_start): count + value sum over a
+    3-hour window hopping by 1 hour.
+
+    The classic batch expression of a hopping window: each event is
+    replicated to the ``size/hop`` windows that contain it (a
+    vectorized 3-way concat per batch — no per-row loop), per-batch
+    partials collapse duplicates, and one groupby merges. Shuffle
+    volume is partials only (≤ types × hours rows per block). Checked
+    against a DuckDB cross-join oracle in
+    tests/test_crawls_windows.py (test-level oracle — the driver
+    surface is capped at 50 entries)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        parts = []
+        for k in range(SLIDING_WINDOW_HOURS):
+            start = pc.subtract(
+                hour, pa.scalar(k * 3_600_000_000, pa.duration("us"))
+            )
+            parts.append(pa.table({
+                "event_type": batch["event_type"],
+                "window_start": start,
+                "value": batch["value"],
+            }))
+        df = pa.concat_tables(parts).to_pandas()
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n_events=("value", "size"), sum_value=("value", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        _events(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = round_like_sql(out["sum_value"], 2)
+    out = out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SLIDING_SQL = f"""
+SELECT event_type,
+       date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+       COUNT(*) AS n_events,
+       ROUND(SUM(value), 2) AS sum_value
+FROM events
+CROSS JOIN (SELECT unnest(range({SLIDING_WINDOW_HOURS})) AS k)
+GROUP BY 1, 2
+ORDER BY event_type, window_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # HLL distinct sketch (SURVEY.md §2.5 sketches row)
 # ---------------------------------------------------------------------------
 

@@ -431,3 +431,32 @@ def test_embedding_near_dup_scalable_matches(ray_session, tmp_path):
     b = embedding_near_dup_scalable(str(d), threshold=0.95).to_pandas()
     assert len(a) >= 8  # the twins collide in their bucket
     assert a.equals(b), (len(a), len(b))
+
+
+def test_sliding_window_matches_duckdb(ray_session):
+    """Hopping-window aggregate (3h window, 1h hop) equals the DuckDB
+    cross-join expansion exactly — a test-level oracle (the driver
+    surface is capped at 50 entries, so this op is checked here)."""
+    import duckdb
+    import pandas as pd
+
+    from nidaba_ray.relational.windows import (
+        SLIDING_SQL,
+        events_sliding_hourly,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mine = events_sliding_hourly(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = con.execute(SLIDING_SQL).fetchdf()
+    want["window_start"] = want["window_start"].astype("datetime64[us]")
+    mine["window_start"] = mine["window_start"].astype("datetime64[us]")
+    want = want.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    assert len(mine) == len(want)
+    pd.testing.assert_frame_equal(
+        mine.astype({"event_type": "string"}),
+        want.astype({"event_type": "string", "n_events": "int64"}),
+    )
