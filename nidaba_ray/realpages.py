@@ -753,6 +753,98 @@ péniches-concerts supplémentaires et un marché nocturne élargi.</p>
          "每册图书最多可续借两次，每次三十天，可以在网站、自助机或服务台办理续借手续。"],
         lang="zh",
     ),
+    # 46. Russian news article (Cyrillic; no repo lexicon for ru — the
+    # SpellFilter must still run cleanly on an unknown-lang page)
+    _page(
+        "ru_news_article",
+        """<html lang="ru"><body><header><h1>Городские вести</h1>
+<nav><ul><li><a href="/">Главная</a></li><li><a href="/novosti">Новости</a></li>
+<li><a href="/kontakty">Контакты</a></li></ul></nav></header>
+<main><article>
+<p>Городской совет во вторник утвердил новый бюджет после долгих дебатов,
+которые продолжались до позднего вечера и затронули каждое управление города.</p>
+<p>Сторонники заявили, что план позволит отремонтировать стареющие мосты и
+расширить сеть библиотек, а противники предупредили о росте стоимости
+заимствований в ближайшее десятилетие.</p>
+</article></main>
+<footer><p><a href="/policy">Политика</a> © 2024 Городские вести</p></footer>
+</body></html>""",
+        ["Городской совет во вторник утвердил новый бюджет после долгих "
+         "дебатов, которые продолжались до позднего вечера и затронули "
+         "каждое управление города.",
+         "Сторонники заявили, что план позволит отремонтировать "
+         "стареющие мосты и расширить сеть библиотек, а противники "
+         "предупредили о росте стоимости заимствований в ближайшее "
+         "десятилетие."],
+        lang="ru",
+    ),
+    # 47. Korean FAQ (Hangul with spaces)
+    _page(
+        "ko_library_faq",
+        """<html lang="ko"><body><main><article>
+<h2>시립 도서관 대출 서비스 자주 묻는 질문</h2>
+<p>대출증은 유효한 신분증을 지참하고 가까운 분관 안내 데스크에서 신청서를
+작성하면 즉시 발급되며, 첫 발급 수수료는 무료입니다.</p>
+<p>모든 도서는 최대 두 번까지 연장할 수 있으며, 연장은 홈페이지나 무인
+단말기 또는 안내 데스크에서 처리할 수 있습니다.</p>
+</article></main>
+<footer><p><a href="/terms">이용 약관</a> © 2024 시립 도서관</p></footer>
+</body></html>""",
+        ["시립 도서관 대출 서비스 자주 묻는 질문",
+         "대출증은 유효한 신분증을 지참하고 가까운 분관 안내 데스크에서 "
+         "신청서를 작성하면 즉시 발급되며, 첫 발급 수수료는 무료입니다.",
+         "모든 도서는 최대 두 번까지 연장할 수 있으며, 연장은 홈페이지나 "
+         "무인 단말기 또는 안내 데스크에서 처리할 수 있습니다."],
+        lang="ko",
+    ),
+    # 48. table-layout email newsletter: hidden preheader and
+    # unsubscribe row are chrome, story cells are content
+    _page(
+        "email_newsletter",
+        """<html><body>
+<div class="preheader" style="display:none">Your weekly digest is here</div>
+<table role="presentation" width="600"><tr><td>
+<h2>Harbor works enter the final phase</h2>
+<p>Crews finished dredging the north channel this week, and the new
+ferry berth is on track to open before the summer schedule begins.</p>
+<p>The city will hold an open house at the terminal on Saturday with
+tours of the rebuilt waiting hall.</p>
+</td></tr><tr><td class="footer-links">
+<p><a href="/unsubscribe">Unsubscribe</a> <a href="/preferences">Update
+preferences</a> <a href="/view">View in browser</a></p>
+</td></tr></table></body></html>""",
+        ["Harbor works enter the final phase",
+         "Crews finished dredging the north channel this week, and the "
+         "new ferry berth is on track to open before the summer "
+         "schedule begins.",
+         "The city will hold an open house at the terminal on Saturday "
+         "with tours of the rebuilt waiting hall."],
+    ),
+    # 49. AMP page: amp-img / amp-ad custom elements between content
+    # paragraphs contribute nothing
+    _page(
+        "amp_page",
+        """<html amp lang="en"><head><script async src="https://cdn.ampproject.org/v0.js"></script></head>
+<body><header><h1>Example AMP</h1></header>
+<main><article>
+<amp-img src="/hero.jpg" width="600" height="300" layout="responsive"></amp-img>
+<p>The committee approved the new budget on Tuesday after a long debate
+that lasted well into the evening and touched on every department in the
+city.</p>
+<amp-ad width="300" height="250" type="adsense"></amp-ad>
+<p>A final vote on the amendments is expected next month, and officials
+said public comment sessions will continue every Thursday at the main
+hall.</p>
+</article></main>
+<footer><p><a href="/privacy">Privacy</a> © 2024 Example AMP</p></footer>
+</body></html>""",
+        ["The committee approved the new budget on Tuesday after a long "
+         "debate that lasted well into the evening and touched on every "
+         "department in the city.",
+         "A final vote on the amendments is expected next month, and "
+         "officials said public comment sessions will continue every "
+         "Thursday at the main hall."],
+    ),
 ]
 
 
