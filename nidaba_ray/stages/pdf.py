@@ -23,19 +23,22 @@ A real (public-spec) PDF *subset* parser, pure stdlib:
     codes;
   * simple-font ``/Differences`` encoding arrays (spec §9.6.6.3):
     byte codes remap through an Adobe-Glyph-List subset plus the
-    algorithmic ``uniXXXX``/``uXXXX`` name forms, over an ASCII base.
+    algorithmic ``uniXXXX``/``uXXXX`` name forms, over an ASCII base;
+  * per-font encoding switching: ``/Font`` resource dicts are
+    resolved through indirect references (xref-free object scan), and
+    the ``Tf`` operator switches the active (ToUnicode CMap,
+    Differences) pair — fonts with overlapping code spaces decode
+    correctly; unresolvable structures fall back to the merged
+    document-level maps.
 
 Block contract: one block per BT…ET text object; lines within a block
-join with a single space. Out of scope (documented): per-font CMap /
-encoding switching via ``Tf`` (one merged document-level CMap and one
-merged Differences table are assumed — true for single-font
-documents), /Differences inside compressed font objects (object
-streams hold only non-stream objects, which this extractor otherwise
-never needs — content streams and ToUnicode CMaps cannot live in an
-ObjStm, so xref/ObjStm parsing stays out), incrementing bfranges that
-cross a surrogate boundary (bfchar and array-form destinations decode
-fine in any plane, incl. surrogate pairs), encrypted files, inline
-images. A production build
+join with a single space. Out of scope (documented): font objects
+hidden in compressed object streams (per-font resolution then falls
+back to document-level; content streams and ToUnicode CMaps cannot
+live in an ObjStm, so xref/ObjStm parsing stays out), incrementing
+bfranges that cross a surrogate boundary (bfchar and array-form
+destinations decode fine in any plane, incl. surrogate pairs),
+encrypted files, inline images. A production build
 swaps this module for a full parser behind the same
 ``extract_pdf_blocks`` contract.
 """
@@ -71,6 +74,49 @@ _ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
 
 def is_pdf(payload: bytes) -> bool:
     return payload[: len(PDF_MAGIC)] == PDF_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Per-font encoding resolution (spec §9.6/§9.7): object scan → font
+# resources → ToUnicode / Differences per font name, switched by Tf
+# ---------------------------------------------------------------------------
+
+_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)\bendobj", re.S)
+_FONT_RES_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.S)
+_FONT_REF_RE = re.compile(rb"/([^\s/\[\]()<>{}%]+)\s+(\d+)\s+\d+\s+R")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+
+
+def _font_maps(payload: bytes) -> dict[bytes, tuple[dict | None, dict | None]]:
+    """Resolve each /Font resource name to its own (ToUnicode CMap,
+    /Differences) pair by following indirect references through an
+    xref-free object scan. Returns {} when no font resources resolve
+    (the caller then falls back to the merged document-level maps).
+    Objects hidden in object streams don't resolve — same fallback."""
+    objs: dict[int, bytes] = {}
+    for m in _OBJ_RE.finditer(payload):
+        objs.setdefault(int(m.group(1)), m.group(2))
+    fonts: dict[bytes, tuple[dict | None, dict | None]] = {}
+    for body in objs.values():
+        for res in _FONT_RES_RE.finditer(body):
+            for ref in _FONT_REF_RE.finditer(res.group(1)):
+                name, num = b"/" + ref.group(1), int(ref.group(2))
+                fobj = objs.get(num)
+                if fobj is None or name in fonts:
+                    continue
+                cmap = None
+                tm = _TOUNICODE_RE.search(fobj)
+                if tm:
+                    tobj = objs.get(int(tm.group(1)))
+                    if tobj is not None:
+                        sm = _STREAM_RE.search(tobj)
+                        if sm:
+                            cbody = _decoded_stream_body(tobj, sm)
+                            if cbody is not None:
+                                cmap = parse_tounicode_cmap(cbody) or None
+                diffs = parse_differences(fobj) or None
+                fonts[name] = (cmap, diffs)
+    return fonts
 
 
 # ---------------------------------------------------------------------------
@@ -285,13 +331,25 @@ def _scan_string(data: bytes, i: int) -> tuple[bytes, int]:
     return bytes(out), i
 
 
-def _parse_content(data: bytes, cmap: dict[int, str] | None = None,
-                   diffs: dict[int, str] | None = None) -> list[str]:
-    """Tokenize one content stream; emit text blocks (one per BT…ET)."""
+def _parse_content(
+    data: bytes,
+    cmap: dict[int, str] | None = None,
+    diffs: dict[int, str] | None = None,
+    fonts: dict[bytes, tuple[dict | None, dict | None]] | None = None,
+) -> list[str]:
+    """Tokenize one content stream; emit text blocks (one per BT…ET).
+
+    ``fonts`` (from :func:`_font_maps`) enables per-font decoding: a
+    ``Tf`` operator switches the active (CMap, Differences) pair to
+    the named font's; names missing from ``fonts`` keep the merged
+    document-level maps — so two fonts with OVERLAPPING code spaces
+    decode correctly when resolvable, and the old behavior is the
+    graceful fallback."""
     blocks: list[str] = []
     stack: list = []
     lines: list[str] = []
     cur: list[str] = []
+    active = [cmap, diffs]  # mutated by Tf
 
     def newline() -> None:
         nonlocal cur
@@ -300,7 +358,7 @@ def _parse_content(data: bytes, cmap: dict[int, str] | None = None,
             cur = []
 
     def show(b: bytes) -> None:
-        cur.append(_decode_show(b, cmap, diffs))
+        cur.append(_decode_show(b, active[0], active[1]))
 
     def flush() -> None:
         nonlocal lines
@@ -353,9 +411,10 @@ def _parse_content(data: bytes, cmap: dict[int, str] | None = None,
             stack.append(list(reversed(arr)))
             i += 1
             continue
-        if c == 0x2F:  # name
+        if c == 0x2F:  # name — tagged so a literal string that merely
+            # LOOKS like a name can never be mistaken for one
             m = _NAME_RE.match(data, i)
-            stack.append(m.group())
+            stack.append(("name", m.group()))
             i = m.end()
             continue
         m = _NUM_RE.match(data, i)
@@ -390,6 +449,18 @@ def _parse_content(data: bytes, cmap: dict[int, str] | None = None,
                 s = stack.pop()
                 newline()
                 show(s)
+            stack.clear()
+        elif op == b"Tf":
+            if fonts:
+                name = next(
+                    (x[1] for x in reversed(stack)
+                     if isinstance(x, tuple) and x[0] == "name"),
+                    None,
+                )
+                if name is not None and name in fonts:
+                    active[0], active[1] = fonts[name]
+                else:  # unresolvable font → document-level maps
+                    active[0], active[1] = cmap, diffs
             stack.clear()
         elif op in (b"Td", b"TD"):
             ty = stack[-1] if stack and isinstance(stack[-1], float) else 0.0
@@ -463,7 +534,9 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
             cmap.update(parse_tounicode_cmap(body))
         else:
             content.append(body)
+    # per-font resolution (Tf switching); {} → document-level fallback
+    fonts = _font_maps(payload)
     blocks: list[str] = []
     for body in content:
-        blocks.extend(_parse_content(body, cmap or None, diffs))
+        blocks.extend(_parse_content(body, cmap or None, diffs, fonts or None))
     return blocks

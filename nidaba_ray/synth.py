@@ -286,6 +286,73 @@ def make_pdf_utf16(doc_id: int, text: str) -> bytes:
     )
 
 
+def make_pdf_twofont(doc_id: int, text: str) -> bytes:
+    """Two composite fonts with OVERLAPPING 2-byte code spaces (both
+    start at 0x0020), each with its own ToUnicode CMap, referenced
+    from a /Font resource dict and switched with ``Tf`` mid-line —
+    decodable ONLY by per-font CMap resolution (a merged
+    document-level map would collide on the shared codes). Char set
+    split: even-indexed unique chars → /F1, odd → /F2."""
+    import zlib as _zlib
+
+    chars = sorted(set(text))
+    halves = (chars[0::2], chars[1::2])
+    codes: list[dict[str, int]] = []
+    cmaps: list[bytes] = []
+    for half in halves:
+        cm = {c: 0x20 + i for i, c in enumerate(half)}
+        codes.append(cm)
+        entries = "\n".join(
+            f"<{v:04X}> <{c.encode('utf-16-be').hex().upper()}>"
+            for c, v in cm.items()
+        )
+        cmaps.append(_zlib.compress((
+            "begincmap\n1 begincodespacerange <0000> <FFFF> "
+            f"endcodespacerange\n{len(cm)} beginbfchar\n{entries}\n"
+            "endbfchar\nendcmap"
+        ).encode("ascii")))
+    font_of = {c: (0 if c in codes[0] else 1) for c in chars}
+
+    ops: list[str] = ["BT", "13 TL"]
+    first = True
+    for p in paragraphs_for(doc_id, text):
+        if not first:
+            ops.append("T*")
+        first = False
+        # runs of same-font chars → Tf switch + hex show per run
+        run_font, run = font_of[p[0]], []
+        for c in p:
+            f = font_of[c]
+            if f != run_font:
+                ops.append(f"/F{run_font + 1} 11 Tf")
+                ops.append(
+                    "<" + "".join(f"{codes[run_font][x]:04X}" for x in run)
+                    + "> Tj")
+                run_font, run = f, []
+            run.append(c)
+        ops.append(f"/F{run_font + 1} 11 Tf")
+        ops.append("<" + "".join(f"{codes[run_font][x]:04X}" for x in run)
+                   + "> Tj")
+    ops.append("ET")
+    body = _zlib.compress("\n".join(ops).encode("ascii"))
+
+    def stream_obj(num: int, comp: bytes) -> bytes:
+        return (f"{num} 0 obj << /Length {len(comp)} /Filter /FlateDecode "
+                ">> stream\n").encode() + comp + b"\nendstream endobj\n"
+
+    return (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        b"4 0 obj << /Type /Page /Resources << /Font "
+        b"<< /F1 10 0 R /F2 11 0 R >> >> /Contents 3 0 R >> endobj\n"
+        b"10 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 12 0 R >> endobj\n"
+        b"11 0 obj << /Type /Font /Subtype /Type0 /ToUnicode 13 0 R >> endobj\n"
+        + stream_obj(12, cmaps[0]) + stream_obj(13, cmaps[1])
+        + stream_obj(3, body)
+        + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
 def make_pdf_diff(doc_id: int, text: str) -> bytes:
     """Simple-font /Differences variant (the accented-Latin PDF
     shape): non-ASCII characters are assigned byte codes 128-255 and a
@@ -372,7 +439,8 @@ def make_page(doc_id: int, text: str, lang: str,
     elif kind == "pdf":
         html = {"plain": make_pdf, "flate": make_pdf_flate,
                 "utf16": make_pdf_utf16,
-                "diff": make_pdf_diff}[pdf_variant](doc_id, text)
+                "diff": make_pdf_diff,
+                "twofont": make_pdf_twofont}[pdf_variant](doc_id, text)
     else:
         html = make_html(doc_id, text, lang)
         if html_variant == "gzip":

@@ -239,6 +239,36 @@ def test_differences_named_glyphs_and_limits():
         synth.make_pdf_diff(1, "".join(chr(0x100 + i) for i in range(200)))
 
 
+@given(st.lists(st.sampled_from(
+    [f"w{i}" for i in range(40)]
+    + ["(p)", ")q(", "a\\b", "ü", "—", "€", "北京", "😀", "café"]
+), min_size=1, max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_pdf_twofont_roundtrip_property(tokens):
+    """Two composite fonts with OVERLAPPING code spaces, switched by
+    Tf mid-line, round-trip byte-exactly — only true with genuine
+    per-font CMap resolution."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    got = " ".join(extract_pdf_blocks(synth.make_pdf_twofont(7, text)))
+    assert got == text
+
+
+def test_twofont_requires_per_font_resolution(monkeypatch):
+    """The two-font dialect is UNDECODABLE by the merged document-level
+    map (codes collide) — proves Tf switching does real work."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages import pdf as P
+
+    doc = synth.make_pdf_twofont(7, "abcdef")
+    assert " ".join(P.extract_pdf_blocks(doc)) == "abcdef"
+    monkeypatch.setattr(P, "_font_maps", lambda payload: {})
+    merged = " ".join(P.extract_pdf_blocks(doc))
+    assert merged != "abcdef"  # collision under the fallback
+
+
 def test_tounicode_cmap_forms():
     """The CMap parser handles bfchar, incrementing bfrange, and
     array-form bfrange, flate or plain; BOM strings win over the CMap."""
