@@ -212,9 +212,13 @@ _CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 
 def _u16_hex(h: bytes) -> str:
     """Destination hex → unicode (UTF-16BE code units, surrogate pairs
-    included)."""
+    included). Lenient: odd-length hex is zero-padded BEFORE decoding
+    (``bytes.fromhex`` would raise) — one malformed CMap entry must
+    never take down the document."""
+    if len(h) % 2:
+        h += b"0"
     b = bytes.fromhex(h.decode("ascii"))
-    if len(b) % 2:  # malformed odd-length destination — pad (lenient)
+    if len(b) % 2:
         b += b"\x00"
     return b.decode("utf-16-be", errors="replace")
 
@@ -246,11 +250,18 @@ def parse_tounicode_cmap(body: bytes) -> dict[int, str]:
                 i += 1
                 c = lo
                 while i < n and toks[i] != b"]":
+                    # a stray nested "[" is not a hex destination —
+                    # skip it without consuming a code slot
+                    if toks[i] == b"[":
+                        i += 1
+                        continue
                     if c <= hi:
                         cmap[c] = _u16_hex(toks[i])
                     c += 1
                     i += 1
                 i += 1  # past ]
+            elif toks[i] == b"]":  # malformed — no destination
+                i += 1
             else:  # incrementing destination
                 dsthex = toks[i]
                 i += 1

@@ -269,6 +269,33 @@ def test_twofont_requires_per_font_resolution(monkeypatch):
     assert merged != "abcdef"  # collision under the fallback
 
 
+@given(st.binary(min_size=0, max_size=200), st.integers(0, 4))
+@settings(max_examples=150, deadline=None)
+def test_pdf_kernels_never_raise_on_junk(junk, which):
+    """Per-stream isolation contract: malformed CMaps / Differences /
+    object structures degrade (skip or replacement chars), never
+    raise — one corrupt object must not take down the document."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import (
+        _font_maps,
+        extract_pdf_blocks,
+        parse_differences,
+        parse_tounicode_cmap,
+    )
+
+    parse_tounicode_cmap(junk)
+    parse_tounicode_cmap(
+        b"beginbfchar <1> <234> endbfchar beginbfrange <0> <5> ["
+        + junk + b"] endbfrange")
+    parse_differences(b"/Differences [ 12 /x " + junk + b" ]")
+    _font_maps(junk)
+    # splice the junk into a real two-font payload mid-file
+    doc = bytearray(synth.make_pdf_twofont(3, "splice target text"))
+    pos = min(len(doc) - 1, 40 + which * 150)
+    doc[pos : pos + len(junk)] = junk
+    extract_pdf_blocks(bytes(doc))
+
+
 def test_tounicode_cmap_forms():
     """The CMap parser handles bfchar, incrementing bfrange, and
     array-form bfrange, flate or plain; BOM strings win over the CMap."""
