@@ -67,6 +67,82 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.T
     return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
 
 
+def ann_topk_multi(
+    sf_dir: str, k: int = 5, query_vec_ids: tuple[int, ...] = (0, 1, 2, 3),
+) -> pa.Table:
+    """Batched multi-query exact cosine top-k — the broadcast
+    QUERY-MATRIX shape (driver brief): the Q normalized query vectors
+    ship once via ``ray.put``, each batch does ONE (B×d)·(d×Q) matmul,
+    and per (batch, query) partial top-k rows flow to a ≤ k·Q-per-batch
+    driver merge. At 10^12 scale Q grows to thousands of queries per
+    pass and the matmul amortizes the corpus scan across all of them —
+    the per-query marginal cost is one extra column in the matmul.
+    Checked against a DuckDB cross-join oracle in
+    tests/test_crawls_windows.py (test-level — driver surface is
+    capped at 50 entries)."""
+    import ray as _ray
+
+    qids = sorted(query_vec_ids)
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", qids)],
+    )
+    order = np.argsort(np.asarray(t["vec_id"]))
+    qm = np.array(t["embedding"].to_pylist(), dtype=np.float64)[order]
+    qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qids_arr = np.asarray(t["vec_id"])[order]
+    qref = _ray.put(qn.T.copy())  # (d, Q), contiguous for the matmul
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qt = _ray.get(qref)  # zero-copy from the object store
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        cos = round_like_sql(
+            (m @ qt) / np.where(norms > 0, norms, 1.0)[:, None], 6
+        )  # (B, Q)
+        ids = np.asarray(batch["vec_id"])
+        out_q, out_v, out_c = [], [], []
+        for j in range(cos.shape[1]):
+            col = cos[:, j]
+            sel = np.lexsort((ids, -col))[:k]
+            out_q.extend([int(qids_arr[j])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(col[sel].tolist())
+        return pa.table(
+            {"query_id": pa.array(out_q, pa.int64()),
+             "vec_id": pa.array(out_v, pa.int64()),
+             "cos_sim": pa.array(out_c, pa.float64())}
+        )
+
+    parts = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+        .map_batches(partial_topk, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()  # ≤ k·Q rows per batch — tiny merge
+    )
+    out = (
+        parts.sort_values(["query_id", "cos_sim", "vec_id"],
+                          ascending=[True, False, True])
+        .groupby("query_id", as_index=False, sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+ANN_MULTI_SQL = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS e
+           FROM embeddings WHERE vec_id IN ({ids})),
+     c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+SELECT query_id, vec_id,
+       ROUND(list_cosine_similarity(q.e, c.e), 6) AS cos_sim
+FROM q CROSS JOIN c
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, vec_id) <= {k}
+ORDER BY query_id, cos_sim DESC, vec_id
+"""
+
+
 def ann_topk_sql(k: int = 10, query_vec_id: int = 0) -> str:
     return f"""
 SELECT vec_id,

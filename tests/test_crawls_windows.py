@@ -460,3 +460,28 @@ def test_sliding_window_matches_duckdb(ray_session):
         mine.astype({"event_type": "string"}),
         want.astype({"event_type": "string", "n_events": "int64"}),
     )
+
+
+def test_ann_topk_multi_matches_duckdb(ray_session):
+    """Broadcast-query-matrix ANN equals the DuckDB cross-join oracle
+    per query (test-level oracle — driver surface capped at 50)."""
+    import duckdb
+    import pandas as pd
+
+    from nidaba_ray.functions.ann import ANN_MULTI_SQL, ann_topk_multi
+
+    sf = "/root/testdata/sf0.001"
+    qids, k = (0, 1, 2, 3), 5
+    mine = ann_topk_multi(sf, k=k, query_vec_ids=qids).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{sf}/embeddings.parquet')"
+    )
+    want = con.execute(
+        ANN_MULTI_SQL.format(ids=",".join(map(str, qids)), k=k)
+    ).fetchdf()
+    assert len(mine) == len(want) == k * len(qids)
+    pd.testing.assert_frame_equal(
+        mine.astype({"query_id": "int64", "vec_id": "int64"}),
+        want.astype({"query_id": "int64", "vec_id": "int64"}),
+    )
