@@ -13,6 +13,7 @@ hash joins, and nothing corpus-sized ever touches the driver.
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -222,7 +223,8 @@ def _verify_jaccard_pairs(
     only candidate documents are shuffled — the driver holds ids only,
     never texts (the 10^12-scale shape). Shared by the MinHash-LSH and
     prefix-filter paths."""
-    if uniq.count() == 0:
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         return _PAIRS_SCHEMA.empty_table()
 
     # candidate id set — ≤ 2×|pairs| ints, tiny relative to the corpus
@@ -236,9 +238,21 @@ def _verify_jaccard_pairs(
         # vectorized membership (Arrow is_in) against the broadcast ids
         return batch.filter(pc.is_in(batch["doc_id"], ray.get(ids_ref)))
 
+    # Empty-first-block join hazard (Ray 2.49): the hash-shuffle join
+    # broadcasts input schemas via the FIRST shuffled block, but a
+    # 0-row first block short-circuits before sending anything while
+    # still marking schemas as broadcast — partitions that then receive
+    # no rows finalize as schemaless empties and pyarrow's join raises
+    # "No match ... for key field reference". The filter above emits
+    # 0-row batches for every corpus block without candidates, so both
+    # join inputs are split-repartitioned to exact non-empty block
+    # counts (split repartition divides rows evenly; k ≤ rows ⇒ no
+    # empty blocks). All of this is pairs-sized — the repartition is
+    # cheap by the same argument that lets ids sit on the driver.
     cand_docs = (
         _docs(sf_dir, ["doc_id", "text"])
         .map_batches(only_candidates, batch_format="pyarrow")
+        .repartition(min(join_partitions(4), max(1, len(ids))))
         .materialize()  # pairs-sized; joined twice below
     )
     # pairs-sized joins: few partitions — each partition is an actor
@@ -249,7 +263,7 @@ def _verify_jaccard_pairs(
         lambda t: pa.table({"doc_a": t["doc_a"], "doc_b": t["doc_b"],
                             "text_a": t["text"]}),
         batch_format="pyarrow",
-    )
+    ).repartition(min(join_partitions(4), n_pairs))
     with_b = with_a.join(
         cand_docs, "inner", join_partitions(4), on=("doc_b",), right_on=("doc_id",)
     )
@@ -281,14 +295,55 @@ def _verify_jaccard_pairs(
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
-def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
-    """End-to-end MinHash-LSH near-dup: candidates from band buckets,
-    deduplicated (distributed groupby = the drop_duplicates), then
-    exact verification via :func:`_verify_jaccard_pairs` — no LSH
-    false positives in the output; false negatives bounded by the band
-    curve."""
+# Process-local memo for the MinHash pair-mining tail. Three driver
+# queries consume the same mined pairs (`minhash_dedup_pairs` and both
+# `dup_clusters*_distributed` variants), and the LSH candidate set is
+# threshold-INDEPENDENT (thresholding happens in verification), so one
+# mining pass serves every threshold. Keyed by (realpath, corpus
+# size+mtime fingerprint) — a touched corpus invalidates; a different
+# process starts cold (cross-run determinism is untouched: the memo
+# only returns the already-sorted table a fresh compute would produce).
+# Candidate lists larger than _MEMO_MAX_PAIRS are not retained: the
+# driver already holds the candidate-id set during verification, but a
+# standing cache of a huge pair list would outlive that window.
+_MEMO_MAX_PAIRS = 2_000_000
+_CAND_MEMO: dict[tuple, pa.Table] = {}
+_PAIRS_MEMO: dict[tuple, pa.Table] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> str:
+    """size:mtime_ns stamp of documents.parquet (file or directory) —
+    same cheap staleness check as the ANN index cache."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(path):
+        parts = []
+        for root, _, files in os.walk(path):
+            for f in sorted(files):
+                st = os.stat(os.path.join(root, f))
+                parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+        return "|".join(parts)
+    st = os.stat(path)
+    return f"{st.st_size}:{st.st_mtime_ns}"
+
+
+def clear_pair_memo() -> None:
+    """Drop the process-local mining memo (tests / long-lived servers)."""
+    _CAND_MEMO.clear()
+    _PAIRS_MEMO.clear()
+
+
+def _distinct_candidates(sf_dir: str) -> rd.Dataset:
+    """Distinct LSH candidate pairs, memoized per (corpus, content).
+
+    The distinct pair list is the pairs-sized artifact the verifier
+    already collects ids from; retaining it driver-side (bounded by
+    ``_MEMO_MAX_PAIRS``) lets every threshold variant skip the
+    signature + banding-join pipeline entirely on reuse."""
     from ray.data.aggregate import Count
 
+    key = (os.path.realpath(sf_dir), _corpus_fingerprint(sf_dir))
+    if key in _CAND_MEMO:
+        return rd.from_arrow(_CAND_MEMO[key])
     uniq = (
         minhash_candidates(sf_dir)
         .groupby(["doc_a", "doc_b"])
@@ -296,7 +351,32 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
         .map_batches(lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow")
         .materialize()
     )
-    return _verify_jaccard_pairs(uniq, sf_dir, threshold)
+    if uniq.count() <= _MEMO_MAX_PAIRS:
+        tbl = pa.concat_tables(
+            uniq.iter_batches(batch_format="pyarrow", batch_size=None)
+        ) if uniq.count() else pa.schema(
+            [("doc_a", pa.int64()), ("doc_b", pa.int64())]
+        ).empty_table()
+        # canonical order so a memo hit is byte-identical to a rerun
+        _CAND_MEMO[key] = tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+        return rd.from_arrow(_CAND_MEMO[key])
+    return uniq
+
+
+def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
+    """End-to-end MinHash-LSH near-dup: candidates from band buckets,
+    deduplicated (distributed groupby = the drop_duplicates), then
+    exact verification via :func:`_verify_jaccard_pairs` — no LSH
+    false positives in the output; false negatives bounded by the band
+    curve. Mining and verified output are memoized per corpus content
+    (see ``_distinct_candidates``) so the cluster queries reuse them."""
+    key = (os.path.realpath(sf_dir), _corpus_fingerprint(sf_dir), threshold)
+    if key in _PAIRS_MEMO:
+        return _PAIRS_MEMO[key]
+    out = _verify_jaccard_pairs(_distinct_candidates(sf_dir), sf_dir, threshold)
+    if out.num_rows <= _MEMO_MAX_PAIRS:
+        _PAIRS_MEMO[key] = out
+    return out
 
 
 def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:

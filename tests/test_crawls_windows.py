@@ -151,6 +151,56 @@ def test_dup_clusters(ray_session, tmp_path, monkeypatch):
     assert out[4] == 4 and out[5] == 5
 
 
+def test_pair_memo_reuse_and_invalidation(ray_session, tmp_path, monkeypatch):
+    """The MinHash mining memo: one mining pass serves every threshold
+    and repeat call in-process; touching the corpus invalidates it."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions import dedup
+
+    base = " ".join(f"w{i}" for i in range(60))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array([base, base, "unrelated tiny doc"]),
+            "lang": pa.array(["en"] * 3),
+        }
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    path = str(d / "documents.parquet")
+    pq.write_table(docs, path)
+
+    dedup.clear_pair_memo()
+    calls = {"n": 0}
+    real = dedup.minhash_candidates
+
+    def counting(sf_dir, **kw):
+        calls["n"] += 1
+        return real(sf_dir, **kw)
+
+    monkeypatch.setattr(dedup, "minhash_candidates", counting)
+    out1 = dedup.minhash_dedup_pairs(str(d))
+    assert calls["n"] == 1
+    assert out1.num_rows == 1 and out1["doc_a"][0].as_py() == 0
+
+    # repeat call: verified-pairs memo, no mining
+    out2 = dedup.minhash_dedup_pairs(str(d))
+    assert calls["n"] == 1 and out2.equals(out1)
+
+    # different threshold: candidate memo reused, only verify reruns
+    exact = dedup.minhash_dedup_pairs(str(d), threshold=1.0)
+    assert calls["n"] == 1 and exact.num_rows == 1
+
+    # touched corpus -> fingerprint change -> cold mining
+    os.utime(path, ns=(1, 1))
+    out3 = dedup.minhash_dedup_pairs(str(d))
+    assert calls["n"] == 2 and out3.equals(out1)
+    dedup.clear_pair_memo()
+
+
 def test_host_stats_salted(ray_session, tmp_path):
     import pyarrow.parquet as pq_
 
