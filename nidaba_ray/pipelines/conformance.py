@@ -67,6 +67,19 @@ def extract_documents_pdf3(sf_dir: str) -> rd.Dataset:
     )
 
 
+def extract_documents_pdf4(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate, with PDF payloads RC4-encrypted under
+    the standard security handler (synth.make_pdf_rc4: V2/R3 128-bit,
+    empty user password) — proves the spec §7.6.3 decryption pre-pass
+    in stages/pdf.py preserves the identity. Off the 50-entry driver
+    surface; pinned against EXTRACT_SQL in
+    tests/test_oracle_conformance.py."""
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="rc4")
+    return extract_pipeline(pages, spell=False).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
+
+
 def extract_documents_gzip(sf_dir: str) -> rd.Dataset:
     """Same byte-identity gate with HTML payloads per-record gzipped
     (the CC WARC convention) — proves the transparent-inflate sniff in

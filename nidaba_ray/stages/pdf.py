@@ -24,6 +24,10 @@ A real (public-spec) PDF *subset* parser, pure stdlib:
   * simple-font ``/Differences`` encoding arrays (spec §9.6.6.3):
     byte codes remap through an Adobe-Glyph-List subset plus the
     algorithmic ``uniXXXX``/``uXXXX`` name forms, over an ASCII base;
+  * RC4-encrypted files (standard security handler, /V 1|2, /R 2|3,
+    empty user password): the file key is derived per spec §7.6.3 and
+    every stream body is decrypted in place before parsing;
+
   * per-font encoding switching: ``/Font`` resource dicts are
     resolved through indirect references (xref-free object scan), and
     the ``Tf`` operator switches the active (ToUnicode CMap,
@@ -38,13 +42,16 @@ back to document-level; content streams and ToUnicode CMaps cannot
 live in an ObjStm, so xref/ObjStm parsing stays out), incrementing
 bfranges that cross a surrogate boundary (bfchar and array-form
 destinations decode fine in any plane, incl. surrogate pairs),
-encrypted files, inline images. A production build
+AES-encrypted files (/V 4+ — RC4 standard-handler files with an empty
+user password DO decrypt: spec §7.6.3 Algorithms 1-6, V 1/2, R 2/3),
+inline images. A production build
 swaps this module for a full parser behind the same
 ``extract_pdf_blocks`` contract.
 """
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -74,6 +81,162 @@ _ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
 
 def is_pdf(payload: bytes) -> bool:
     return payload[: len(PDF_MAGIC)] == PDF_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# Standard security handler (spec §7.6.3): RC4 with /V 1|2, /R 2|3 and
+# an EMPTY user password (the common owner-password-only case). The
+# whole file is decrypted up front — every stream body is replaced
+# in-place (RC4 is length-preserving, so all offsets stay valid) and
+# the rest of the parser runs on plaintext. Out of scope: AES (/V 4+),
+# non-Standard filters, non-empty user passwords, and strings outside
+# streams (they never carry page text; content + ToUnicode live in
+# streams, which ARE decrypted).
+# ---------------------------------------------------------------------------
+
+# spec Algorithm 2 padding constant (§7.6.3.3, public)
+_PAD = bytes((
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+))
+_ENC_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R")
+_ENC_INLINE_RE = re.compile(rb"/Encrypt\s*<<((?:(?!<<).)*?)>>", re.S)
+_ID_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_OBJGEN_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)\bendobj", re.S)
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Plain RC4 (KSA + PRGA). Sequential by nature — fine for the
+    few-KB streams this subset handles; a production build swaps in a
+    native cipher behind the same call."""
+    S = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + S[i] + key[i % len(key)]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + S[i]) & 0xFF
+        S[i], S[j] = S[j], S[i]
+        out[n] = c ^ S[(S[i] + S[j]) & 0xFF]
+    return bytes(out)
+
+
+def _enc_int(d: bytes, name: bytes, default: int) -> int:
+    m = re.search(rb"/" + name + rb"\s+(-?\d+)", d)
+    return int(m.group(1)) if m else default
+
+
+def _enc_string(d: bytes, name: bytes) -> bytes | None:
+    """/O or /U value — hex ``<…>`` or literal ``(…)`` form."""
+    m = re.search(rb"/" + name + rb"\s*", d)
+    if not m:
+        return None
+    i = m.end()
+    if i < len(d) and d[i] == 0x3C:  # '<'
+        hm = _HEX_RE.match(d, i)
+        if hm:
+            h = re.sub(rb"\s", b"", hm.group(1))
+            return bytes.fromhex(h.decode("ascii"))
+        return None
+    if i < len(d) and d[i] == 0x28:  # '('
+        s, _ = _scan_string(d, i)
+        return s
+    return None
+
+
+def _std_file_key(O: bytes, P: int, id0: bytes, R: int, nbits: int) -> bytes:
+    """Algorithm 2: empty-user-password file key."""
+    n = 5 if R == 2 else max(5, min(16, nbits // 8))
+    key = hashlib.md5(
+        _PAD + O[:32] + (P & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()
+    if R >= 3:
+        for _ in range(50):
+            key = hashlib.md5(key[:n]).digest()
+    return key[:n]
+
+
+def _check_user_password(key: bytes, U: bytes, id0: bytes, R: int) -> bool:
+    """Algorithm 6 (via 4/5): does the empty user password open this
+    file? R3 compares only the first 16 bytes of /U per the spec."""
+    if R == 2:
+        return _rc4(key, _PAD) == U[:32]
+    x = hashlib.md5(_PAD + id0).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    return x == U[:16]
+
+
+def _obj_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1: per-object RC4 key."""
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _decrypt_payload(payload: bytes) -> bytes | None:
+    """Decrypt every stream body of a standard-handler RC4 file
+    in-place; None when the file is encrypted but not decryptable here
+    (unsupported handler/version, or the user password isn't empty —
+    the caller extracts no text rather than mojibake)."""
+    objs = list(_OBJGEN_RE.finditer(payload))
+    enc = None
+    enc_num = -1
+    em = _ENC_REF_RE.search(payload)
+    if em:
+        enc_num = int(em.group(1))
+        for m in objs:
+            if int(m.group(1)) == enc_num:
+                enc = m.group(3)
+                break
+    if enc is None:
+        im = _ENC_INLINE_RE.search(payload)
+        if im:
+            enc = im.group(1)
+    if enc is None or b"/Standard" not in enc:
+        return None
+    V = _enc_int(enc, b"V", 0)
+    R = _enc_int(enc, b"R", 0)
+    if V not in (1, 2) or R not in (2, 3):
+        return None
+    O = _enc_string(enc, b"O")
+    U = _enc_string(enc, b"U")
+    if O is None or U is None or len(O) < 32 or len(U) < 16:
+        return None
+    P = _enc_int(enc, b"P", -1)
+    nbits = _enc_int(enc, b"Length", 40) if V == 2 else 40
+    idm = _ID_RE.search(payload)
+    id0 = b""
+    if idm:
+        id0 = bytes.fromhex(
+            re.sub(rb"\s", b"", idm.group(1)).decode("ascii")
+        )
+    key = _std_file_key(O, P, id0, R, nbits)
+    if not _check_user_password(key, U, id0, R):
+        return None
+    out = bytearray(payload)
+    for m in objs:
+        num, gen = int(m.group(1)), int(m.group(2))
+        if num == enc_num:
+            continue  # the encryption dict itself is never encrypted
+        base = m.start(3)
+        body = m.group(3)
+        for sm in _STREAM_RE.finditer(body):
+            start, end = base + sm.start(2), base + sm.end(2)
+            lm = _LENGTH_RE.search(sm.group(1))
+            if lm:  # binary bodies: trust /Length over the pattern end
+                ln = int(lm.group(1))
+                if start + ln <= len(payload):
+                    end = start + ln
+            ok = _obj_key(key, num, gen)
+            out[start:end] = _rc4(ok, bytes(out[start:end]))
+    return bytes(out)
 
 
 # ---------------------------------------------------------------------------
@@ -524,7 +687,15 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
     rest) and merges any ToUnicode CMap streams into one document-level
     code map; pass 2 parses the remaining streams as content with that
     map active. Payloads with no stream objects at all fall back to a
-    raw scan of the whole body (bare content fragments)."""
+    raw scan of the whole body (bare content fragments). Encrypted
+    files (standard security handler, RC4, empty user password) are
+    decrypted up front; encrypted files this subset can't open yield
+    no blocks rather than ciphertext mojibake."""
+    if b"/Encrypt" in payload:
+        dec = _decrypt_payload(payload)
+        if dec is None:
+            return []
+        payload = dec
     bodies: list[bytes] = []
     found = False
     for m in _STREAM_RE.finditer(payload):

@@ -405,6 +405,60 @@ def _u16cu(c: str) -> str:
     return c.encode("utf-16-be").hex().upper()
 
 
+def make_pdf_rc4(doc_id: int, text: str, rev: int = 3) -> bytes:
+    """RC4-encrypted variant of :func:`make_pdf` (standard security
+    handler, empty owner+user passwords — the common
+    "owner-password-only" shape). ``rev=3`` writes /V 2 /R 3 with a
+    128-bit key; ``rev=2`` writes /V 1 /R 2 (40-bit). /O, /U and the
+    file key follow spec §7.6.3 Algorithms 2/3/5; the single content
+    stream is RC4'd with the Algorithm-1 per-object key (obj 3 gen 0).
+    RC4 is length-preserving, so the plain variant's /Length is
+    reused unchanged."""
+    import hashlib as _hl
+
+    from nidaba_ray.stages.pdf import _obj_key, _rc4, _std_file_key, _PAD
+
+    if rev not in (2, 3):
+        raise ValueError("rev must be 2 or 3")
+    plain = make_pdf(doc_id, text)
+    head, rest = plain.split(b"stream\n", 1)
+    body = rest.split(b"\nendstream", 1)[0]
+
+    id0 = _hl.md5(f"rc4-id-{SEED}-{doc_id}".encode()).digest()
+    P = -44
+    n = 16 if rev == 3 else 5
+    # /O (Algorithm 3): empty owner password falls back to the (empty)
+    # user password; both sides are the spec pad
+    okey = _hl.md5(_PAD).digest()
+    if rev == 3:
+        for _ in range(50):
+            okey = _hl.md5(okey[:n]).digest()
+    okey = okey[:n]
+    O = _rc4(okey, _PAD)
+    if rev == 3:
+        for i in range(1, 20):
+            O = _rc4(bytes(b ^ i for b in okey), O)
+    key = _std_file_key(O, P, id0, rev, 8 * n)
+    # /U (Algorithm 4 for R2, Algorithm 5 for R3)
+    if rev == 2:
+        U = _rc4(key, _PAD)
+    else:
+        x = _rc4(key, _hl.md5(_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in key), x)
+        U = x + b"\x00" * 16
+    enc_body = _rc4(_obj_key(key, 3, 0), body)
+    vr = b"/V 2 /R 3 /Length 128" if rev == 3 else b"/V 1 /R 2"
+    return (
+        head + b"stream\n" + enc_body + b"\nendstream endobj\n"
+        + b"4 0 obj << /Filter /Standard " + vr
+        + b" /P -44 /O <" + O.hex().encode() + b"> /U <" + U.hex().encode()
+        + b"> >> endobj\n"
+        + b"trailer << /Root 1 0 R /Encrypt 4 0 R /ID [ <"
+        + id0.hex().encode() + b"> <" + id0.hex().encode() + b"> ] >>\n%%EOF\n"
+    )
+
+
 def make_invalid(doc_id: int) -> bytes:
     rng = random.Random(f"bad-{SEED}-{doc_id}")
     return bytes([rng.randint(0, 255) for _ in range(rng.randint(5, 64))])
@@ -440,7 +494,8 @@ def make_page(doc_id: int, text: str, lang: str,
         html = {"plain": make_pdf, "flate": make_pdf_flate,
                 "utf16": make_pdf_utf16,
                 "diff": make_pdf_diff,
-                "twofont": make_pdf_twofont}[pdf_variant](doc_id, text)
+                "twofont": make_pdf_twofont,
+                "rc4": make_pdf_rc4}[pdf_variant](doc_id, text)
     else:
         html = make_html(doc_id, text, lang)
         if html_variant == "gzip":

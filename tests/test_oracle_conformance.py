@@ -78,6 +78,22 @@ def test_query_matches_oracle(name, ray_session, oracle_con):
         )
 
 
+def test_rc4_dialect_matches_oracle(ray_session, oracle_con):
+    """The RC4-encrypted PDF dialect (off the 50-entry driver surface)
+    passes the same byte-identity oracle as the on-surface dialects."""
+    from nidaba_ray.pipelines.conformance import (
+        EXTRACT_SQL,
+        extract_documents_pdf4,
+    )
+
+    ray_df = canon(to_df(extract_documents_pdf4(SF_DIR)))
+    sql_df = canon(oracle_con.execute(EXTRACT_SQL).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns)
+    assert len(ray_df) == len(sql_df)
+    for c in ray_df.columns:
+        assert (ray_df[c] == sql_df[c]).all(), c
+
+
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 
 

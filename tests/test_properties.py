@@ -269,6 +269,57 @@ def test_twofont_requires_per_font_resolution(monkeypatch):
     assert merged != "abcdef"  # collision under the fallback
 
 
+def test_rc4_known_answer():
+    """Public RC4 test vectors pin the cipher independently of the
+    writer (synth) and reader (pdf) sharing primitives."""
+    from nidaba_ray.stages.pdf import _rc4
+
+    assert _rc4(b"Key", b"Plaintext") == bytes.fromhex("BBF316E8D940AF0AD3")
+    assert _rc4(b"Wiki", b"pedia") == bytes.fromhex("1021BF0420")
+    assert _rc4(b"Secret", b"Attack at dawn") == bytes.fromhex(
+        "45A01F645FC35B383552544B9BF5"
+    )
+
+
+@given(st.lists(st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz()\\%<>", min_size=1, max_size=20
+), min_size=1, max_size=40))
+@settings(max_examples=50, deadline=None)
+def test_pdf_rc4_roundtrip_property(tokens):
+    """RC4-encrypted payloads extract byte-identically to the plain
+    dialect they wrap (V2/R3 128-bit, empty user password)."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    enc = extract_pdf_blocks(synth.make_pdf_rc4(7, text))
+    plain = extract_pdf_blocks(synth.make_pdf(7, text))
+    assert enc == plain
+
+
+def test_pdf_rc4_revisions_and_rejections():
+    """40-bit V1/R2 decrypts too; wrong password, unsupported
+    versions, and malformed /O all yield no text (never mojibake)."""
+    import re as _re
+
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = "guarded content paragraph " * 4
+    plain = extract_pdf_blocks(synth.make_pdf(9, text))
+    assert extract_pdf_blocks(synth.make_pdf_rc4(9, text, rev=2)) == plain
+    doc = synth.make_pdf_rc4(9, text, rev=3)
+    assert extract_pdf_blocks(doc) == plain
+    # tampered /U == wrong user password
+    assert extract_pdf_blocks(
+        _re.sub(rb"/U <([0-9a-f]{4})", rb"/U <ffff", doc)) == []
+    # AES-era version markers are out of scope -> no text
+    assert extract_pdf_blocks(doc.replace(b"/V 2 /R 3", b"/V 4 /R 4")) == []
+    # truncated /O
+    assert extract_pdf_blocks(
+        _re.sub(rb"/O <[0-9a-f]+>", rb"/O <abcd>", doc)) == []
+
+
 @given(st.binary(min_size=0, max_size=200), st.integers(0, 4))
 @settings(max_examples=150, deadline=None)
 def test_pdf_kernels_never_raise_on_junk(junk, which):
