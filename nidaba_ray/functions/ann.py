@@ -655,13 +655,19 @@ def embedding_near_dup_scalable(
                      batch_format="pyarrow")
         .materialize()
     )
-    if uniq.count() == 0:
+    n_pairs = uniq.count()
+    if n_pairs == 0:
         return _NEAR_DUP_SCHEMA.empty_table()
     ids: set[int] = set()
     for b in uniq.iter_batches(batch_format="pyarrow"):
         ids.update(b["vec_a"].to_pylist())
         ids.update(b["vec_b"].to_pylist())
     ids_ref = _ray.put(pa.array(sorted(ids), pa.int64()))
+    # empty-first-block join hazard guard (see dedup._verify_jaccard_pairs):
+    # split-repartition every pairs-sized join input to k ≤ rows so no
+    # block is empty — a 0-row first block would poison the join's
+    # schema broadcast and fail partitions that receive no rows
+    uniq = uniq.repartition(min(join_partitions(4), n_pairs))
 
     def only_candidates(batch: pa.Table) -> pa.Table:
         # Arrow hash joins don't carry list<float> payload columns —
@@ -676,6 +682,7 @@ def embedding_near_dup_scalable(
         rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                         columns=["vec_id", "embedding"])
         .map_batches(only_candidates, batch_format="pyarrow")
+        .repartition(min(join_partitions(4), max(1, len(ids))))
         .materialize()
     )
     with_a = uniq.join(
@@ -685,7 +692,7 @@ def embedding_near_dup_scalable(
         lambda t: pa.table({"vec_a": t["vec_a"], "vec_b": t["vec_b"],
                             "emb_a": t["emb"]}),
         batch_format="pyarrow",
-    )
+    ).repartition(min(join_partitions(4), n_pairs))
     with_b = with_a.join(
         cand_vecs, "inner", join_partitions(4), on=("vec_b",),
         right_on=("vec_id",),
