@@ -748,7 +748,7 @@ Q5_FROM = pd.Timestamp("1996-01-01")
 Q5_TO = pd.Timestamp("1997-01-01")
 
 
-def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
+def q5_local_supplier_volume(sf_dir: str, cust_broadcast: bool = True) -> pa.Table:
     """Six-table star join, composed as ONE fact-fact hash join plus
     chained broadcast lookups — the 100 TB plan for star schemas:
 
@@ -762,11 +762,13 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
         the per-nation revenue rollup run vectorized per batch, so the
         final groupby moves ≤ n_nations rows per block.
 
-    Honest scale caveat: supplier/nation/region are genuinely tiny,
-    but customer grows with the corpus — when the customer→nation map
-    stops fitting the object store comfortably, orders ⋈ customer
-    becomes a second clamped hash join (the Q3 shape) and everything
-    else here is unchanged."""
+    Scale caveat, with the fallback IMPLEMENTED: supplier/nation/
+    region are genuinely tiny, but customer grows with the corpus —
+    ``cust_broadcast=False`` switches orders ⋈ customer to a second
+    clamped hash join (the Q3 shape) so nothing corpus-sized is ever
+    driver-loaded; everything downstream is shared, and pytest pins
+    both modes equal. The broadcast default stays because at bench
+    scale the map ships once per node vs an extra all-to-all."""
     from ray.data.aggregate import Sum
 
     # --- dimension broadcasts (all tiny)
@@ -779,15 +781,16 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
     nation_names = dict(zip(nation["n_nationkey"], nation["n_name"]))
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
     supp = supp[supp["s_nationkey"].isin(nation_names)].sort_values("s_suppkey")
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
-    cust = cust.sort_values("c_custkey")
     # broadcast sorted numpy key/value ARRAYS, not dicts: ray.get of a
     # numpy array is zero-copy from the object store, while a dict
     # would be re-deserialized per batch; lookup = searchsorted
     supp_k = ray.put(supp["s_suppkey"].to_numpy(np.int64))
     supp_v = ray.put(supp["s_nationkey"].to_numpy(np.int64))
-    cust_k = ray.put(cust["c_custkey"].to_numpy(np.int64))
-    cust_v = ray.put(cust["c_nationkey"].to_numpy(np.int64))
+    if cust_broadcast:
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+        cust = cust.sort_values("c_custkey")
+        cust_k = ray.put(cust["c_custkey"].to_numpy(np.int64))
+        cust_v = ray.put(cust["c_nationkey"].to_numpy(np.int64))
 
     def _lookup(keys_arr, vals_arr, q: np.ndarray):
         """Sorted-array map: returns (values, found_mask)."""
@@ -809,6 +812,19 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
         ).select(["o_orderkey", "o_custkey"]),
         batch_format="pyarrow",
     )
+    if not cust_broadcast:
+        # at-scale customer path: a second clamped hash join resolves
+        # o_custkey → c_nationkey on the cluster; the fact rows carry
+        # one extra int64 column into the orderkey join, nothing more
+        ords = _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey"]
+        ).join(
+            ords, "inner", join_partitions(8),
+            on=("c_custkey",), right_on=("o_custkey",),
+        ).map_batches(
+            lambda t: t.select(["o_orderkey", "c_nationkey"]),
+            batch_format="pyarrow",
+        )
     line = _read(
         sf_dir, "lineitem",
         ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
@@ -820,14 +836,18 @@ def q5_local_supplier_volume(sf_dir: str) -> pa.Table:
 
     def partial(batch: pa.Table) -> pa.Table:
         sk, sv = ray.get(supp_k), ray.get(supp_v)   # zero-copy arrays
-        ck, cv = ray.get(cust_k), ray.get(cust_v)
         if batch.num_rows == 0 or len(sk) == 0:
             return pa.table({"nationkey": pa.array([], pa.int64()),
                              "rev": pa.array([], pa.float64())})
         supp_q = batch["l_suppkey"].to_numpy(zero_copy_only=False)
-        cust_q = batch["o_custkey"].to_numpy(zero_copy_only=False)
         s_nat, s_ok = _lookup(sk, sv, supp_q)       # miss → non-ASIA supplier
-        c_nat, c_ok = _lookup(ck, cv, cust_q)
+        if cust_broadcast:
+            ck, cv = ray.get(cust_k), ray.get(cust_v)
+            cust_q = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            c_nat, c_ok = _lookup(ck, cv, cust_q)
+        else:  # nationkey arrived via the customer hash join
+            c_nat = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            c_ok = np.ones(len(c_nat), dtype=bool)
         keep = s_ok & c_ok & (s_nat == c_nat)       # local-supplier predicate
         rev = (batch["l_extendedprice"].to_numpy(zero_copy_only=False)
                * (1.0 - batch["l_discount"].to_numpy(zero_copy_only=False)))

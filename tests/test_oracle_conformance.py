@@ -94,6 +94,17 @@ def test_rc4_dialect_matches_oracle(ray_session, oracle_con):
         assert (ray_df[c] == sql_df[c]).all(), c
 
 
+def test_q5_hash_join_fallback_matches(ray_session):
+    """The at-scale customer path (orders ⋈ customer as a clamped hash
+    join instead of a driver-loaded broadcast map) must be value-equal
+    to the default — same deterministic output table."""
+    from nidaba_ray.relational.queries import q5_local_supplier_volume
+
+    a = q5_local_supplier_volume(SF_DIR).to_pandas()
+    b = q5_local_supplier_volume(SF_DIR, cust_broadcast=False).to_pandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 
 
