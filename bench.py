@@ -64,6 +64,7 @@ TIMED_QUERIES = [
     # round-3 additions
     "extract_documents_pdf3",
     "sample_lineitem",
+    "warc_extract_stats",
 ]
 
 
@@ -73,8 +74,10 @@ def _extra_timed() -> dict:
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
     from nidaba_ray.functions import ann, dedup
     from nidaba_ray.relational import windows as win
+    from nidaba_ray.sources import warc
 
     return {
+        "warc_extract_stats": warc.warc_extract_stats,
         # ngram_jaccard_pairs (quadratic DEMO) is deliberately NOT
         # timed: its tiny-key-space sort emits empty reduce partitions
         # (the schema-less RefBundle warning) and a demo baseline has
