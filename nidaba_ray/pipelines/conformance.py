@@ -80,6 +80,33 @@ def extract_documents_pdf4(sf_dir: str) -> rd.Dataset:
     )
 
 
+def extract_documents_pdf5(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate, with PDF payloads AES-128-CBC-encrypted
+    (synth.make_pdf_aes: /V 4 /R 4, /CFM /AESV2 crypt filter, empty
+    user password) — proves the §7.6.2 AES pre-pass (object-key sAlT
+    derivation, IV-prefixed CBC streams, /Length-rewriting rebuild) in
+    stages/pdf.py preserves the identity. Off the 50-entry driver
+    surface; pinned against EXTRACT_SQL in
+    tests/test_oracle_conformance.py."""
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="aes")
+    return extract_pipeline(pages, spell=False).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
+
+
+def extract_documents_pdf6(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate, with PDF payloads AES-256-encrypted
+    (synth.make_pdf_aes256 rev=5: /V 5, /CFM /AESV3, the draft
+    single-SHA-256 KDF — rev=6's hardened Algorithm-2.B hash is
+    exercised by a single-doc unit test instead, it costs ~1s/doc by
+    design). Off the 50-entry driver surface; pinned in
+    tests/test_oracle_conformance.py."""
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="aes256r5")
+    return extract_pipeline(pages, spell=False).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
+
+
 def extract_documents_gzip(sf_dir: str) -> rd.Dataset:
     """Same byte-identity gate with HTML payloads per-record gzipped
     (the CC WARC convention) — proves the transparent-inflate sniff in

@@ -180,6 +180,103 @@ def _obj_key(key: bytes, num: int, gen: int) -> bytes:
     return h[: min(len(key) + 5, 16)]
 
 
+def _aes_obj_key(key: bytes, num: int, gen: int) -> bytes:
+    """Algorithm 1 with the AESV2 salt (ISO 32000 §7.6.2: the bytes
+    0x73 41 6C 54, "sAlT", appended before the md5)."""
+    h = hashlib.md5(
+        key + num.to_bytes(3, "little") + gen.to_bytes(2, "little")
+        + b"sAlT"
+    ).digest()
+    return h[: min(len(key) + 5, 16)]
+
+
+def _hash_2b(pwd: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B hardened hash (R 6). Block-aligned by
+    construction: the repeated unit is concatenated 64×, and 64·L is
+    always a multiple of 16."""
+    from nidaba_ray.algorithms import aes as _aes
+
+    k = hashlib.sha256(pwd + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pwd + k + udata) * 64
+        e = _aes.encrypt_cbc(k[:16], k[16:32], k1)
+        k = [hashlib.sha256, hashlib.sha384, hashlib.sha512][
+            sum(e[:16]) % 3
+        ](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _aes_file_key_v5(enc: bytes, R: int) -> bytes | None:
+    """Algorithm 2.A (empty user password): validate against /U's hash
+    + validation salt, then unwrap the 32-byte file key from /UE with
+    the intermediate key from the key salt."""
+    from nidaba_ray.algorithms import aes as _aes
+
+    U = _enc_string(enc, b"U")
+    UE = _enc_string(enc, b"UE")
+    if U is None or UE is None or len(U) < 48 or len(UE) < 32:
+        return None
+    vsalt, ksalt = U[32:40], U[40:48]
+    if R == 6:
+        h = _hash_2b(b"", vsalt)
+        ik = _hash_2b(b"", ksalt)
+    else:  # R 5 (the deprecated pre-ISO draft: a single SHA-256)
+        h = hashlib.sha256(vsalt).digest()
+        ik = hashlib.sha256(ksalt).digest()
+    if h != U[:32]:
+        return None
+    return _aes.decrypt_cbc(ik, bytes(16), UE[:32], unpad=False)
+
+
+def _rebuild_aes_decrypted(payload: bytes, objs, enc_num: int,
+                           key_for) -> bytes:
+    """AES-CBC is not length-preserving (16-byte IV prefix + padding),
+    so unlike the RC4 path the file is REBUILT: each stream body is
+    replaced by its plaintext and the dict's /Length rewritten. Only
+    /Length and delimiters matter downstream — the parser is an
+    xref-free scan, so shifted offsets are harmless."""
+    from nidaba_ray.algorithms import aes as _aes
+
+    parts: list[bytes] = []
+    pos = 0
+    for m in objs:
+        num, gen = int(m.group(1)), int(m.group(2))
+        if num == enc_num:
+            continue
+        base = m.start(3)
+        for sm in _STREAM_RE.finditer(m.group(3)):
+            start, end = base + sm.start(2), base + sm.end(2)
+            lm = _LENGTH_RE.search(sm.group(1))
+            if lm:  # binary bodies: trust /Length over the pattern end
+                ln = int(lm.group(1))
+                if start + ln <= len(payload):
+                    end = start + ln
+            ct = payload[start:end]
+            if len(ct) < 32 or len(ct) % 16 or start < pos:
+                continue  # malformed — leave in place (parse will skip)
+            pt = _aes.decrypt_cbc(key_for(num, gen), ct[:16], ct[16:])
+            if pt is None:
+                continue
+            d_start, d_end = base + sm.start(1), base + sm.end(1)
+            interior = payload[d_start:d_end]
+            ln_b = str(len(pt)).encode()
+            new_interior = _LENGTH_RE.sub(
+                b"/Length " + ln_b, interior, count=1
+            )
+            if new_interior == interior:  # indirect or absent /Length
+                new_interior = interior + b" /Length " + ln_b + b" "
+            parts.append(payload[pos:d_start])
+            parts.append(new_interior)
+            parts.append(payload[d_end:start])
+            parts.append(pt)
+            pos = end
+    parts.append(payload[pos:])
+    return b"".join(parts)
+
+
 def _decrypt_payload(payload: bytes) -> bytes | None:
     """Decrypt every stream body of a standard-handler RC4 file
     in-place; None when the file is encrypted but not decryptable here
@@ -203,14 +300,44 @@ def _decrypt_payload(payload: bytes) -> bytes | None:
         return None
     V = _enc_int(enc, b"V", 0)
     R = _enc_int(enc, b"R", 0)
-    if V not in (1, 2) or R not in (2, 3):
+    if V in (1, 2) and R in (2, 3):
+        mode = "rc4"
+    elif V == 4 and R == 4 and re.search(rb"/CFM\s*/AESV2\b", enc):
+        mode = "aesv2"  # AES-128-CBC crypt filter
+    elif V == 4 and R == 4 and re.search(rb"/CFM\s*/V2[\s/>]", enc):
+        mode = "rc4v4"  # RC4 routed through a V4 crypt filter
+    elif V == 5 and R in (5, 6) and b"/AESV3" in enc:
+        mode = "aesv3"  # AES-256-CBC, SHA-2 key derivation
+    else:
         return None
+    sm_ = re.search(rb"/StmF\s*/([^\s/\[\]()<>{}%]+)", enc)
+    if sm_ is not None and sm_.group(1) != b"StdCF":
+        return None  # streams routed to a non-standard crypt filter
+
+    if mode == "aesv3":
+        fkey = _aes_file_key_v5(enc, R)
+        if fkey is None or len(fkey) != 32:
+            return None
+        return _rebuild_aes_decrypted(
+            payload, objs, enc_num, lambda num, gen: fkey
+        )
+
     O = _enc_string(enc, b"O")
     U = _enc_string(enc, b"U")
     if O is None or U is None or len(O) < 32 or len(U) < 16:
         return None
     P = _enc_int(enc, b"P", -1)
-    nbits = _enc_int(enc, b"Length", 40) if V == 2 else 40
+    # AESV2 keys are 128-bit by definition; /Length inside the nested
+    # /CF dict is in BYTES and would shadow the top-level bit count
+    if mode == "aesv2":
+        nbits = 128
+    elif mode == "rc4v4":
+        cf = re.search(rb"/StdCF\s*<<(.*?)>>", enc, re.S)
+        nbits = 8 * (_enc_int(cf.group(1), b"Length", 16) if cf else 16)
+    elif V == 2:
+        nbits = _enc_int(enc, b"Length", 40)
+    else:
+        nbits = 40
     idm = _ID_RE.search(payload)
     id0 = b""
     if idm:
@@ -220,6 +347,11 @@ def _decrypt_payload(payload: bytes) -> bytes | None:
     key = _std_file_key(O, P, id0, R, nbits)
     if not _check_user_password(key, U, id0, R):
         return None
+    if mode == "aesv2":
+        return _rebuild_aes_decrypted(
+            payload, objs, enc_num,
+            lambda num, gen: _aes_obj_key(key, num, gen),
+        )
     out = bytearray(payload)
     for m in objs:
         num, gen = int(m.group(1)), int(m.group(2))

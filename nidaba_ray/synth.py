@@ -459,6 +459,115 @@ def make_pdf_rc4(doc_id: int, text: str, rev: int = 3) -> bytes:
     )
 
 
+def _length_rewritten(head: bytes, n: int) -> bytes:
+    """Rewrite the content stream's direct /Length (AES bodies grow:
+    16-byte IV prefix + CBC padding)."""
+    from nidaba_ray.stages.pdf import _LENGTH_RE
+
+    out = _LENGTH_RE.sub(b"/Length " + str(n).encode(), head, count=1)
+    assert out != head, "plain head lost its /Length"
+    return out
+
+
+def make_pdf_aes(doc_id: int, text: str) -> bytes:
+    """AES-128 encrypted variant (/V 4 /R 4, crypt filter /CFM /AESV2,
+    empty owner+user passwords). /O, /U and the file key follow the
+    same §7.6.3 algorithms as R 3; the content stream is AES-128-CBC
+    with the Algorithm-1 "sAlT" object key, a deterministic IV, and
+    RFC 2898 padding."""
+    import hashlib as _hl
+
+    from nidaba_ray.algorithms import aes as _aes
+    from nidaba_ray.stages.pdf import _aes_obj_key, _rc4, _std_file_key, _PAD
+
+    plain = make_pdf(doc_id, text)
+    head, rest = plain.split(b"stream\n", 1)
+    body = rest.split(b"\nendstream", 1)[0]
+
+    id0 = _hl.md5(f"aes-id-{SEED}-{doc_id}".encode()).digest()
+    P, n = -44, 16
+    okey = _hl.md5(_PAD).digest()
+    for _ in range(50):
+        okey = _hl.md5(okey[:n]).digest()
+    okey = okey[:n]
+    O = _rc4(okey, _PAD)
+    for i in range(1, 20):
+        O = _rc4(bytes(b ^ i for b in okey), O)
+    key = _std_file_key(O, P, id0, 4, 128)
+    x = _rc4(key, _hl.md5(_PAD + id0).digest())
+    for i in range(1, 20):
+        x = _rc4(bytes(b ^ i for b in key), x)
+    U = x + b"\x00" * 16
+    iv = _hl.md5(f"aes-iv-{SEED}-{doc_id}".encode()).digest()
+    enc_body = iv + _aes.encrypt_cbc(
+        _aes_obj_key(key, 3, 0), iv, _aes.pad16(body)
+    )
+    return (
+        _length_rewritten(head, len(enc_body))
+        + b"stream\n" + enc_body + b"\nendstream endobj\n"
+        + b"4 0 obj << /Filter /Standard /V 4 /R 4 /Length 128"
+        + b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        + b" /StmF /StdCF /StrF /StdCF"
+        + b" /P -44 /O <" + O.hex().encode() + b"> /U <" + U.hex().encode()
+        + b"> >> endobj\n"
+        + b"trailer << /Root 1 0 R /Encrypt 4 0 R /ID [ <"
+        + id0.hex().encode() + b"> <" + id0.hex().encode() + b"> ] >>\n%%EOF\n"
+    )
+
+
+def make_pdf_aes256(doc_id: int, text: str, rev: int = 6) -> bytes:
+    """AES-256 encrypted variant (/V 5, /CFM /AESV3): ``rev=6`` derives
+    keys with the ISO 32000-2 Algorithm-2.B hardened hash, ``rev=5``
+    with the deprecated single-SHA-256 draft scheme. Salts, the file
+    key and the IV are deterministic (md5 of doc_id); /O and /OE are
+    computed properly over /U so external tools validate too."""
+    import hashlib as _hl
+
+    from nidaba_ray.algorithms import aes as _aes
+    from nidaba_ray.stages.pdf import _hash_2b
+
+    if rev not in (5, 6):
+        raise ValueError("rev must be 5 or 6")
+    plain = make_pdf(doc_id, text)
+    head, rest = plain.split(b"stream\n", 1)
+    body = rest.split(b"\nendstream", 1)[0]
+
+    seed = f"aes256-{SEED}-{doc_id}".encode()
+    fkey = _hl.md5(seed + b"k0").digest() + _hl.md5(seed + b"k1").digest()
+    vsalt = _hl.md5(seed + b"vs").digest()[:8]
+    ksalt = _hl.md5(seed + b"ks").digest()[:8]
+    if rev == 6:
+        U = _hash_2b(b"", vsalt) + vsalt + ksalt
+        ik = _hash_2b(b"", ksalt)
+    else:
+        U = _hl.sha256(vsalt).digest() + vsalt + ksalt
+        ik = _hl.sha256(ksalt).digest()
+    UE = _aes.encrypt_cbc(ik, bytes(16), fkey)
+    ovs = _hl.md5(seed + b"ov").digest()[:8]
+    oks = _hl.md5(seed + b"ok").digest()[:8]
+    if rev == 6:
+        O = _hash_2b(b"", ovs, U[:48]) + ovs + oks
+        OE = _aes.encrypt_cbc(_hash_2b(b"", oks, U[:48]), bytes(16), fkey)
+    else:
+        O = _hl.sha256(ovs + U[:48]).digest() + ovs + oks
+        OE = _aes.encrypt_cbc(
+            _hl.sha256(oks + U[:48]).digest(), bytes(16), fkey
+        )
+    iv = _hl.md5(seed + b"iv").digest()
+    enc_body = iv + _aes.encrypt_cbc(fkey, iv, _aes.pad16(body))
+    return (
+        _length_rewritten(head, len(enc_body))
+        + b"stream\n" + enc_body + b"\nendstream endobj\n"
+        + b"4 0 obj << /Filter /Standard /V 5 /R " + str(rev).encode()
+        + b" /Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+        + b" /StmF /StdCF /StrF /StdCF /P -44"
+        + b" /O <" + O.hex().encode() + b"> /U <" + U.hex().encode()
+        + b"> /OE <" + OE.hex().encode() + b"> /UE <" + UE.hex().encode()
+        + b"> >> endobj\n"
+        + b"trailer << /Root 1 0 R /Encrypt 4 0 R >>\n%%EOF\n"
+    )
+
+
 def make_invalid(doc_id: int) -> bytes:
     rng = random.Random(f"bad-{SEED}-{doc_id}")
     return bytes([rng.randint(0, 255) for _ in range(rng.randint(5, 64))])
@@ -495,7 +604,14 @@ def make_page(doc_id: int, text: str, lang: str,
                 "utf16": make_pdf_utf16,
                 "diff": make_pdf_diff,
                 "twofont": make_pdf_twofont,
-                "rc4": make_pdf_rc4}[pdf_variant](doc_id, text)
+                "rc4": make_pdf_rc4,
+                "aes": make_pdf_aes,
+                "aes256": make_pdf_aes256,
+                # R5 is the fast draft KDF — corpus-sized tests use it;
+                # R6's Algorithm-2.B hash is intentionally ~1s/doc and
+                # stays a single-doc unit test
+                "aes256r5": lambda d, t: make_pdf_aes256(d, t, rev=5),
+                }[pdf_variant](doc_id, text)
     else:
         html = make_html(doc_id, text, lang)
         if html_variant == "gzip":

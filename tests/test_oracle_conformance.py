@@ -78,16 +78,19 @@ def test_query_matches_oracle(name, ray_session, oracle_con):
         )
 
 
-def test_rc4_dialect_matches_oracle(ray_session, oracle_con):
-    """The RC4-encrypted PDF dialect (off the 50-entry driver surface)
-    passes the same byte-identity oracle as the on-surface dialects."""
-    from nidaba_ray.pipelines.conformance import (
-        EXTRACT_SQL,
-        extract_documents_pdf4,
-    )
+@pytest.mark.parametrize("qname", [
+    "extract_documents_pdf4",   # RC4 V2/R3
+    "extract_documents_pdf5",   # AES-128 V4/R4 /AESV2
+    "extract_documents_pdf6",   # AES-256 V5/R5 /AESV3
+])
+def test_encrypted_dialects_match_oracle(ray_session, oracle_con, qname):
+    """The encrypted PDF dialects (off the 50-entry driver surface)
+    pass the same byte-identity oracle as the on-surface dialects."""
+    from nidaba_ray.pipelines import conformance
 
-    ray_df = canon(to_df(extract_documents_pdf4(SF_DIR)))
-    sql_df = canon(oracle_con.execute(EXTRACT_SQL).fetchdf())
+    q = getattr(conformance, qname)
+    ray_df = canon(to_df(q(SF_DIR)))
+    sql_df = canon(oracle_con.execute(conformance.EXTRACT_SQL).fetchdf())
     assert list(ray_df.columns) == list(sql_df.columns)
     assert len(ray_df) == len(sql_df)
     for c in ray_df.columns:

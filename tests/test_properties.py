@@ -320,6 +320,104 @@ def test_pdf_rc4_revisions_and_rejections():
         _re.sub(rb"/O <[0-9a-f]+>", rb"/O <abcd>", doc)) == []
 
 
+def test_aes_fips_known_answers():
+    """FIPS-197 Appendix C vectors pin the generated tables and the
+    T-table round function for all three key sizes, independently of
+    the writer (synth) and reader (pdf) sharing primitives."""
+    from nidaba_ray.algorithms import aes
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    cases = [
+        ("000102030405060708090a0b0c0d0e0f",
+         "69c4e0d86a7b0430d8cdb78070b4c55a"),
+        ("000102030405060708090a0b0c0d0e0f1011121314151617",
+         "dda97ca4864cdfe06eaf70a0ec0d7191"),
+        ("000102030405060708090a0b0c0d0e0f"
+         "101112131415161718191a1b1c1d1e1f",
+         "8ea2b7ca516745bfeafc49904b496089"),
+    ]
+    for key_hex, ct_hex in cases:
+        rks = aes.expand_key(bytes.fromhex(key_hex))
+        assert aes.encrypt_block(rks, pt).hex() == ct_hex
+
+
+@given(st.binary(min_size=0, max_size=300),
+       st.sampled_from([16, 24, 32]))
+@settings(max_examples=60, deadline=None)
+def test_aes_cbc_roundtrip_property(data, klen):
+    """Vectorized CBC decrypt inverts the scalar encrypt for every key
+    size; padding strips exactly; corrupt padding returns None."""
+    import hashlib
+
+    from nidaba_ray.algorithms import aes
+
+    key = hashlib.sha256(b"k" + data).digest()[:klen]
+    iv = hashlib.md5(b"iv" + data).digest()
+    ct = aes.encrypt_cbc(key, iv, aes.pad16(data))
+    assert aes.decrypt_cbc(key, iv, ct) == data
+    assert aes.decrypt_cbc(key, iv, ct, unpad=False) == aes.pad16(data)
+    # all-0xFF final block is invalid PKCS#7 with overwhelming odds
+    assert aes.decrypt_cbc(key, iv, ct[:-16] + b"\xff" * 16) is None
+    assert aes.decrypt_cbc(key, iv, ct[:-1]) is None  # misaligned
+
+
+@given(st.lists(st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz()\\%<>", min_size=1, max_size=20
+), min_size=1, max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_pdf_aes_roundtrip_property(tokens):
+    """AES-encrypted payloads (AESV2 128-bit and AESV3 256-bit R5)
+    extract byte-identically to the plain dialect they wrap."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    plain = extract_pdf_blocks(synth.make_pdf(7, text))
+    assert extract_pdf_blocks(synth.make_pdf_aes(7, text)) == plain
+    assert extract_pdf_blocks(
+        synth.make_pdf_aes256(7, text, rev=5)) == plain
+
+
+def test_pdf_aes_revisions_and_rejections():
+    """R6's hardened Algorithm-2.B KDF decrypts (single doc — the hash
+    costs ~1s by design); tampering and non-standard routing yield no
+    text (never mojibake): bad /U hash, truncated /UE, streams routed
+    to a non-StdCF crypt filter. A V4 RC4 crypt filter (/CFM /V2)
+    decrypts via the non-sAlT object key."""
+    import re as _re
+
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = "guarded content paragraph " * 4
+    plain = extract_pdf_blocks(synth.make_pdf(9, text))
+    assert extract_pdf_blocks(synth.make_pdf_aes256(9, text, rev=6)) == plain
+
+    doc5 = synth.make_pdf_aes256(9, text, rev=5)
+    assert extract_pdf_blocks(doc5) == plain
+    # tampered /U validation hash == wrong user password
+    assert extract_pdf_blocks(
+        _re.sub(rb"/U <([0-9a-f]{4})", rb"/U <ffff", doc5)) == []
+    # truncated /UE cannot unwrap a 32-byte file key
+    assert extract_pdf_blocks(
+        _re.sub(rb"/UE <[0-9a-f]+>", rb"/UE <abcd>", doc5)) == []
+
+    doc2 = synth.make_pdf_aes(9, text)
+    assert extract_pdf_blocks(doc2) == plain
+    # streams routed to an unknown crypt filter -> refuse, no mojibake
+    assert extract_pdf_blocks(
+        doc2.replace(b"/StmF /StdCF", b"/StmF /MyCF")) == []
+
+    # V4 + /CFM /V2: same R>=3 key material as the V2/R3 writer
+    rc4 = synth.make_pdf_rc4(9, text, rev=3)
+    v4 = rc4.replace(
+        b"/V 2 /R 3 /Length 128",
+        b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /V2 /Length 16"
+        b" >> >> /StmF /StdCF /StrF /StdCF")
+    assert v4 != rc4
+    assert extract_pdf_blocks(v4) == plain
+
+
 @given(st.binary(min_size=0, max_size=200), st.integers(0, 4))
 @settings(max_examples=150, deadline=None)
 def test_pdf_kernels_never_raise_on_junk(junk, which):
