@@ -356,8 +356,10 @@ def test_aes_cbc_roundtrip_property(data, klen):
     ct = aes.encrypt_cbc(key, iv, aes.pad16(data))
     assert aes.decrypt_cbc(key, iv, ct) == data
     assert aes.decrypt_cbc(key, iv, ct, unpad=False) == aes.pad16(data)
-    # all-0xFF final block is invalid PKCS#7 with overwhelming odds
-    assert aes.decrypt_cbc(key, iv, ct[:-16] + b"\xff" * 16) is None
+    # deterministic bad padding: 0x00 and 17 are never valid pad bytes
+    for bad in (b"\x00", b"\x11"):
+        ct_bad = aes.encrypt_cbc(key, iv, b"A" * 15 + bad)
+        assert aes.decrypt_cbc(key, iv, ct_bad) is None
     assert aes.decrypt_cbc(key, iv, ct[:-1]) is None  # misaligned
 
 
