@@ -845,6 +845,93 @@ hall.</p>
          "officials said public comment sessions will continue every "
          "Thursday at the main hall."],
     ),
+    # 50. LONG code listing: a wall of code much larger than the prose
+    # around it must survive as one content block (docs/NEXT.md item 4
+    # "long code-listing pages") — a length- or prose-ratio-biased
+    # scorer would drop exactly this shape
+    _page(
+        "long_code_listing",
+        """<html><body><header><h1>Pipeline Cookbook</h1></header>
+<main><article>
+<p>The full resumable-runner recipe below is what the earlier sections
+build toward; read the inline checks before adapting it.</p>
+<pre>import sys
+
+def open_shards(root, pattern):
+    shards = sorted(glob(root + "/" + pattern))
+    if not shards:
+        raise SystemExit("no shards under " + root)
+    return shards
+
+def plan(shards, buckets=64):
+    groups = {}
+    for s in shards:
+        b = crc(s) % buckets
+        groups.setdefault(b, []).append(s)
+    return groups
+
+def run(groups, out):
+    done = load_manifest(out)
+    for b, paths in sorted(groups.items()):
+        if b in done:
+            continue
+        rows = 0
+        for p in paths:
+            for batch in read_batches(p, size=256):
+                rows += write_bucket(out, b, transform(batch))
+        commit(out, b, rows)
+
+if __name__ == "__main__":
+    g = plan(open_shards(sys.argv[1], "*.parquet"))
+    run(g, sys.argv[2])</pre>
+<p>Interrupted runs skip committed buckets on restart, so the listing
+is safe to re-execute end to end.</p>
+</article></main>
+<footer><p><a href="/privacy">Privacy</a> © 2024 Example Docs</p></footer>
+</body></html>""",
+        ["The full resumable-runner recipe below is what the earlier "
+         "sections build toward; read the inline checks before adapting "
+         "it.",
+         'import sys def open_shards(root, pattern): shards = '
+         'sorted(glob(root + "/" + pattern)) if not shards: raise '
+         'SystemExit("no shards under " + root) return shards def '
+         "plan(shards, buckets=64): groups = {} for s in shards: b = "
+         "crc(s) % buckets groups.setdefault(b, []).append(s) return "
+         "groups def run(groups, out): done = load_manifest(out) for b, "
+         "paths in sorted(groups.items()): if b in done: continue rows "
+         "= 0 for p in paths: for batch in read_batches(p, size=256): "
+         "rows += write_bucket(out, b, transform(batch)) commit(out, b, "
+         'rows) if __name__ == "__main__": g = '
+         'plan(open_shards(sys.argv[1], "*.parquet")) run(g, '
+         "sys.argv[2])",
+         "Interrupted runs skip committed buckets on restart, so the "
+         "listing is safe to re-execute end to end."],
+    ),
+    # 51. SVG-heavy page: inline charts/icons (svg subtrees incl. their
+    # <text>/<title> labels are graphics, not page text) between
+    # paragraphs; an svg figure's <figcaption> IS content
+    _page(
+        "svg_heavy",
+        f"""<html><body><header><h1>Transit Report</h1></header>
+<main><article>
+<svg viewBox="0 0 120 40" role="img"><title>Weekly ridership</title>
+<rect x="0" y="10" width="20" height="30"></rect>
+<rect x="30" y="5" width="20" height="35"></rect>
+<text x="5" y="38">Mon</text><text x="35" y="38">Tue</text></svg>
+<p>{_P1}</p>
+<figure><svg viewBox="0 0 80 80"><circle cx="40" cy="40" r="30"></circle>
+<text x="40" y="44" text-anchor="middle">62%</text></svg>
+<figcaption>Share of riders who switched to the harbor ferry during
+the bridge closure, per the spring survey.</figcaption></figure>
+<p>{_P2}</p>
+<svg class="icon" width="16" height="16"><use href="#warn"></use></svg>
+<p>{_P3}</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        [_P1,
+         "Share of riders who switched to the harbor ferry during the "
+         "bridge closure, per the spring survey.",
+         _P2, _P3],
+    ),
 ]
 
 

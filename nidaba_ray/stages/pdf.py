@@ -41,12 +41,13 @@ hidden in compressed object streams (per-font resolution then falls
 back to document-level; content streams and ToUnicode CMaps cannot
 live in an ObjStm, so xref/ObjStm parsing stays out), incrementing
 bfranges that cross a surrogate boundary (bfchar and array-form
-destinations decode fine in any plane, incl. surrogate pairs),
-AES-encrypted files (/V 4+ — RC4 standard-handler files with an empty
-user password DO decrypt: spec §7.6.3 Algorithms 1-6, V 1/2, R 2/3),
-inline images. A production build
-swaps this module for a full parser behind the same
-``extract_pdf_blocks`` contract.
+destinations decode fine in any plane, incl. surrogate pairs), and
+non-empty user passwords (empty-user-password RC4 V 1/2 R 2/3 AND
+AES V 4/5 files both decrypt: spec §7.6.2-3, Algorithms 1-6/2.A).
+Inline images (``BI … ID <binary> EI``, spec §8.9.7) are skipped as
+opaque spans so their binary payload can never be mis-tokenized into
+text. A production build swaps this module for a full parser behind
+the same ``extract_pdf_blocks`` contract.
 """
 
 from __future__ import annotations
@@ -74,6 +75,13 @@ _WS_BYTES = frozenset(b" \t\r\n\f\x00")
 _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
 _OP_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
+# Inline images (spec §8.9.7): `ID` ends the parameter dict and is
+# followed by exactly one whitespace byte, then raw binary until a
+# whitespace-delimited `EI`. The spec itself notes the EI scan is
+# heuristic (binary data could contain the sequence); real extractors
+# do the same whitespace-delimited scan when /L is absent.
+_INLINE_ID_RE = re.compile(rb"\bID[\0\t\n\f\r ]")
+_INLINE_EI_RE = re.compile(rb"[\0\t\n\f\r ]EI(?=[\0\t\n\f\r ]|$)")
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 _ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
                ord("b"): b"\b", ord("f"): b"\f"}
@@ -88,7 +96,9 @@ def is_pdf(payload: bytes) -> bool:
 # an EMPTY user password (the common owner-password-only case). The
 # whole file is decrypted up front — every stream body is replaced
 # in-place (RC4 is length-preserving, so all offsets stay valid) and
-# the rest of the parser runs on plaintext. Out of scope: AES (/V 4+),
+# the rest of the parser runs on plaintext. AES files (/V 4 AESV2,
+# /V 5 AESV3) are NOT length-preserving, so those are decrypted by
+# rebuilding the file (see _rebuild_aes_decrypted). Out of scope:
 # non-Standard filters, non-empty user passwords, and strings outside
 # streams (they never carry page text; content + ToUnicode live in
 # streams, which ARE decrypted).
@@ -734,7 +744,15 @@ def _parse_content(
             continue
         op = m.group()
         i = m.end()
-        if op == b"BT":
+        if op == b"BI":  # inline image: skip BI…ID…EI as one opaque span
+            m2 = _INLINE_ID_RE.search(data, i)
+            if m2 is None:
+                i = n
+            else:
+                m3 = _INLINE_EI_RE.search(data, m2.end())
+                i = n if m3 is None else m3.end()
+            stack.clear()
+        elif op == b"BT":
             flush()
             stack.clear()
         elif op == b"ET":

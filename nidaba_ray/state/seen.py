@@ -1,0 +1,138 @@
+"""Sharded streaming "seen" index — exact first-arrival dedup for an
+unbounded crawl ingest (the crawl-frontier / URL-seen set every web
+pipeline carries; CCNet/RefinedWeb-style exact dedup applied online).
+
+This is the ONE operator family that genuinely cannot be a Dataset
+transform: admission is a point lookup+insert against state SHARED by
+every concurrently-running batch task, so it lives in raw
+``@ray.remote`` actors (the brief's "shared mutable index" carve-out).
+Everything around it stays Ray Data: the pages flow through
+``map_batches`` and only 16-byte md5 keys travel to the index.
+
+Scale design (100 TB):
+
+* keys are md5 digests (16 bytes) of the dedup key column — the
+  index never sees page bytes; shipping 1 M keys is 16 MB.
+* the key space is hash-partitioned over ``n_shards`` actors
+  (``shard = key[0:8] % n_shards``); each admit() call batches all of
+  a Ray Data batch's keys for one shard into ONE message, so actor
+  traffic is O(batches × shards), not O(rows).
+* shards hold a plain ``set`` here (1 G keys ≈ 16+ GB → at real scale
+  you raise ``n_shards`` so each shard fits a node's heap; a
+  production build tiers the set behind a Bloom filter + spillable
+  KV store behind the same ``admit`` contract).
+* index actors are ``num_cpus=0``: admission is memory-bound lookup
+  work that must never reserve CPUs away from the extraction pool
+  (the repo's fixed-pool livelock invariant, CLAUDE.md).
+
+Determinism contract (weaker than batch ``exact_dedup`` — documented,
+not hidden): the admitted KEY SET is always exactly the distinct key
+set of the input (deterministic), but WHICH duplicate row represents
+its key follows arrival order, which varies with parallelism. Batch
+``functions/dedup.exact_dedup`` remains the keep-latest deterministic
+path; this is the online path where "first arrival wins" is the
+semantic (a crawler cannot know a later duplicate is coming).
+``tests/test_seen_index.py`` pins: admitted set == DuckDB
+``count(distinct)``, one representative per key, and hit counters
+consistent across parallelism levels.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+import ray
+
+__all__ = ["SeenShard", "seen_index", "admit_first_arrival",
+           "index_stats"]
+
+
+@ray.remote(num_cpus=0)
+class SeenShard:
+    """One hash-partition of the seen set. ``admit`` is atomic per
+    message (actor mailbox serializes callers), which is exactly the
+    property the Dataset API cannot express."""
+
+    def __init__(self) -> None:
+        self._seen: set[bytes] = set()
+        self._hits = 0  # duplicate keys rejected (lifetime)
+
+    def admit(self, keys: list[bytes]) -> list[bool]:
+        seen = self._seen
+        out = []
+        hits = 0
+        for k in keys:
+            if k in seen:
+                out.append(False)
+                hits += 1
+            else:
+                seen.add(k)
+                out.append(True)
+        self._hits += hits
+        return out
+
+    def stats(self) -> tuple[int, int]:
+        return len(self._seen), self._hits
+
+
+def seen_index(n_shards: int = 4) -> list["ray.actor.ActorHandle"]:
+    """Create a fresh sharded index (handles are serializable — Ray
+    Data tasks capture them through the map-fn closure)."""
+    return [SeenShard.remote() for _ in range(n_shards)]
+
+
+def _shard_of(digest: bytes, n_shards: int) -> int:
+    # first 8 digest bytes as big-endian int — uniform, md5-only
+    # (repo invariant: never builtin hash())
+    return int.from_bytes(digest[:8], "big") % n_shards
+
+
+def admit_first_arrival(ds: "ray.data.Dataset",
+                        shards: list["ray.actor.ActorHandle"],
+                        key_col: str = "text") -> "ray.data.Dataset":
+    """Filter ``ds`` to first-arrival rows per distinct ``key_col``
+    value, consulting the shared index. Streaming-safe: each batch
+    sends one admit() message per touched shard and keeps only
+    admitted rows; nothing corpus-sized accumulates anywhere except
+    the (keys-only) index itself."""
+    n_shards = len(shards)
+
+    def admit_batch(batch: pa.Table) -> pa.Table:
+        vals = batch[key_col].to_pylist()
+        digests = [
+            hashlib.md5(
+                v if isinstance(v, bytes)
+                else b"" if v is None
+                else v.encode("utf-8")
+            ).digest()
+            for v in vals
+        ]
+        by_shard: dict[int, list[int]] = {}
+        for i, d in enumerate(digests):
+            by_shard.setdefault(_shard_of(d, n_shards), []).append(i)
+        order = sorted(by_shard)
+        refs = [
+            shards[s].admit.remote([digests[i] for i in by_shard[s]])
+            for s in order
+        ]
+        keep = [False] * len(digests)
+        for s, flags in zip(order, ray.get(refs)):
+            for i, ok in zip(by_shard[s], flags):
+                keep[i] = ok
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    return ds.map_batches(admit_batch, batch_format="pyarrow")
+
+
+def index_stats(shards: list["ray.actor.ActorHandle"]) -> pa.Table:
+    """Per-shard (n_keys, n_hits) rollup — the job-level counters a
+    long-running ingest reports."""
+    stats = ray.get([s.stats.remote() for s in shards])
+    return pa.table(
+        {
+            "shard": pa.array(range(len(shards)), pa.int64()),
+            "n_keys": pa.array([s[0] for s in stats], pa.int64()),
+            "n_hits": pa.array([s[1] for s in stats], pa.int64()),
+        }
+    )

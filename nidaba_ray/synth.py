@@ -132,6 +132,39 @@ def make_pdf(doc_id: int, text: str) -> bytes:
     ).encode("utf-8")
 
 
+def make_pdf_inline_img(doc_id: int, text: str) -> bytes:
+    """make_pdf variant with an inline image (spec §8.9.7) embedded in
+    the content stream between text objects. The binary payload is
+    ADVERSARIAL on purpose: it contains ``(DECOY) Tj``, an unbalanced
+    ``(``, and a bare ``BT`` — bytes that would corrupt extraction if
+    the parser tokenized through the image instead of skipping the
+    whole BI…ID…EI span. Extraction must equal make_pdf's exactly."""
+    rng = random.Random(f"pdf-inline-{SEED}-{doc_id}")
+    payload = bytes(rng.randrange(256) for _ in range(48))
+    # no accidental EI terminator anywhere inside the decoy bytes
+    decoy = b"(DECOY) Tj ( BT " + payload.replace(b"EI", b"E_")
+    img = (
+        b"BI /W 8 /H 8 /BPC 8 /CS /RGB /F /AHx ID " + decoy + b"\nEI\n"
+    )
+    paras = paragraphs_for(doc_id, text)
+    parts: list[bytes] = []
+    for i, p in enumerate(paras):
+        parts.append(
+            f"BT /F1 12 Tf 72 {700 - 14 * i} Td ({pdf_escape(p)}) Tj ET"
+            .encode("utf-8")
+        )
+        if i == 0:
+            parts.append(img)
+    body = b"\n".join(parts)
+    return (
+        b"%PDF-1.4\n1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+        b"2 0 obj << /Type /Pages /Count 1 >> endobj\n"
+        b"3 0 obj << /Length " + str(len(body)).encode() + b" >> stream\n"
+        + body + b"\nendstream endobj\n"
+        b"trailer << /Root 1 0 R >>\n%%EOF\n"
+    )
+
+
 def make_pdf_flate(doc_id: int, text: str) -> bytes:
     """Compressed-stream PDF variant: FlateDecode content stream with
     the fuller operator set — TJ arrays (mid-line splits with kerning

@@ -165,6 +165,25 @@ def test_pdf_both_dialects_roundtrip_property(tokens):
 
 
 @given(st.lists(st.sampled_from(
+    [f"w{i}" for i in range(60)] + ["(p)", ")q(", "a\\b", "ü", "—", "€"]
+), min_size=1, max_size=250), st.integers(min_value=0, max_value=5000))
+@settings(max_examples=120, deadline=None)
+def test_pdf_inline_image_skipped_property(tokens, doc_id):
+    """An inline image (BI…ID <binary> EI, spec §8.9.7) whose payload
+    contains adversarial token-like bytes — `(DECOY) Tj`, an unbalanced
+    paren, a bare BT — never leaks into extracted text: the dialect
+    extracts byte-identically to the image-free plain dialect."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = " ".join(tokens)
+    got = extract_pdf_blocks(synth.make_pdf_inline_img(doc_id, text))
+    want = extract_pdf_blocks(synth.make_pdf(doc_id, text))
+    assert got == want
+    assert "DECOY" not in " ".join(got)
+
+
+@given(st.lists(st.sampled_from(
     [f"w{i}" for i in range(40)]
     + ["(p)", ")q(", "a\\b", "ü", "—", "€", "北京", "مرحبا", "Ωμέγα",
        "ёлка", "😀🎉", "𝕏y", "naïve"]

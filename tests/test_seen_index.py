@@ -1,0 +1,104 @@
+"""Sharded streaming seen-index (state/seen.py) — the shared-mutable-
+index carve-out. Pins the determinism contract: admitted KEY SET ==
+exact distinct set (DuckDB-checked), exactly one representative per
+key, counters consistent, and the key-set invariant holds across
+parallelism levels even though representatives may differ."""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+
+def _pages(n_rows: int, n_distinct: int) -> pa.Table:
+    texts = [f"document body number {i % n_distinct}" for i in range(n_rows)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n_rows), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+
+
+def test_admit_first_arrival_exact_distinct(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import (admit_first_arrival, index_stats,
+                                       seen_index)
+
+    t = _pages(n_rows=1000, n_distinct=137)
+    shards = seen_index(3)
+    got = admit_first_arrival(
+        rd.from_arrow(t).repartition(8), shards, key_col="text"
+    ).to_pandas()
+
+    want = duckdb.sql(
+        "SELECT count(DISTINCT text) AS n FROM t"
+    ).fetchone()[0]
+    assert len(got) == want == 137
+    # one representative per key, and the admitted key set is exact
+    assert got["text"].nunique() == 137
+    assert set(got["text"]) == set(t["text"].to_pylist())
+
+    st = index_stats(shards).to_pandas()
+    assert int(st["n_keys"].sum()) == 137
+    assert int(st["n_hits"].sum()) == 1000 - 137
+    # every shard owns a disjoint partition of the key space
+    assert (st["n_keys"] >= 0).all() and len(st) == 3
+
+
+def test_admit_key_set_invariant_across_parallelism(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import admit_first_arrival, seen_index
+
+    t = _pages(n_rows=600, n_distinct=59)
+    keysets = []
+    for nblocks in (1, 4, 16):
+        shards = seen_index(2)
+        got = admit_first_arrival(
+            rd.from_arrow(t).repartition(nblocks), shards, key_col="text"
+        ).to_pandas()
+        keysets.append(frozenset(got["text"]))
+        assert len(got) == 59
+    # representatives may differ (documented); the key set never does
+    assert keysets[0] == keysets[1] == keysets[2]
+
+
+def test_admit_binary_and_null_keys(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import admit_first_arrival, seen_index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "payload": pa.array(
+                [b"\x00\x01", b"\x00\x01", None, None, b"", b"x"],
+                pa.binary(),
+            ),
+        }
+    )
+    shards = seen_index(2)
+    got = admit_first_arrival(
+        rd.from_arrow(t), shards, key_col="payload"
+    ).to_pandas()
+    # b"\x00\x01" once; None and b"" hash identically (documented md5
+    # of empty) -> one admitted between them; b"x" once
+    assert len(got) == 3
+
+
+def test_streaming_source_composes_with_index(ray_session):
+    """End-to-end: streaming crawl shards -> seen index keyed on the
+    synthesized text -> admitted count equals the source's distinct
+    text count (computed independently)."""
+    from nidaba_ray.sources.crawl import read_crawl
+    from nidaba_ray.state.seen import admit_first_arrival, seen_index
+
+    n_distinct = len(read_crawl(4, 32).unique("text"))
+    shards = seen_index(3)
+    admitted = admit_first_arrival(
+        read_crawl(4, 32).drop_columns(["golden"]), shards, key_col="text"
+    )
+    assert admitted.count() == n_distinct
