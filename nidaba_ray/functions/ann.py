@@ -728,3 +728,135 @@ def embedding_near_dup_scalable(
     out = ensure_columns(out, _NEAR_DUP_SCHEMA)
     out = out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) with asymmetric distance computation — the
+# memory-compression scale path (Jégou, Douze & Schmid, "Product
+# Quantization for Nearest Neighbor Search", IEEE TPAMI 2011, public).
+# A 64-dim float64 vector (512 B) becomes m_sub uint8 codes (8 B at
+# m_sub=8): at 10^12 vectors the code table fits a cluster's RAM when
+# the raw vectors cannot, which is the entire point. Composes with the
+# IVF partitioned layout (ann_topk_ivf_partitioned): codes live beside
+# list_id in the partitioned files, the probe reads codes only, and
+# the exact rerank re-joins raw vectors for just `rerank` candidates.
+# ---------------------------------------------------------------------------
+
+
+def _pq_train_codebooks(sample: np.ndarray, m_sub: int, ks: int,
+                        n_iter: int = 8) -> np.ndarray:
+    """Per-subspace Lloyd on a driver-side SAMPLE (codebook training
+    needs a sample, not the corpus — the sample is bounded by design).
+    Deterministic: init = the first ks sample rows per subspace, plain
+    argmin assignment, empty clusters keep their previous centroid.
+    Returns (m_sub, ks, dsub)."""
+    n, d = sample.shape
+    dsub = d // m_sub
+    books = np.empty((m_sub, ks, dsub), dtype=np.float64)
+    for j in range(m_sub):
+        sub = sample[:, j * dsub:(j + 1) * dsub]
+        cb = sub[:ks].copy()
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            new = cb.copy()
+            for c in range(ks):
+                mask = assign == c
+                if mask.any():
+                    new[c] = sub[mask].mean(axis=0)
+            if np.allclose(new, cb, atol=1e-12):
+                break
+            cb = new
+        books[j] = cb
+    return books
+
+
+def _pq_encode(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(B, d) normalized vectors -> (B, m_sub) uint8 codes."""
+    m_sub, ks, dsub = books.shape
+    codes = np.empty((mn.shape[0], m_sub), dtype=np.uint8)
+    for j in range(m_sub):
+        sub = mn[:, j * dsub:(j + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
+def ann_topk_pq(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0,
+    m_sub: int = 8, ks: int = 16, rerank: int = 64,
+    n_sample: int = 2048,
+) -> pa.Table:
+    """PQ-ADC top-k with exact rerank. Output schema and rounding
+    contract match ann_topk_bruteforce (vec_id, cos_sim rounded 6dp).
+
+    All vectors are L2-normalized first, so squared L2 is monotone in
+    cosine (||a-b||^2 = 2 - 2 cos) and one ADC table drives a cosine
+    search. Per batch: decode-free LUT scan (one (m_sub, ks) table
+    lookup-sum per row), partial top-`rerank` by (adc, vec_id), raw
+    vectors carried ONLY for those candidates. The driver trims the
+    union to the GLOBAL adc top-`rerank` before the exact rerank, so
+    the result is a pure function of the data — independent of batch
+    and block layout (pinned in tests/test_ann_pq.py).
+
+    Scale notes: training reads ≤ n_sample vectors via parquet filter
+    pushdown; the scan ships codes, not vectors; driver traffic is
+    ≤ rerank rows per batch, then exactly `rerank` rows total."""
+    path = f"{sf_dir}/embeddings.parquet"
+    sample = (
+        pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_sample)])
+        .to_pandas().sort_values("vec_id")
+    )
+    s = np.array(list(sample["embedding"]), dtype=np.float64)
+    ns = np.linalg.norm(s, axis=1)
+    sn = s / np.where(ns[:, None] > 0, ns[:, None], 1.0)
+    books = _pq_train_codebooks(sn, m_sub, ks)
+
+    q = _query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    dsub = qn.shape[0] // m_sub
+    # ADC lookup table: lut[j, c] = ||q_j - books[j, c]||^2
+    lut = np.stack([
+        ((books[j] - qn[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+        for j in range(m_sub)
+    ])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+        codes = _pq_encode(mn, books)
+        adc = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+        adc = np.round(adc, 9)  # quantize before ordering decisions
+        ids = np.asarray(batch["vec_id"])
+        order = np.lexsort((ids, adc))[:rerank]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "adc": pa.array(adc[order], pa.float64()),
+                "emb": pa.array(
+                    [mn[i].tobytes() for i in order], pa.binary()
+                ),
+            }
+        )
+
+    parts = (
+        rd.read_parquet(path, columns=["vec_id", "embedding"])
+        .map_batches(scan, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()  # ≤ rerank rows per batch
+    )
+    # layout-invariance: per-batch top-R union is a superset of the
+    # global adc top-R; trim to exactly that set before reranking
+    parts = parts.sort_values(["adc", "vec_id"]).head(rerank)
+    mn = np.stack([np.frombuffer(b, dtype=np.float64)
+                   for b in parts["emb"]])
+    cos = round_like_sql(mn @ qn, 6)
+    ids = parts["vec_id"].to_numpy()
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order], pa.int64()),
+            "cos_sim": pa.array(cos[order], pa.float64()),
+        }
+    )
