@@ -381,6 +381,77 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
 """
 
 
+RANGE_JOIN_WINDOW_SEC = 3600
+
+
+def range_join_clicks_before_purchase(sf_dir: str) -> rd.Dataset:
+    """Bounded-interval (range) join: for each purchase, ALL of the
+    same user's clicks in the preceding hour — ``click_ts ∈
+    [purchase_ts − 1h, purchase_ts)``. The non-equi-join family member
+    the as-of join (latest-only) doesn't cover; output is one row per
+    qualifying (purchase, click) pair.
+
+    Scale shape: identical to the as-of join — ONE range shuffle on
+    the user key, then per sorted partition an equi-join on user_id
+    (C-level hash join across all users in the partition at once)
+    pruned by the window predicate. The equi-join intermediate is
+    per-user |purchases|×|clicks| BEFORE pruning; a hot user with an
+    unbounded history is the skew risk, and the standard mitigation
+    is bucketing ts into window-sized ranges and joining each purchase
+    bucket to its own + previous click bucket (boundary carry), which
+    keeps the intermediate at O(pairs within 2 buckets). Not needed at
+    test scale; documented so the assumption is explicit.
+
+    Deterministic: output is the full qualifying pair set (no
+    tie-break needed) ordered by (purchase_id, click_id) downstream.
+    Test-level DuckDB oracle (driver surface capped at 50):
+    tests/test_crawls_windows.py::test_range_join_matches_duckdb."""
+
+    def range_part(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        c = g[g["event_type"] == "click"]
+        if p.empty or c.empty:
+            return _ASOF_EMPTY
+        p = p[["event_id", "user_id", "ts"]]
+        c = c[["event_id", "user_id", "ts"]].rename(
+            columns={"event_id": "click_id", "ts": "click_ts"}
+        )
+        m = p.merge(c, on="user_id", how="inner")
+        lo = m["ts"] - pd.Timedelta(seconds=RANGE_JOIN_WINDOW_SEC)
+        m = m[(m["click_ts"] >= lo) & (m["click_ts"] < m["ts"])]
+        if m.empty:
+            return _ASOF_EMPTY
+        return pd.DataFrame(
+            {"purchase_id": m["event_id"].astype("int64"),
+             "user_id": m["user_id"].astype("int64"),
+             "purchase_ts": m["ts"].astype("datetime64[us]"),
+             "click_id": m["click_id"].astype("int64"),
+             "click_ts": m["click_ts"].astype("datetime64[us]")}
+        )
+
+    filtered = _events(
+        sf_dir, ["event_id", "user_id", "ts", "event_type"]
+    ).map_batches(
+        lambda t: t.filter(
+            pa.compute.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+        ),
+        batch_format="pyarrow",
+    )
+    return sorted_partition_apply(filtered, ["user_id"], range_part,
+                                  _ASOF_EMPTY)
+
+
+RANGE_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id
+ AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts < p.ts
+"""
+
+
 def event_value_quantiles(sf_dir: str) -> rd.Dataset:
     """Per-type value quantiles (p50/p90) — grouped order statistics.
 

@@ -535,3 +535,41 @@ def test_ann_topk_multi_matches_duckdb(ray_session):
         mine.astype({"query_id": "int64", "vec_id": "int64"}),
         want.astype({"query_id": "int64", "vec_id": "int64"}),
     )
+
+
+def test_range_join_matches_duckdb(ray_session):
+    """Bounded-interval join (clicks within the hour before each
+    purchase) equals the DuckDB non-equi join exactly — a test-level
+    oracle (the driver surface is capped at 50 entries)."""
+    import duckdb
+    import pandas as pd
+
+    from nidaba_ray.relational.windows import (
+        RANGE_JOIN_SQL,
+        range_join_clicks_before_purchase,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        range_join_clicks_before_purchase(sf)
+        .to_pandas()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf}/events.parquet')"
+    )
+    want = (
+        con.execute(RANGE_JOIN_SQL).fetchdf()
+        .sort_values(["purchase_id", "click_id"])
+        .reset_index(drop=True)
+    )
+    for col in ("purchase_ts", "click_ts"):
+        want[col] = want[col].astype("datetime64[us]")
+        mine[col] = mine[col].astype("datetime64[us]")
+    assert len(mine) == len(want) > 0
+    pd.testing.assert_frame_equal(mine, want)
+    # every range pair's purchase also appears in the as-of output's
+    # universe only if it has a strictly-prior click — sanity overlap
+    assert (mine["click_ts"] < mine["purchase_ts"]).all()
