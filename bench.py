@@ -65,6 +65,9 @@ TIMED_QUERIES = [
     "extract_documents_pdf3",
     "sample_lineitem",
     "warc_extract_stats",
+    "ann_topk_pq",
+    "range_join_clicks",
+    "streaming_seen_dedup",
 ]
 
 
@@ -76,8 +79,26 @@ def _extra_timed() -> dict:
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
 
+    def streaming_seen_dedup(sf_dir: str):
+        """Streaming crawl shards through the sharded seen-index
+        (exact first-arrival dedup); returns the admitted count as a
+        one-row table so the timing covers the full filter."""
+        import pyarrow as pa
+
+        from nidaba_ray.sources.crawl import read_crawl
+        from nidaba_ray.state.seen import admit_first_arrival, seen_index
+
+        shards = seen_index(4)
+        n = admit_first_arrival(
+            read_crawl(n_shards=16, pages_per_shard=256), shards, "text"
+        ).count()
+        return pa.table({"n_admitted": pa.array([n], pa.int64())})
+
     return {
         "warc_extract_stats": warc.warc_extract_stats,
+        "ann_topk_pq": ann.ann_topk_pq,
+        "range_join_clicks": win.range_join_clicks_before_purchase,
+        "streaming_seen_dedup": streaming_seen_dedup,
         # ngram_jaccard_pairs (quadratic DEMO) is deliberately NOT
         # timed: its tiny-key-space sort emits empty reduce partitions
         # (the schema-less RefBundle warning) and a demo baseline has

@@ -443,16 +443,22 @@ def kmeans_embeddings(
 
 
 def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
-                    train_iter: int = 4) -> np.ndarray:
+                    train_iter: int = 4,
+                    pq_params: tuple[int, int] | None = None) -> np.ndarray:
     """Ingest-side IVF: train the coarse quantizer, assign every
     vector, and write the embeddings PARTITIONED BY LIST ID (one
     directory per inverted list) with a centroids sidecar. This is the
     10^12-scale layout the ann_topk_ivf docstring promises: a query
     then reads only its probed partitions — whole-file pruning instead
-    of an in-batch filter."""
-    import os
+    of an in-batch filter.
 
-    import pyarrow.parquet as pqm
+    With ``pq_params=(m_sub, ks)`` the build ALSO trains per-subspace
+    PQ codebooks (on the same pushdown-bounded sample the coarse
+    quantizer uses) and writes a ``pq_code`` column (m_sub uint8 codes
+    as fixed-width binary) beside each vector, plus a
+    ``pq_books.npy`` sidecar — the IVFADC layout: an ADC query reads
+    codes only (m_sub bytes/row instead of the raw vector)."""
+    import os
 
     ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
                          columns=["vec_id", "embedding"])
@@ -470,22 +476,49 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
         ds, np.array(list(init["embedding"]), dtype=np.float64), train_iter
     )
 
+    books = None
+    if pq_params is not None:
+        m_sub, ks = pq_params
+        sample = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"],
+                          filters=[("vec_id", "<", 2048)])
+            .to_pandas().sort_values("vec_id")
+        )
+        s = np.array(list(sample["embedding"]), dtype=np.float64)
+        ns = np.linalg.norm(s, axis=1)
+        books = _pq_train_codebooks(
+            s / np.where(ns[:, None] > 0, ns[:, None], 1.0), m_sub, ks
+        )
+
     def assign(batch: pa.Table) -> pa.Table:
         m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
         d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        return batch.append_column(
+        batch = batch.append_column(
             "list_id", pa.array(d2.argmin(axis=1).astype(np.int64))
         )
+        if books is not None:
+            norms = np.linalg.norm(m, axis=1)
+            mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
+            codes = _pq_encode(mn, books)
+            batch = batch.append_column(
+                "pq_code", pa.array([c.tobytes() for c in codes], pa.binary())
+            )
+        return batch
 
     ds.map_batches(assign, batch_format="pyarrow").write_parquet(
         out_dir, partition_cols=["list_id"]
     )
     np.save(os.path.join(out_dir, "centroids.npy"), centroids)
+    if books is not None:
+        np.save(os.path.join(out_dir, "pq_books.npy"), books)
     import json
 
+    meta = {"n_lists": n_lists, "src": _embeddings_fingerprint(sf_dir)}
+    if pq_params is not None:
+        meta["pq"] = list(pq_params)
     with open(os.path.join(out_dir, "_IVF_DONE"), "w") as f:
-        json.dump({"n_lists": n_lists,
-                   "src": _embeddings_fingerprint(sf_dir)}, f)
+        json.dump(meta, f)
     return centroids
 
 
@@ -516,24 +549,23 @@ def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
     return os.path.join(base, f"{tag}_L{n_lists}")
 
 
-def ann_topk_ivf_partitioned(
-    sf_dir: str, k: int = 10, query_vec_id: int = 0,
-    n_lists: int = 16, n_probe: int = 4,
-) -> pa.Table:
-    """IVF query over the partitioned layout: builds (and caches) the
-    list-partitioned index once per sf dir, then answers by reading
-    ONLY the probed partitions' parquet files — the bytes of the other
-    n_lists−n_probe lists never leave storage. Identical results to
-    ann_topk_ivf (same quantizer, same probes; pinned in pytest)."""
-    import glob
+def _resolve_ivf_index(sf_dir: str, n_lists: int,
+                       pq_params: tuple[int, int] | None = None) -> str:
+    """Resolve (or build) the current partitioned index version.
+
+    Versioned-dir + pointer-file layout: the base dir holds
+    CURRENT.json (atomic os.replace) naming a complete versioned index
+    subdir. Builders never delete what a reader might hold — they
+    install a NEW version and swap the pointer; stale versions are
+    garbage-collected only once unreferenced by the pointer AND older
+    than a grace period (round-2 ADVICE item 2). A plain-IVF caller
+    accepts any version with matching (n_lists, src) — including one
+    that also carries PQ codes; a PQ caller requires matching pq
+    params and triggers a rebuild otherwise (the new version serves
+    both callers)."""
     import json
     import os
 
-    # versioned-dir + pointer-file layout: the base dir holds
-    # CURRENT.json (atomic os.replace) naming a complete versioned
-    # index subdir. Builders never delete what a reader might hold —
-    # they install a NEW version and swap the pointer; stale versions
-    # are garbage-collected only once unreferenced by the pointer.
     base = _ivf_index_dir(sf_dir, n_lists)
     pointer = os.path.join(base, "CURRENT.json")
     want_src = _embeddings_fingerprint(sf_dir)
@@ -542,7 +574,10 @@ def ann_topk_ivf_partitioned(
         try:
             with open(pointer) as f:
                 cur = json.load(f)
-            if cur.get("n_lists") == n_lists and cur.get("src") == want_src:
+            pq_ok = (pq_params is None
+                     or cur.get("pq") == list(pq_params))
+            if (cur.get("n_lists") == n_lists and cur.get("src") == want_src
+                    and pq_ok):
                 cand = os.path.join(base, cur["dir"])
                 if os.path.isfile(os.path.join(cand, "_IVF_DONE")):
                     idx = cand
@@ -555,17 +590,18 @@ def ann_topk_ivf_partitioned(
 
         vname = f"v-{uuid.uuid4().hex[:8]}"
         idx = os.path.join(base, vname)
-        build_ivf_index(sf_dir, idx, n_lists)
+        build_ivf_index(sf_dir, idx, n_lists, pq_params=pq_params)
+        ptr_doc = {"dir": vname, "n_lists": n_lists, "src": want_src}
+        if pq_params is not None:
+            ptr_doc["pq"] = list(pq_params)
         tmp_ptr = f"{pointer}.tmp-{os.getpid()}"
         with open(tmp_ptr, "w") as f:
-            json.dump({"dir": vname, "n_lists": n_lists, "src": want_src}, f)
+            json.dump(ptr_doc, f)
         os.replace(tmp_ptr, pointer)  # atomic pointer swap
-        # best-effort GC of versions the pointer no longer references.
-        # Deliberately narrow (round-2 ADVICE item 2): only COMPLETE
-        # builds (_IVF_DONE present — an in-progress concurrent build
-        # is never touched) that are older than a grace period (a
-        # reader that resolved the pointer just before our swap gets
-        # time to finish its probed-partition reads).
+        # best-effort GC: only COMPLETE builds (_IVF_DONE present — an
+        # in-progress concurrent build is never touched) older than a
+        # grace period (a reader that resolved the pointer just before
+        # our swap gets time to finish its probed-partition reads).
         _GC_GRACE_SEC = 300
         now = time.time()
         for d in os.listdir(base):
@@ -578,6 +614,22 @@ def ann_topk_ivf_partitioned(
                     shutil.rmtree(vdir, ignore_errors=True)
             except OSError:
                 pass
+    return idx
+
+
+def ann_topk_ivf_partitioned(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0,
+    n_lists: int = 16, n_probe: int = 4,
+) -> pa.Table:
+    """IVF query over the partitioned layout: builds (and caches) the
+    list-partitioned index once per sf dir, then answers by reading
+    ONLY the probed partitions' parquet files — the bytes of the other
+    n_lists−n_probe lists never leave storage. Identical results to
+    ann_topk_ivf (same quantizer, same probes; pinned in pytest)."""
+    import glob
+    import os
+
+    idx = _resolve_ivf_index(sf_dir, n_lists)
     centroids = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
@@ -609,6 +661,88 @@ def ann_topk_ivf_partitioned(
                             ascending=[False, True]).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def ann_topk_ivfpq_partitioned(
+    sf_dir: str, k: int = 10, query_vec_id: int = 0,
+    n_lists: int = 16, n_probe: int = 4,
+    m_sub: int = 8, ks: int = 16, rerank: int = 64,
+) -> pa.Table:
+    """IVFADC (Jégou et al. 2011): the partitioned IVF layout + PQ
+    codes — the genuine 10^12-vector query path. The index build
+    writes ``pq_code`` (m_sub bytes) beside every vector; a query then
+
+    1. prunes whole FILES to the n_probe probed lists (IVF),
+    2. reads ONLY (vec_id, pq_code) from them — m_sub bytes per row
+       instead of the d×8-byte vector (the ADC scan's bytes-read win),
+    3. trims the per-batch partial top-R union to the GLOBAL ADC top-R
+       (layout-invariant, same contract as ann_topk_pq),
+    4. re-reads the probed partitions' (vec_id, embedding) filtered to
+       those ≤R candidate ids (broadcast id set, `is_in` per batch)
+       and reranks with the exact cosine / rounding contract.
+
+    With rerank ≥ the probed lists' population this equals
+    ann_topk_ivf_partitioned exactly (pinned in pytest); at default
+    rerank it is the approximate scale path (recall pinned)."""
+    import glob
+    import os
+
+    idx = _resolve_ivf_index(sf_dir, n_lists, pq_params=(m_sub, ks))
+    centroids = np.load(os.path.join(idx, "centroids.npy"))
+    books = np.load(os.path.join(idx, "pq_books.npy"))
+    q = _query_vec(sf_dir, query_vec_id)
+    qn = q / np.linalg.norm(q)
+    cd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    probed = np.sort(np.argsort(cd, kind="stable")[:n_probe])
+    files: list[str] = []
+    for l in probed:
+        files.extend(sorted(glob.glob(os.path.join(idx, f"list_id={l}",
+                                                   "*.parquet"))))
+    if not files:
+        return pa.table({"vec_id": pa.array([], pa.int64()),
+                         "cos_sim": pa.array([], pa.float64())})
+    dsub = qn.shape[0] // m_sub
+    lut = np.stack([
+        ((books[j] - qn[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+        for j in range(m_sub)
+    ])
+
+    def adc_scan(batch: pa.Table) -> pa.Table:
+        codes = np.stack([
+            np.frombuffer(b, dtype=np.uint8)
+            for b in batch["pq_code"].to_pylist()
+        ])
+        adc = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
+        adc = np.round(adc, 9)  # quantize before ordering decisions
+        ids = np.asarray(batch["vec_id"])
+        order = np.lexsort((ids, adc))[:rerank]
+        return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                         "adc": pa.array(adc[order], pa.float64())})
+
+    cand = (
+        rd.read_parquet(files, columns=["vec_id", "pq_code"])
+        .map_batches(adc_scan, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()  # ≤ rerank rows per batch
+        .sort_values(["adc", "vec_id"]).head(rerank)
+    )
+    cand_ids = pa.array(sorted(cand["vec_id"].tolist()), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch["vec_id"], value_set=cand_ids)
+        return batch.filter(mask).select(["vec_id", "embedding"])
+
+    got = (
+        rd.read_parquet(files, columns=["vec_id", "embedding"])
+        .map_batches(pick, batch_format="pyarrow", batch_size=8192)
+        .to_pandas()  # exactly the ≤R candidates
+    )
+    m = np.array(list(got["embedding"]), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    cos = round_like_sql((m @ qn) / np.where(norms > 0, norms, 1.0), 6)
+    ids = got["vec_id"].to_numpy()
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table({"vec_id": pa.array(ids[order], pa.int64()),
+                     "cos_sim": pa.array(cos[order], pa.float64())})
 
 
 def embedding_near_dup_scalable(

@@ -79,3 +79,59 @@ def test_pq_training_deterministic():
     a = _pq_train_codebooks(sample, 8, 16)
     b = _pq_train_codebooks(sample.copy(), 8, 16)
     assert (a == b).all()
+
+
+def test_ivfpq_full_rerank_equals_ivf_partitioned(ray_session):
+    """IVFADC with rerank ≥ probed population must equal the
+    partitioned IVF query exactly (same quantizer, same probes, exact
+    rerank over everything the ADC scan saw)."""
+    import numpy as np
+
+    from nidaba_ray.functions.ann import (
+        ann_topk_ivf_partitioned,
+        ann_topk_ivfpq_partitioned,
+    )
+
+    want = ann_topk_ivf_partitioned(SF, k=10).to_pandas()
+    got = ann_topk_ivfpq_partitioned(SF, k=10, rerank=10_000).to_pandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["cos_sim"], want["cos_sim"])
+
+
+def test_ivfpq_recall_vs_ivf(ray_session):
+    """Default-rerank IVFADC keeps most of the partitioned IVF's
+    answer (both search the same probed lists; only the ADC candidate
+    trim is lossy)."""
+    from nidaba_ray.functions.ann import (
+        ann_topk_ivf_partitioned,
+        ann_topk_ivfpq_partitioned,
+    )
+
+    want = set(ann_topk_ivf_partitioned(SF, k=10).to_pandas()["vec_id"])
+    got = set(ann_topk_ivfpq_partitioned(SF, k=10).to_pandas()["vec_id"])
+    assert len(want & got) / 10 >= 0.8
+
+
+def test_ivfpq_index_serves_plain_ivf_caller(ray_session):
+    """After a PQ build installs a pq-bearing version, the plain IVF
+    query accepts it (no rebuild ping-pong) and still matches the
+    unpartitioned reference."""
+    import json
+    import os
+
+    from nidaba_ray.functions.ann import (
+        _ivf_index_dir,
+        ann_topk_ivf_partitioned,
+        ann_topk_ivfpq_partitioned,
+    )
+
+    ann_topk_ivfpq_partitioned(SF, k=5)  # ensure a pq version is current
+    base = _ivf_index_dir(SF, 16)
+    with open(os.path.join(base, "CURRENT.json")) as f:
+        cur = json.load(f)
+    assert cur.get("pq") == [8, 16]
+    before = cur["dir"]
+    ann_topk_ivf_partitioned(SF, k=5)  # must reuse, not rebuild
+    with open(os.path.join(base, "CURRENT.json")) as f:
+        after = json.load(f)["dir"]
+    assert after == before
