@@ -932,6 +932,77 @@ the bridge closure, per the spring survey.</figcaption></figure>
          "bridge closure, per the spring survey.",
          _P2, _P3],
     ),
+    # 52. MathML between paragraphs: formula markup (glyph runs with
+    # no inter-element spacing) is dropped whole, prose survives
+    _page(
+        "mathml_article",
+        f"""<html><body><main><article>
+<p>{_P1}</p>
+<math display="block"><mrow><mi>x</mi><mo>=</mo><mfrac>
+<mrow><mo>-</mo><mi>b</mi><mo>&#xB1;</mo><msqrt><mrow><msup><mi>b</mi>
+<mn>2</mn></msup><mo>-</mo><mn>4</mn><mi>a</mi><mi>c</mi></mrow></msqrt>
+</mrow><mrow><mn>2</mn><mi>a</mi></mrow></mfrac></mrow></math>
+<p>{_P2}</p>
+<p>Officials said the projection uses the standard quadratic model
+shown above, with coefficients re-estimated every quarter.</p>
+</article></main>{_FOOTER}</body></html>""",
+        [_P1, _P2,
+         "Officials said the projection uses the standard quadratic "
+         "model shown above, with coefficients re-estimated every "
+         "quarter."],
+    ),
+    # 53. iframe ad wrappers: inner fallback markup (rendered only by
+    # frameless browsers) never leaks into the page text
+    _page(
+        "iframe_ad_wrappers",
+        f"""<html><body><main><article>
+<p>{_P1}</p>
+<div class="ad-slot"><iframe src="//ads.example/slot1" width="300"
+height="250"><html><body><p>Your browser does not support frames.
+Visit our sponsor for unbeatable deals today!</p></body></html>
+</iframe></div>
+<p>{_P2}</p>
+<iframe src="//cmp.example/consent" title="consent">
+<p>Consent manager requires frames.</p></iframe>
+<p>{_P3}</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        [_P1, _P2, _P3],
+    ),
+    # 54. print-stylesheet duplicate: a display:none print-only copy
+    # of the article must not double the extracted text
+    _page(
+        "print_only_duplicate",
+        f"""<html><body><main><article class="screen-view">
+<p>{_P1}</p><p>{_P2}</p>
+</article>
+<div class="print-view" style="display:none">
+<p>{_P1}</p><p>{_P2}</p>
+<p>Printed from example.com — all rights reserved.</p>
+</div></main>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 55. Arabic news article (RTL) with inline LTR runs (a product
+    # name and a figure) — no ar lexicon in-repo, so the spell stage
+    # must pass the text through untouched (same contract as ru)
+    _page(
+        "arabic_news",
+        """<html lang="ar" dir="rtl"><body>
+<header><h1>صحيفة المثال</h1><nav><ul><li><a href="/">الرئيسية</a></li>
+<li><a href="/news">أخبار</a></li></ul></nav></header>
+<main><article>
+<p>وافقت اللجنة على الميزانية الجديدة يوم الثلاثاء بعد نقاش طويل
+استمر حتى ساعات المساء وتناول كل إدارات المدينة.</p>
+<p>وقال المتحدث إن نظام <span dir="ltr">Metro&nbsp;X2</span> الجديد
+سيرفع الطاقة الاستيعابية بنسبة <span dir="ltr">40%</span> خلال
+العام المقبل.</p>
+</article></main>
+<footer><p>© 2024 صحيفة المثال</p></footer></body></html>""",
+        ["وافقت اللجنة على الميزانية الجديدة يوم الثلاثاء بعد نقاش طويل "
+         "استمر حتى ساعات المساء وتناول كل إدارات المدينة.",
+         "وقال المتحدث إن نظام Metro X2 الجديد سيرفع الطاقة "
+         "الاستيعابية بنسبة 40% خلال العام المقبل."],
+        lang="ar",
+    ),
 ]
 
 

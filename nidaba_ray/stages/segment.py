@@ -54,8 +54,14 @@ CONTAINER_TAGS = {
     "figure", "details", "address", "hgroup",
 }
 _FLUSH_TAGS = CONTAINER_TAGS | CHROME_TAGS
-# Elements whose content is never text.
-SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "head"}
+# Elements whose content is never page text: executable/styling
+# payloads, the head, vector graphics (svg <text> labels are drawing
+# instructions), MathML (glyph runs carry no inter-element spacing —
+# formula markup is noise for a text corpus), and iframe inner markup
+# (legacy fallback rendered only by frameless browsers; the framed
+# document itself is a separate fetch).
+SKIP_TAGS = {"script", "style", "noscript", "template", "svg", "head",
+             "math", "iframe"}
 # Void elements (never pushed on the open-tag stack).
 VOID_TAGS = {"br", "hr", "img", "input", "meta", "link", "area", "base",
              "col", "embed", "source", "track", "wbr"}
