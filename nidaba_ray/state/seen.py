@@ -17,10 +17,13 @@ Scale design (100 TB):
   (``shard = key[0:8] % n_shards``); each admit() call batches all of
   a Ray Data batch's keys for one shard into ONE message, so actor
   traffic is O(batches × shards), not O(rows).
-* shards hold a plain ``set`` here (1 G keys ≈ 16+ GB → at real scale
-  you raise ``n_shards`` so each shard fits a node's heap; a
-  production build tiers the set behind a Bloom filter + spillable
-  KV store behind the same ``admit`` contract).
+* shards tier their memory: a bounded mutable ``set`` freezes into
+  immutable sorted uint64-pair runs (16 B/key, ~5× denser than a
+  Python set, binary-searched) that periodically merge — the LSM
+  shape. 1 G keys ≈ 16 GB/shard at the dense tier; at real scale you
+  raise ``n_shards`` so each fits a node, and a production build adds
+  a Bloom front + disk spill for the frozen runs behind the same
+  ``admit`` contract.
 * index actors are ``num_cpus=0``: admission is memory-bound lookup
   work that must never reserve CPUs away from the extraction pool
   (the repo's fixed-pool livelock invariant, CLAUDE.md).
@@ -52,34 +55,84 @@ __all__ = ["SeenShard", "seen_index", "admit_first_arrival",
 class SeenShard:
     """One hash-partition of the seen set. ``admit`` is atomic per
     message (actor mailbox serializes callers), which is exactly the
-    property the Dataset API cannot express."""
+    property the Dataset API cannot express.
 
-    def __init__(self) -> None:
+    Memory tiering (the production path, implemented): the mutable
+    tier is a plain ``set``; when it exceeds ``max_mem_keys`` it is
+    FROZEN into an immutable sorted uint8 array (16 bytes/key, ~5×
+    denser than set-of-bytes and binary-searchable) and a fresh
+    mutable set starts. Periodically (every ``merge_every`` freezes)
+    the frozen runs merge into one — the classic LSM shape. Lookups
+    check the mutable set, then each frozen run via
+    ``np.searchsorted`` on the 128-bit keys viewed as two uint64
+    columns. Default ``max_mem_keys=None`` keeps the flat-set
+    behavior; tiering is pinned equivalent in tests/test_seen_index.py."""
+
+    def __init__(self, max_mem_keys: int | None = None,
+                 merge_every: int = 8) -> None:
+        import numpy as np
+
+        self._np = np
         self._seen: set[bytes] = set()
         self._hits = 0  # duplicate keys rejected (lifetime)
+        self._max_mem = max_mem_keys
+        self._merge_every = merge_every
+        self._runs: list = []   # sorted (n, 2) uint64 arrays
+        self._n_frozen = 0
+
+    def _freeze(self) -> None:
+        np = self._np
+        if not self._seen:
+            return
+        buf = np.frombuffer(b"".join(sorted(self._seen)),
+                            dtype=">u8").reshape(-1, 2)
+        # big-endian view sorts identically to the byte sort above
+        self._runs.append(buf)
+        self._n_frozen += len(self._seen)
+        self._seen = set()
+        if len(self._runs) >= self._merge_every:
+            merged = np.concatenate(self._runs)
+            order = np.lexsort((merged[:, 1], merged[:, 0]))
+            self._runs = [merged[order]]
+
+    def _in_runs(self, k: bytes) -> bool:
+        np = self._np
+        kk = np.frombuffer(k, dtype=">u8")
+        for run in self._runs:
+            # binary search on the high word, then scan the tiny
+            # equal-high slice for the low word
+            lo = np.searchsorted(run[:, 0], kk[0], side="left")
+            hi = np.searchsorted(run[:, 0], kk[0], side="right")
+            if lo < hi and kk[1] in run[lo:hi, 1]:
+                return True
+        return False
 
     def admit(self, keys: list[bytes]) -> list[bool]:
-        seen = self._seen
         out = []
         hits = 0
         for k in keys:
-            if k in seen:
+            if k in self._seen or (self._runs and self._in_runs(k)):
                 out.append(False)
                 hits += 1
             else:
-                seen.add(k)
+                self._seen.add(k)
                 out.append(True)
+                if self._max_mem is not None and len(self._seen) >= self._max_mem:
+                    self._freeze()
         self._hits += hits
         return out
 
     def stats(self) -> tuple[int, int]:
-        return len(self._seen), self._hits
+        return len(self._seen) + self._n_frozen, self._hits
 
 
-def seen_index(n_shards: int = 4) -> list["ray.actor.ActorHandle"]:
+def seen_index(n_shards: int = 4,
+               max_mem_keys: int | None = None) -> list["ray.actor.ActorHandle"]:
     """Create a fresh sharded index (handles are serializable — Ray
-    Data tasks capture them through the map-fn closure)."""
-    return [SeenShard.remote() for _ in range(n_shards)]
+    Data tasks capture them through the map-fn closure).
+    ``max_mem_keys`` bounds each shard's mutable set; beyond it keys
+    freeze into dense sorted runs (see SeenShard)."""
+    return [SeenShard.remote(max_mem_keys) for _ in range(n_shards)]
 
 
 def _shard_of(digest: bytes, n_shards: int) -> int:

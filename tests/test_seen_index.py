@@ -102,3 +102,45 @@ def test_streaming_source_composes_with_index(ray_session):
         read_crawl(4, 32).drop_columns(["golden"]), shards, key_col="text"
     )
     assert admitted.count() == n_distinct
+
+
+def test_tiered_shard_equals_flat(ray_session):
+    """A shard with a tiny mutable tier (forcing many freezes and at
+    least one run merge) admits exactly the same key sequence as the
+    flat-set shard."""
+    import hashlib
+
+    from nidaba_ray.state.seen import SeenShard
+
+    keys = [
+        hashlib.md5(f"k{i % 97}".encode()).digest() for i in range(700)
+    ]
+    flat = SeenShard.remote()
+    tiered = SeenShard.remote(max_mem_keys=8)  # 97 distinct → >8 freezes
+    import ray as _ray
+
+    got_flat = []
+    got_tiered = []
+    for lo in range(0, 700, 64):  # batched like real admit traffic
+        chunk = keys[lo:lo + 64]
+        a, b = _ray.get([flat.admit.remote(chunk),
+                         tiered.admit.remote(chunk)])
+        got_flat.extend(a)
+        got_tiered.extend(b)
+    assert got_flat == got_tiered
+    assert sum(got_flat) == 97
+    sf, st = _ray.get([flat.stats.remote(), tiered.stats.remote()])
+    assert sf == st == (97, 700 - 97)
+
+
+def test_tiered_index_through_dataset(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import admit_first_arrival, seen_index
+
+    t = _pages(n_rows=1000, n_distinct=137)
+    shards = seen_index(2, max_mem_keys=10)
+    got = admit_first_arrival(
+        rd.from_arrow(t).repartition(8), shards, key_col="text"
+    ).to_pandas()
+    assert len(got) == 137 and got["text"].nunique() == 137
