@@ -68,6 +68,7 @@ TIMED_QUERIES = [
     "ann_topk_pq",
     "range_join_clicks",
     "streaming_seen_dedup",
+    "tfidf_top_terms",
 ]
 
 
@@ -75,7 +76,7 @@ def _extra_timed() -> dict:
     """Operators timed for round-over-round continuity but no longer on
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
-    from nidaba_ray.functions import ann, dedup
+    from nidaba_ray.functions import ann, dedup, textops
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
 
@@ -97,6 +98,7 @@ def _extra_timed() -> dict:
     return {
         "warc_extract_stats": warc.warc_extract_stats,
         "ann_topk_pq": ann.ann_topk_pq,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "range_join_clicks": win.range_join_clicks_before_purchase,
         "streaming_seen_dedup": streaming_seen_dedup,
         # ngram_jaccard_pairs (quadratic DEMO) is deliberately NOT

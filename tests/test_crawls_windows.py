@@ -573,3 +573,45 @@ def test_range_join_matches_duckdb(ray_session):
     # every range pair's purchase also appears in the as-of output's
     # universe only if it has a strictly-prior click — sanity overlap
     assert (mine["click_ts"] < mine["purchase_ts"]).all()
+
+
+def test_tfidf_matches_duckdb(ray_session):
+    """Per-language aggregate TF-IDF top-k equals the DuckDB oracle —
+    a test-level oracle (driver surface capped at 50). Quantize-then-
+    rank on both sides makes the k-boundary a shared total order."""
+    import duckdb
+    import pandas as pd
+
+    from nidaba_ray.functions.textops import TFIDF_SQL, tfidf_top_terms
+
+    sf = "/root/testdata/sf0.001"
+    mine = (
+        tfidf_top_terms(sf).to_pandas()
+        .sort_values(["lang", "tfidf", "token"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(TFIDF_SQL).fetchdf()
+        .sort_values(["lang", "tfidf", "token"],
+                     ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert len(mine) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        mine.astype({"lang": "string", "token": "string"}),
+        want.astype({"lang": "string", "token": "string",
+                     "n": "int64", "df": "int64"}),
+    )
+    # IDF damping must actually change the ranking vs raw counts for
+    # at least one language (otherwise the op is top_terms in disguise)
+    from nidaba_ray.functions.textops import top_terms_per_lang
+
+    raw = top_terms_per_lang(sf).to_pandas()
+    pairs_raw = set(zip(raw["lang"], raw["token"]))
+    pairs_tfidf = set(zip(mine["lang"], mine["token"]))
+    assert pairs_raw != pairs_tfidf
