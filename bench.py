@@ -69,6 +69,7 @@ TIMED_QUERIES = [
     "range_join_clicks",
     "streaming_seen_dedup",
     "tfidf_top_terms",
+    "pack_sequences",
 ]
 
 
@@ -76,7 +77,7 @@ def _extra_timed() -> dict:
     """Operators timed for round-over-round continuity but no longer on
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
-    from nidaba_ray.functions import ann, dedup, textops
+    from nidaba_ray.functions import ann, dedup, pack, textops
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
 
@@ -99,6 +100,7 @@ def _extra_timed() -> dict:
         "warc_extract_stats": warc.warc_extract_stats,
         "ann_topk_pq": ann.ann_topk_pq,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "pack_sequences": pack.pack_sequences,
         "range_join_clicks": win.range_join_clicks_before_purchase,
         "streaming_seen_dedup": streaming_seen_dedup,
         # ngram_jaccard_pairs (quadratic DEMO) is deliberately NOT
@@ -161,9 +163,20 @@ def run_headline(cpus: int) -> dict:
     from nidaba_ray.pipelines.extract import extract_pipeline
 
     pages_dir = ensure_pages(cpus)
-    # warm the OS page cache so we measure compute+shuffle, not cold IO
-    warm = rd.read_parquet(pages_dir)
-    n_rows = warm.count()
+    # warm the OS page cache so we measure compute+shuffle, not cold
+    # IO. count() alone reads only parquet METADATA — force a real
+    # byte scan so the timed run below never pays first-touch IO.
+    import pyarrow as _pa
+
+    n_rows = int(
+        rd.read_parquet(pages_dir)
+        .map_batches(
+            lambda b: _pa.table({"n": [b.num_rows]}),
+            batch_format="pyarrow",
+        )
+        .to_pandas()["n"]
+        .sum()
+    )
 
     out_dir = f"/tmp/nidaba_ray_bench/out_{cpus}"
     import shutil
