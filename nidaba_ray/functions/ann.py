@@ -479,17 +479,7 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
     books = None
     if pq_params is not None:
         m_sub, ks = pq_params
-        sample = (
-            pq.read_table(f"{sf_dir}/embeddings.parquet",
-                          columns=["vec_id", "embedding"],
-                          filters=[("vec_id", "<", 2048)])
-            .to_pandas().sort_values("vec_id")
-        )
-        s = np.array(list(sample["embedding"]), dtype=np.float64)
-        ns = np.linalg.norm(s, axis=1)
-        books = _pq_train_codebooks(
-            s / np.where(ns[:, None] > 0, ns[:, None], 1.0), m_sub, ks
-        )
+        books = _pq_train_from_dir(sf_dir, m_sub, ks)
 
     def assign(batch: pa.Table) -> pa.Table:
         m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
@@ -701,11 +691,7 @@ def ann_topk_ivfpq_partitioned(
     if not files:
         return pa.table({"vec_id": pa.array([], pa.int64()),
                          "cos_sim": pa.array([], pa.float64())})
-    dsub = qn.shape[0] // m_sub
-    lut = np.stack([
-        ((books[j] - qn[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
-        for j in range(m_sub)
-    ])
+    lut = _adc_lut(qn, books)
 
     def adc_scan(batch: pa.Table) -> pa.Table:
         codes = np.stack([
@@ -877,6 +863,35 @@ def embedding_near_dup_scalable(
 # ---------------------------------------------------------------------------
 
 
+def _pq_train_from_dir(sf_dir: str, m_sub: int, ks: int,
+                       n_sample: int = 2048) -> np.ndarray:
+    """Shared PQ training entry (ann_topk_pq + build_ivf_index): read
+    ≤ n_sample vectors via parquet filter pushdown, L2-normalize, and
+    train the per-subspace codebooks. ONE definition so the sampling /
+    zero-norm contract can never diverge between the flat-PQ and
+    IVFPQ builds."""
+    sample = (
+        pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<", n_sample)])
+        .to_pandas().sort_values("vec_id")
+    )
+    s = np.array(list(sample["embedding"]), dtype=np.float64)
+    ns = np.linalg.norm(s, axis=1)
+    sn = s / np.where(ns[:, None] > 0, ns[:, None], 1.0)
+    return _pq_train_codebooks(sn, m_sub, ks)
+
+
+def _adc_lut(qn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """ADC lookup table: lut[j, c] = ||q_j − books[j, c]||² (shared by
+    the flat-PQ and IVFPQ query paths)."""
+    m_sub, _, dsub = books.shape
+    return np.stack([
+        ((books[j] - qn[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
+        for j in range(m_sub)
+    ])
+
+
 def _pq_train_codebooks(sample: np.ndarray, m_sub: int, ks: int,
                         n_iter: int = 8) -> np.ndarray:
     """Per-subspace Lloyd on a driver-side SAMPLE (codebook training
@@ -885,6 +900,16 @@ def _pq_train_codebooks(sample: np.ndarray, m_sub: int, ks: int,
     argmin assignment, empty clusters keep their previous centroid.
     Returns (m_sub, ks, dsub)."""
     n, d = sample.shape
+    if m_sub <= 0 or d % m_sub != 0:
+        raise ValueError(
+            f"m_sub={m_sub} must evenly divide the embedding dim {d} "
+            "(a remainder would silently drop trailing dimensions)"
+        )
+    if n < ks:
+        raise ValueError(
+            f"PQ training sample has {n} rows < ks={ks} codebook "
+            "entries; lower ks or raise n_sample"
+        )
     dsub = d // m_sub
     books = np.empty((m_sub, ks, dsub), dtype=np.float64)
     for j in range(m_sub):
@@ -937,24 +962,11 @@ def ann_topk_pq(
     pushdown; the scan ships codes, not vectors; driver traffic is
     ≤ rerank rows per batch, then exactly `rerank` rows total."""
     path = f"{sf_dir}/embeddings.parquet"
-    sample = (
-        pq.read_table(path, columns=["vec_id", "embedding"],
-                      filters=[("vec_id", "<", n_sample)])
-        .to_pandas().sort_values("vec_id")
-    )
-    s = np.array(list(sample["embedding"]), dtype=np.float64)
-    ns = np.linalg.norm(s, axis=1)
-    sn = s / np.where(ns[:, None] > 0, ns[:, None], 1.0)
-    books = _pq_train_codebooks(sn, m_sub, ks)
+    books = _pq_train_from_dir(sf_dir, m_sub, ks, n_sample)
 
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
-    dsub = qn.shape[0] // m_sub
-    # ADC lookup table: lut[j, c] = ||q_j - books[j, c]||^2
-    lut = np.stack([
-        ((books[j] - qn[j * dsub:(j + 1) * dsub][None, :]) ** 2).sum(axis=1)
-        for j in range(m_sub)
-    ])
+    lut = _adc_lut(qn, books)
 
     def scan(batch: pa.Table) -> pa.Table:
         m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)

@@ -82,7 +82,9 @@ def pack_sequences(sf_dir: str, budget: int = DEFAULT_BUDGET,
 
     def counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        n_tok = df["text"].str.split(" ").str.len().astype("int64")
+        # == len(text.split(" ")) for every string incl. "" (both 1),
+        # without materializing the token lists on the ingest path
+        n_tok = (df["text"].str.count(" ") + 1).astype("int64")
         return pa.Table.from_pandas(
             pd.DataFrame(
                 {"doc_id": df["doc_id"].astype("int64"),

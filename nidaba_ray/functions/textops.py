@@ -356,8 +356,6 @@ def tfidf_top_terms(sf_dir: str, k: int = TOP_TERMS_K) -> pa.Table:
             g.rename(columns={"size": "n_docs"}), preserve_index=False
         )
 
-    from ray.data.aggregate import Sum as _Sum
-
     # partials are ≤ n_langs rows per batch — coalesce to ONE block
     # before the grouped sum (house pattern: no empty reduce
     # partitions on a tiny key space)
@@ -366,7 +364,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TOP_TERMS_K) -> pa.Table:
         .map_batches(lang_partial, batch_format="pyarrow")
         .repartition(1)
         .groupby("lang")
-        .aggregate(_Sum("n_docs", alias_name="n_docs"))
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
         .to_pandas()
     )
     per_lang = dict(zip(n_docs["lang"], n_docs["n_docs"]))

@@ -441,13 +441,13 @@ def range_join_clicks_before_purchase(sf_dir: str) -> rd.Dataset:
                                   _ASOF_EMPTY)
 
 
-RANGE_JOIN_SQL = """
+RANGE_JOIN_SQL = f"""
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts
 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
 JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id
- AND c.ts >= p.ts - INTERVAL 1 HOUR
+ AND c.ts >= p.ts - INTERVAL {RANGE_JOIN_WINDOW_SEC} SECOND
  AND c.ts < p.ts
 """
 

@@ -82,6 +82,9 @@ _OP_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
 # do the same whitespace-delimited scan when /L is absent.
 _INLINE_ID_RE = re.compile(rb"\bID[\0\t\n\f\r ]")
 _INLINE_EI_RE = re.compile(rb"[\0\t\n\f\r ]EI(?=[\0\t\n\f\r ]|$)")
+# fallback when no whitespace PRECEDES EI (some encoders butt the
+# delimiter against the data) — still demand a delimiter after
+_INLINE_EI_BARE_RE = re.compile(rb"EI(?=[\0\t\n\f\r ]|$)")
 _HEX_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 _ESC_SIMPLE = {ord("n"): b"\n", ord("r"): b"\r", ord("t"): b"\t",
                ord("b"): b"\b", ord("f"): b"\f"}
@@ -749,7 +752,10 @@ def _parse_content(
             if m2 is None:
                 i = n
             else:
-                m3 = _INLINE_EI_RE.search(data, m2.end())
+                m3 = (_INLINE_EI_RE.search(data, m2.end())
+                      or _INLINE_EI_BARE_RE.search(data, m2.end()))
+                # no EI at all → truncated image at stream end; only
+                # then is dropping the (empty) remainder correct
                 i = n if m3 is None else m3.end()
             stack.clear()
         elif op == b"BT":

@@ -59,9 +59,9 @@ class SeenShard:
 
     Memory tiering (the production path, implemented): the mutable
     tier is a plain ``set``; when it exceeds ``max_mem_keys`` it is
-    FROZEN into an immutable sorted uint8 array (16 bytes/key, ~5×
-    denser than set-of-bytes and binary-searchable) and a fresh
-    mutable set starts. Periodically (every ``merge_every`` freezes)
+    FROZEN into an immutable sorted array of big-endian uint64 PAIRS
+    (16 bytes/key, ~5× denser than set-of-bytes and binary-searchable)
+    and a fresh mutable set starts. Periodically (every ``merge_every`` freezes)
     the frozen runs merge into one — the classic LSM shape. Lookups
     check the mutable set, then each frozen run via
     ``np.searchsorted`` on the 128-bit keys viewed as two uint64
@@ -126,13 +126,15 @@ class SeenShard:
         return len(self._seen) + self._n_frozen, self._hits
 
 
-def seen_index(n_shards: int = 4,
-               max_mem_keys: int | None = None) -> list["ray.actor.ActorHandle"]:
+def seen_index(n_shards: int = 4, max_mem_keys: int | None = None,
+               merge_every: int = 8) -> list["ray.actor.ActorHandle"]:
     """Create a fresh sharded index (handles are serializable — Ray
     Data tasks capture them through the map-fn closure).
     ``max_mem_keys`` bounds each shard's mutable set; beyond it keys
-    freeze into dense sorted runs (see SeenShard)."""
-    return [SeenShard.remote(max_mem_keys) for _ in range(n_shards)]
+    freeze into dense sorted runs, which merge every ``merge_every``
+    freezes (see SeenShard)."""
+    return [SeenShard.remote(max_mem_keys, merge_every)
+            for _ in range(n_shards)]
 
 
 def _shard_of(digest: bytes, n_shards: int) -> int:

@@ -135,3 +135,18 @@ def test_ivfpq_index_serves_plain_ivf_caller(ray_session):
     with open(os.path.join(base, "CURRENT.json")) as f:
         after = json.load(f)["dir"]
     assert after == before
+
+
+def test_pq_parameter_validation():
+    import numpy as np
+    import pytest
+
+    from nidaba_ray.functions.ann import _pq_train_codebooks
+
+    sample = np.zeros((100, 64))
+    with pytest.raises(ValueError, match="evenly divide"):
+        _pq_train_codebooks(sample, m_sub=7, ks=16)   # 64 % 7 != 0
+    with pytest.raises(ValueError, match="evenly divide"):
+        _pq_train_codebooks(sample, m_sub=128, ks=16)  # dsub would be 0
+    with pytest.raises(ValueError, match="lower ks"):
+        _pq_train_codebooks(sample[:8], m_sub=8, ks=16)

@@ -183,6 +183,31 @@ def test_pdf_inline_image_skipped_property(tokens, doc_id):
     assert "DECOY" not in " ".join(got)
 
 
+def test_pdf_inline_image_bare_ei_and_truncated():
+    """An encoder may butt EI against the image data with no preceding
+    whitespace — text AFTER such an image must survive. A truncated
+    image (no EI before EOF) drops only the (empty) remainder."""
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    def wrap(body: bytes) -> bytes:
+        return (
+            b"%PDF-1.4\n3 0 obj << /Length " + str(len(body)).encode()
+            + b" >> stream\n" + body + b"\nendstream endobj\n%%EOF\n"
+        )
+
+    bare = wrap(
+        b"BT (before) Tj ET\n"
+        b"BI /W 2 /H 2 /BPC 8 ID \x00\x01\x02(decoyEI\n"   # bare EI
+        b"BT (after) Tj ET"
+    )
+    assert extract_pdf_blocks(bare) == ["before", "after"]
+
+    truncated = wrap(
+        b"BT (before) Tj ET\nBI /W 2 /H 2 /BPC 8 ID \x00\x01\x02nope"
+    )
+    assert extract_pdf_blocks(truncated) == ["before"]
+
+
 @given(st.lists(st.sampled_from(
     [f"w{i}" for i in range(40)]
     + ["(p)", ")q(", "a\\b", "ü", "—", "€", "北京", "مرحبا", "Ωμέγα",
