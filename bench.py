@@ -70,6 +70,7 @@ TIMED_QUERIES = [
     "streaming_seen_dedup",
     "tfidf_top_terms",
     "pack_sequences",
+    "curated_by_percentile",
 ]
 
 
@@ -78,6 +79,7 @@ def _extra_timed() -> dict:
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
     from nidaba_ray.functions import ann, dedup, pack, textops
+    from nidaba_ray.pipelines import curate
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
 
@@ -101,6 +103,7 @@ def _extra_timed() -> dict:
         "ann_topk_pq": ann.ann_topk_pq,
         "tfidf_top_terms": textops.tfidf_top_terms,
         "pack_sequences": pack.pack_sequences,
+        "curated_by_percentile": curate.curated_by_percentile,
         "range_join_clicks": win.range_join_clicks_before_purchase,
         "streaming_seen_dedup": streaming_seen_dedup,
         # ngram_jaccard_pairs (quadratic DEMO) is deliberately NOT

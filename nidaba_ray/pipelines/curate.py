@@ -127,3 +127,92 @@ CURATION_STATS_SQL = CURATED_SQL.replace(
     "SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_words) AS BIGINT) AS total_words,"
     " ROUND(CAST(SUM(n_words) AS DOUBLE) / COUNT(*), 2) AS avg_words",
 ) + " GROUP BY lang"
+
+
+PCTL_DROP = 0.10  # drop the bottom decile per language
+
+
+def curated_by_percentile(sf_dir: str, p: float = PCTL_DROP) -> rd.Dataset:
+    """Data-derived quality gate: keep documents whose token count is
+    STRICTLY above their language's p-th discrete percentile — the
+    realistic curation step where thresholds come from the corpus
+    itself, not constants.
+
+    Scale shape — exact per-lang percentile WITHOUT sorting the
+    corpus: token counts are small integers, so a per-batch
+    (lang, n_tokens) COUNT histogram partial (the combiner) is the
+    whole shuffle; the merged histogram is (langs × distinct counts)
+    rows — driver-sized at any corpus scale — and the threshold per
+    lang falls out of a cumulative sum. The filter pass then reads
+    the table once more with the tiny threshold map captured by
+    closure. Two narrow passes, zero sorts, zero corpus-sized driver
+    state.
+
+    Threshold rule matches DuckDB ``quantile_disc`` exactly (sorted
+    0-indexed position ``ceil(p·n) − 1``; fuzz-pinned in the test).
+    Test-level oracle (driver surface capped at 50):
+    tests/test_crawls_windows.py::test_curated_by_percentile_matches_duckdb."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n_tok = (df["text"].str.count(" ") + 1).astype("int64")
+        g = (
+            pd.DataFrame({"lang": df["lang"], "n_tokens": n_tok})
+            .groupby(["lang", "n_tokens"], as_index=False).size()
+            .rename(columns={"size": "n"})
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["lang", "text"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "n_tokens"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # (langs × distinct token counts) — tiny
+    )
+    thresholds: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("n_tokens")
+        counts = g["n"].to_numpy()
+        total = int(counts.sum())
+        target = max(0, math.ceil(p * total) - 1)  # quantile_disc rule
+        cum = counts.cumsum()
+        idx = int((cum <= target).sum())  # first value whose cum > target
+        thresholds[lang] = int(g["n_tokens"].to_numpy()[idx])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        n_tok = (df["text"].str.count(" ") + 1).astype("int64")
+        thr = df["lang"].map(thresholds).astype("int64")
+        keep = (n_tok > thr).to_numpy()
+        return pa.Table.from_pandas(
+            pd.DataFrame(
+                {"doc_id": df["doc_id"].astype("int64"),
+                 "lang": df["lang"].astype("string"),
+                 "n_tokens": n_tok}
+            )[keep],
+            preserve_index=False,
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(gate, batch_format="pyarrow")
+
+
+CURATED_PCTL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), thr AS (
+  SELECT lang, quantile_disc(n_tokens, {PCTL_DROP}) AS q
+  FROM t GROUP BY lang
+)
+SELECT doc_id, t.lang, n_tokens
+FROM t JOIN thr ON t.lang = thr.lang
+WHERE n_tokens > q
+"""

@@ -615,3 +615,36 @@ def test_tfidf_matches_duckdb(ray_session):
     pairs_raw = set(zip(raw["lang"], raw["token"]))
     pairs_tfidf = set(zip(mine["lang"], mine["token"]))
     assert pairs_raw != pairs_tfidf
+
+
+def test_curated_by_percentile_matches_duckdb(ray_session):
+    """Per-lang bottom-decile gate (data-derived threshold) equals the
+    DuckDB quantile_disc oracle — test-level oracle (surface capped at
+    50). The histogram cumsum threshold must replicate quantile_disc's
+    ceil(p*n)-1 rule exactly."""
+    import duckdb
+    import pandas as pd
+
+    from nidaba_ray.pipelines.curate import (
+        CURATED_PCTL_SQL,
+        curated_by_percentile,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    mine = (
+        curated_by_percentile(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = (
+        con.execute(CURATED_PCTL_SQL).fetchdf()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert 0 < len(mine) < 500  # gate actually drops something
+    pd.testing.assert_frame_equal(
+        mine.astype({"lang": "string"}),
+        want.astype({"lang": "string", "n_tokens": "int64"}),
+    )
