@@ -518,3 +518,42 @@ def test_tounicode_cmap_forms():
     assert _decode_show(b"\x00\x20\x00\x30", cm) == "Aa"
     # BOM beats the CMap
     assert _decode_show(("\ufeff" + "Zü").encode("utf-16-be"), cm) == "Zü"
+
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_pdf_parser_total_on_arbitrary_bytes(data):
+    """extract_pdf_blocks is TOTAL: arbitrary bytes after the magic
+    never raise — they yield a (possibly empty) block list. The
+    quarantine contract upstream depends on this."""
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    out = extract_pdf_blocks(b"%PDF-1.4\n" + data)
+    assert isinstance(out, list)
+
+
+@given(st.integers(min_value=0, max_value=10_000),
+       st.lists(st.tuples(st.integers(min_value=0, max_value=5_000),
+                          st.integers(min_value=0, max_value=255)),
+                min_size=1, max_size=12))
+@settings(max_examples=150, deadline=None)
+def test_pdf_parser_total_under_mutation(doc_id, flips):
+    """Byte-flip fuzzing of every structured synth dialect (plain,
+    flate, utf16/CMap, differences, two-font, rc4, aes): corrupting
+    near-valid structure — lengths, filters, crypto dicts, font
+    tables — must degrade to fewer/garbled blocks, never an
+    exception."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    text = "alpha beta gamma delta epsilon zeta"
+    makers = [synth.make_pdf, synth.make_pdf_flate, synth.make_pdf_utf16,
+              synth.make_pdf_diff, synth.make_pdf_twofont,
+              synth.make_pdf_rc4, synth.make_pdf_aes,
+              synth.make_pdf_inline_img]
+    maker = makers[doc_id % len(makers)]
+    buf = bytearray(maker(doc_id, text))
+    for pos, val in flips:
+        buf[pos % len(buf)] = val
+    out = extract_pdf_blocks(bytes(buf))
+    assert isinstance(out, list)

@@ -64,3 +64,24 @@ def test_suppress_isolated_degenerate():
     assert (suppress_isolated(one, one.copy()) == one).all()
     empty = np.zeros(0)
     assert len(suppress_isolated(empty, empty)) == 0
+
+
+def test_js_skeleton_page_quarantines():
+    """A JS-framework skeleton (empty #root + noscript fallback) has
+    no extractable main text: noscript is a SKIP tag (its content
+    renders only without JS), so the page takes the quarantine path
+    with the documented error instead of emitting fallback chrome."""
+    from nidaba_ray.stages.extract import extract_row
+    from nidaba_ray.stages.merge import vote_row
+
+    html = (
+        b'<html><head><script src="/app.js"></script></head><body>'
+        b'<div id="root"></div>'
+        b"<noscript><p>This application requires JavaScript. Please "
+        b"enable it to continue.</p></noscript></body></html>"
+    )
+    kind, spans, err = extract_row(html)
+    assert kind == "html" and err == "html: no text blocks"
+    assert spans == []
+    final, kept, prov, n_blocks, n_kept = vote_row(spans, None, kind, "en")
+    assert final == "" and n_blocks == 0 and n_kept == 0
