@@ -71,6 +71,7 @@ TIMED_QUERIES = [
     "tfidf_top_terms",
     "pack_sequences",
     "curated_by_percentile",
+    "deterministic_shuffle",
 ]
 
 
@@ -102,6 +103,7 @@ def _extra_timed() -> dict:
         "warc_extract_stats": warc.warc_extract_stats,
         "ann_topk_pq": ann.ann_topk_pq,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "deterministic_shuffle": textops.deterministic_shuffle,
         "pack_sequences": pack.pack_sequences,
         "curated_by_percentile": curate.curated_by_percentile,
         "range_join_clicks": win.range_join_clicks_before_purchase,

@@ -409,3 +409,44 @@ SELECT lang, token, n, df, tfidf FROM (
   FROM ag JOIN nd ON ag.lang = nd.lang
 ) WHERE rk <= {TOP_TERMS_K}
 """
+
+
+SHUFFLE_SEED = 42
+
+
+def deterministic_shuffle(sf_dir: str, seed: int = SHUFFLE_SEED) -> rd.Dataset:
+    """Reproducible corpus shuffle for training-data export: every doc
+    gets ``shuffle_rank = md5(f"{seed}:{doc_id}")`` and the dataset is
+    range-shuffled by that rank — a PURE FUNCTION of (seed, data), so
+    the order is bit-identical across runs, block layouts and cluster
+    sizes (unlike ``Dataset.random_shuffle``, whose seeded output
+    still depends on block boundaries). Changing the seed gives an
+    independent permutation; epoch shuffles are ``seed + epoch``.
+
+    Scale shape: the rank column is 32 bytes/row; the one range
+    shuffle (Dataset.sort) is exactly the exchange any global shuffle
+    pays, and downstream training shards read contiguous rank ranges.
+    Test-level oracle (driver surface capped at 50): DuckDB
+    ``ORDER BY md5(...)`` produces the same permutation
+    (tests/test_crawls_windows.py::test_deterministic_shuffle_matches_duckdb)."""
+
+    def rank(batch: pa.Table) -> pa.Table:
+        r = [hashlib.md5(f"{seed}:{d}".encode("ascii")).hexdigest()
+             for d in batch["doc_id"].to_pylist()]
+        return pa.table(
+            {"doc_id": batch["doc_id"], "lang": batch["lang"],
+             "shuffle_rank": pa.array(r, pa.string())}
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "lang"])
+        .map_batches(rank, batch_format="pyarrow")
+        .sort("shuffle_rank")
+    )
+
+
+def shuffle_sql(seed: int = SHUFFLE_SEED) -> str:
+    return f"""
+SELECT doc_id, lang, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_rank
+FROM documents ORDER BY shuffle_rank
+"""

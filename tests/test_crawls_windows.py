@@ -648,3 +648,41 @@ def test_curated_by_percentile_matches_duckdb(ray_session):
         mine.astype({"lang": "string"}),
         want.astype({"lang": "string", "n_tokens": "int64"}),
     )
+
+
+def test_deterministic_shuffle_matches_duckdb(ray_session):
+    """Seeded corpus shuffle is a pure function of (seed, data): the
+    full ORDERED permutation equals DuckDB's md5 ordering, and stays
+    identical under a different block layout."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from nidaba_ray.functions.textops import (
+        deterministic_shuffle,
+        shuffle_sql,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    mine = deterministic_shuffle(sf).to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.execute(shuffle_sql()).fetchdf().reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        mine.astype({"lang": "string", "shuffle_rank": "string"}),
+        want.astype({"lang": "string", "shuffle_rank": "string"}),
+    )
+    # layout invariance of the ORDER itself
+    ctx = rd.DataContext.get_current()
+    old = ctx.target_max_block_size
+    try:
+        ctx.target_max_block_size = 16 * 1024
+        alt = deterministic_shuffle(sf).to_pandas().reset_index(drop=True)
+    finally:
+        ctx.target_max_block_size = old
+    assert list(alt["doc_id"]) == list(mine["doc_id"])
+    # different seeds give different permutations
+    other = deterministic_shuffle(sf, seed=43).to_pandas()
+    assert list(other["doc_id"]) != list(mine["doc_id"])
