@@ -1003,6 +1003,41 @@ Visit our sponsor for unbeatable deals today!</p></body></html>
          "الاستيعابية بنسبة 40% خلال العام المقبل."],
         lang="ar",
     ),
+    # 56. giant data table: a reference page that IS one long table —
+    # every cell is content even though prose is a tiny fraction
+    _page(
+        "giant_data_table",
+        """<html><body><header><h1>Harbor Tide Tables</h1></header>
+<main><p>Predicted high tides for the outer harbor, spring schedule.</p>
+<table class="data"><tr><th>Date</th><th>Morning</th><th>Evening</th></tr>
+"""
+        + "".join(
+            f"<tr><td>April {d}</td><td>{5 + d % 4}:{10 + d}0 am</td>"
+            f"<td>{6 + d % 3}:{10 + d}5 pm</td></tr>\n"
+            for d in range(1, 9)
+        )
+        + """</table></main>
+<footer><p>© 2024 Harbor Authority</p></footer></body></html>""",
+        ["Predicted high tides for the outer harbor, spring schedule.",
+         "Date", "Morning", "Evening"]
+        + [c for d in range(1, 9)
+           for c in (f"April {d}", f"{5 + d % 4}:{10 + d}0 am",
+                     f"{6 + d % 3}:{10 + d}5 pm")],
+    ),
+    # 57. pagination chrome: page-number links and prev/next bars
+    # around the article contribute nothing
+    _page(
+        "pagination_chrome",
+        f"""<html><body><main>
+<nav class="pagination"><a href="/p/1">1</a> <a href="/p/2">2</a>
+<a href="/p/3">3</a> <span>…</span> <a href="/p/9">9</a>
+<a href="/p/2" rel="next">Next →</a></nav>
+<article><p>{_P1}</p><p>{_P2}</p></article>
+<div class="pager"><a href="/p/1">← Previous</a>
+<a href="/p/2">Next page of results</a></div>
+</main>{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
 ]
 
 
