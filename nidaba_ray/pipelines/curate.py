@@ -179,7 +179,14 @@ def curated_by_percentile(sf_dir: str, p: float = PCTL_DROP) -> rd.Dataset:
         g = g.sort_values("n_tokens")
         counts = g["n"].to_numpy()
         total = int(counts.sum())
-        target = max(0, math.ceil(p * total) - 1)  # quantile_disc rule
+        # quantile_disc rule, computed in IEEE DOUBLES on purpose:
+        # DuckDB evaluates ceil(p*n) in doubles too, so e.g.
+        # 0.1*100 = 10.000000000000002 → index 10 on BOTH sides.
+        # "Fixing" this to exact arithmetic (index 9) would break
+        # oracle parity today; if a DuckDB release moves to exact
+        # quantile indexing, the oracle test flags it and this math
+        # moves with it.
+        target = max(0, math.ceil(p * total) - 1)
         cum = counts.cumsum()
         idx = int((cum <= target).sum())  # first value whose cum > target
         thresholds[lang] = int(g["n_tokens"].to_numpy()[idx])

@@ -557,3 +557,23 @@ def test_pdf_parser_total_under_mutation(doc_id, flips):
         buf[pos % len(buf)] = val
     out = extract_pdf_blocks(bytes(buf))
     assert isinstance(out, list)
+
+
+def test_pdf_odd_hex_digit_corruption_is_total():
+    """Regression (review find): a flipped byte inside an encrypted
+    dialect's /O, /U or /ID hex string leaves an odd digit count;
+    bytes.fromhex must get the spec's trailing-zero pad, not raise,
+    or one corrupt PDF kills a whole extraction map task."""
+    from nidaba_ray import synth
+    from nidaba_ray.stages.pdf import extract_pdf_blocks
+
+    buf = bytearray(synth.make_pdf_rc4(5, "alpha beta gamma delta"))
+    buf[279] = 9  # tab inside the /O <…> hex string
+    assert isinstance(extract_pdf_blocks(bytes(buf)), list)
+    # corrupt the /ID hex string specifically (second fromhex site)
+    base = synth.make_pdf_rc4(7, "alpha beta")
+    idx = base.find(b"/ID")
+    assert idx > 0
+    b2 = bytearray(base)
+    b2[idx + 6] = 0x20  # a digit becomes a space → odd count remains
+    assert isinstance(extract_pdf_blocks(bytes(b2)), list)
