@@ -66,10 +66,19 @@ class SeenShard:
     check the mutable set, then each frozen run via
     ``np.searchsorted`` on the 128-bit keys viewed as two uint64
     columns. Default ``max_mem_keys=None`` keeps the flat-set
-    behavior; tiering is pinned equivalent in tests/test_seen_index.py."""
+    behavior; tiering is pinned equivalent in tests/test_seen_index.py.
+
+    Disk tier: with ``spill_dir`` set, frozen runs live as ``.npy``
+    files opened through ``np.load(mmap_mode="r")`` — the actor's
+    resident footprint is the mutable set plus the OS page cache's
+    working set of run pages, so a shard's key capacity is bounded by
+    DISK, not heap. Binary search over a memmap touches O(log n)
+    pages per probe; merges stream through a new file and delete the
+    inputs. Same ``admit`` contract, pinned equivalent in tests."""
 
     def __init__(self, max_mem_keys: int | None = None,
-                 merge_every: int = 8) -> None:
+                 merge_every: int = 8,
+                 spill_dir: str | None = None) -> None:
         import numpy as np
 
         self._np = np
@@ -77,8 +86,43 @@ class SeenShard:
         self._hits = 0  # duplicate keys rejected (lifetime)
         self._max_mem = max_mem_keys
         self._merge_every = merge_every
-        self._runs: list = []   # sorted (n, 2) uint64 arrays
+        self._runs: list = []   # sorted (n, 2) uint64 arrays (or memmaps)
         self._n_frozen = 0
+        self._spill_dir = spill_dir
+        self._spill_seq = 0
+        self._run_paths: list = []  # parallel to _runs when spilling
+        if spill_dir is not None:
+            import os
+
+            os.makedirs(spill_dir, exist_ok=True)
+
+    def _store_run(self, arr) -> None:
+        """Keep a sorted run in RAM, or spill it and hold a memmap."""
+        np = self._np
+        if self._spill_dir is None:
+            self._runs.append(arr)
+            return
+        import os
+
+        path = os.path.join(self._spill_dir,
+                            f"run-{os.getpid()}-{self._spill_seq}.npy")
+        self._spill_seq += 1
+        # big-endian dtype round-trips through .npy byte-exactly
+        np.save(path, np.ascontiguousarray(arr))
+        self._runs.append(np.load(path, mmap_mode="r"))
+        self._run_paths.append(path)
+
+    def _drop_runs(self) -> None:
+        if self._spill_dir is not None:
+            import os
+
+            for p in self._run_paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+            self._run_paths = []
+        self._runs = []
 
     def _freeze(self) -> None:
         np = self._np
@@ -87,13 +131,18 @@ class SeenShard:
         buf = np.frombuffer(b"".join(sorted(self._seen)),
                             dtype=">u8").reshape(-1, 2)
         # big-endian view sorts identically to the byte sort above
-        self._runs.append(buf)
-        self._n_frozen += len(self._seen)
+        n_new = len(self._seen)
         self._seen = set()
-        if len(self._runs) >= self._merge_every:
-            merged = np.concatenate(self._runs)
+        self._n_frozen += n_new
+        if len(self._runs) + 1 >= self._merge_every:
+            merged = np.concatenate([np.asarray(r) for r in self._runs]
+                                    + [buf])
             order = np.lexsort((merged[:, 1], merged[:, 0]))
-            self._runs = [merged[order]]
+            merged = merged[order]
+            self._drop_runs()
+            self._store_run(merged)
+        else:
+            self._store_run(buf)
 
     def _in_runs(self, k: bytes) -> bool:
         np = self._np
@@ -127,14 +176,24 @@ class SeenShard:
 
 
 def seen_index(n_shards: int = 4, max_mem_keys: int | None = None,
-               merge_every: int = 8) -> list["ray.actor.ActorHandle"]:
+               merge_every: int = 8,
+               spill_dir: str | None = None) -> list["ray.actor.ActorHandle"]:
     """Create a fresh sharded index (handles are serializable — Ray
     Data tasks capture them through the map-fn closure).
     ``max_mem_keys`` bounds each shard's mutable set; beyond it keys
     freeze into dense sorted runs, which merge every ``merge_every``
-    freezes (see SeenShard)."""
-    return [SeenShard.remote(max_mem_keys, merge_every)
-            for _ in range(n_shards)]
+    freezes; with ``spill_dir`` the frozen runs live on disk behind
+    memmaps, one subdirectory per shard (see SeenShard)."""
+    import os
+
+    return [
+        SeenShard.remote(
+            max_mem_keys, merge_every,
+            None if spill_dir is None
+            else os.path.join(spill_dir, f"shard-{i}"),
+        )
+        for i in range(n_shards)
+    ]
 
 
 def _shard_of(digest: bytes, n_shards: int) -> int:

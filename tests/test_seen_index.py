@@ -144,3 +144,51 @@ def test_tiered_index_through_dataset(ray_session):
         rd.from_arrow(t).repartition(8), shards, key_col="text"
     ).to_pandas()
     assert len(got) == 137 and got["text"].nunique() == 137
+
+
+def test_spilled_shard_equals_flat(ray_session, tmp_path):
+    """Disk-tier parity: a shard spilling frozen runs to .npy memmaps
+    admits exactly the same key sequence as the flat-set shard, and
+    the run files actually exist on disk then shrink after merges."""
+    import hashlib
+    import os
+
+    import ray as _ray
+
+    from nidaba_ray.state.seen import SeenShard
+
+    keys = [
+        hashlib.md5(f"s{i % 131}".encode()).digest() for i in range(900)
+    ]
+    spill = str(tmp_path / "seen-spill")
+    flat = SeenShard.remote()
+    spilled = SeenShard.remote(6, 3, spill)  # tiny tiers, fast merges
+    got_flat, got_spill = [], []
+    for lo in range(0, 900, 50):
+        chunk = keys[lo:lo + 50]
+        a, b = _ray.get([flat.admit.remote(chunk),
+                         spilled.admit.remote(chunk)])
+        got_flat.extend(a)
+        got_spill.extend(b)
+    assert got_flat == got_spill
+    assert sum(got_flat) == 131
+    sf, ss = _ray.get([flat.stats.remote(), spilled.stats.remote()])
+    assert sf == ss == (131, 900 - 131)
+    files = os.listdir(spill)
+    assert files and all(f.endswith(".npy") for f in files)
+    # merges bound the live run count below merge_every
+    assert len(files) < 3 + 1
+
+
+def test_spilled_index_through_dataset(ray_session, tmp_path):
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import admit_first_arrival, seen_index
+
+    t = _pages(n_rows=1000, n_distinct=137)
+    shards = seen_index(2, max_mem_keys=9,
+                        spill_dir=str(tmp_path / "spill"))
+    got = admit_first_arrival(
+        rd.from_arrow(t).repartition(8), shards, key_col="text"
+    ).to_pandas()
+    assert len(got) == 137 and got["text"].nunique() == 137
