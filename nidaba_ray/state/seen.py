@@ -74,7 +74,19 @@ class SeenShard:
     working set of run pages, so a shard's key capacity is bounded by
     DISK, not heap. Binary search over a memmap touches O(log n)
     pages per probe; merges stream through a new file and delete the
-    inputs. Same ``admit`` contract, pinned equivalent in tests."""
+    inputs. Same ``admit`` contract, pinned equivalent in tests.
+
+    Bloom front: when tiering is on, a per-shard Bloom filter over
+    all frozen keys gates the run probes — a fresh key (the common
+    case in a crawl) short-circuits on in-RAM bit tests instead of
+    touching O(runs · log n) memmap pages. The double hash comes
+    straight from the md5 digest the key already IS (no re-hashing;
+    md5-only invariant holds). False positives only cost a run probe
+    — never correctness; the filter accumulates (merges don't remove
+    keys) and saturation only degrades back to always-probing."""
+
+    _BLOOM_BITS = 1 << 23  # 1 MiB of bits per shard (~8 bits/key at 1M)
+    _BLOOM_K = 6
 
     def __init__(self, max_mem_keys: int | None = None,
                  merge_every: int = 8,
@@ -91,10 +103,33 @@ class SeenShard:
         self._spill_dir = spill_dir
         self._spill_seq = 0
         self._run_paths: list = []  # parallel to _runs when spilling
+        self._bloom = (
+            np.zeros(self._BLOOM_BITS // 64, dtype=np.uint64)
+            if max_mem_keys is not None else None
+        )
         if spill_dir is not None:
             import os
 
             os.makedirs(spill_dir, exist_ok=True)
+
+    def _bloom_positions(self, k: bytes) -> list[int]:
+        h1 = int.from_bytes(k[:8], "big")
+        h2 = int.from_bytes(k[8:], "big") | 1
+        return [(h1 + i * h2) % self._BLOOM_BITS
+                for i in range(self._BLOOM_K)]
+
+    def _bloom_add(self, k: bytes) -> None:
+        bits = self._bloom
+        for p in self._bloom_positions(k):
+            bits[p >> 6] |= self._np.uint64(1 << (p & 63))
+
+    def _bloom_maybe(self, k: bytes) -> bool:
+        bits = self._bloom
+        one = 1
+        for p in self._bloom_positions(k):
+            if not (int(bits[p >> 6]) >> (p & 63)) & one:
+                return False
+        return True
 
     def _store_run(self, arr) -> None:
         """Keep a sorted run in RAM, or spill it and hold a memmap."""
@@ -131,6 +166,8 @@ class SeenShard:
         buf = np.frombuffer(b"".join(sorted(self._seen)),
                             dtype=">u8").reshape(-1, 2)
         # big-endian view sorts identically to the byte sort above
+        for k in self._seen:
+            self._bloom_add(k)
         n_new = len(self._seen)
         self._seen = set()
         self._n_frozen += n_new
@@ -160,7 +197,9 @@ class SeenShard:
         out = []
         hits = 0
         for k in keys:
-            if k in self._seen or (self._runs and self._in_runs(k)):
+            if k in self._seen or (
+                self._runs and self._bloom_maybe(k) and self._in_runs(k)
+            ):
                 out.append(False)
                 hits += 1
             else:
