@@ -14,11 +14,68 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
 from nidaba_ray.functions.compat import round_like_sql
 from nidaba_ray.util import ensure_columns
+
+
+def _embedding_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Arrow-native (B, d) float64 decode of a list<float> column —
+    ONE C-level flatten+reshape instead of a per-row ``to_pylist()``
+    round-trip (round-3 verdict item 1: this sits in the innermost
+    scan of every ANN kernel). Zero-copy from the Arrow values buffer
+    when the column is null-free float64; a single cast otherwise.
+
+    Handles both fixed_size_list and variable list (rectangularity
+    verified via vectorized ``list_value_length``); the rare
+    null-bearing column falls back to the old Python path."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    if col.null_count:  # embeddings are never null in practice
+        return np.array(col.to_pylist(), dtype=np.float64)
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    flat = flat.astype(np.float64, copy=False)
+    if flat.size % n:
+        raise ValueError("ragged embedding column (total values not a "
+                         f"multiple of {n} rows)")
+    d = flat.size // n
+    if not pa.types.is_fixed_size_list(col.type):
+        sizes = pc.list_value_length(col).to_numpy()
+        if not (sizes == d).all():
+            raise ValueError("ragged embedding column (row lengths differ)")
+    return flat.reshape(n, d)
+
+def _binary_matrix(col: pa.ChunkedArray | pa.Array,
+                   dtype: np.dtype | type) -> np.ndarray:
+    """Arrow-native (B, w) decode of a null-free binary column whose
+    values are all the same byte width (packed pq_code / packed-vector
+    join payloads) — one contiguous ``frombuffer`` + reshape instead
+    of a per-row ``to_pylist``/``np.stack`` loop. Falls back to the
+    Python path for ragged or null-bearing input."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    itemsize = np.dtype(dtype).itemsize
+    if n == 0:
+        return np.zeros((0, 0), dtype=dtype)
+    if col.null_count == 0 and pa.types.is_binary(col.type):
+        offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+            col.offset:col.offset + n + 1]
+        widths = np.diff(offsets)
+        if (widths == widths[0]).all() and widths[0] % itemsize == 0:
+            data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+            flat = data[offsets[0]:offsets[-1]]
+            if flat.ctypes.data % np.dtype(dtype).alignment:
+                flat = flat.copy()  # realign before the view
+            return flat.view(dtype).reshape(n, widths[0] // itemsize)
+    return np.stack([np.frombuffer(b, dtype=dtype) for b in col.to_pylist()])
+
 
 # declared output schema for the near-dup family — collection sites
 # rebuild all-empty results against it (see util.ensure_columns)
@@ -45,7 +102,7 @@ def ann_topk_bruteforce(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.T
     qn = q / np.linalg.norm(q)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)
         cos = (m @ qn) / np.where(norms > 0, norms, 1.0)
         cos = round_like_sql(cos, 6)
@@ -95,7 +152,7 @@ def ann_topk_multi(
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         qt = _ray.get(qref)  # zero-copy from the object store
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)
         cos = round_like_sql(
             (m @ qt) / np.where(norms > 0, norms, 1.0)[:, None], 6
@@ -180,7 +237,7 @@ def ann_topk_lsh(sf_dir: str, k: int = 10, query_vec_id: int = 0) -> pa.Table:
     q_code = int(lsh_bucket_ids(qn[None, :], planes)[0])
 
     def candidates(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         codes = lsh_bucket_ids(m, planes)
         ham = np.zeros(len(codes), dtype=np.int32)
         x = codes ^ np.uint32(q_code)
@@ -234,7 +291,7 @@ def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
     would then diverge between implementations."""
 
     def bucketize(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         planes = _planes(m.shape[1])
         codes = lsh_bucket_ids(m, planes)
         return pa.table(
@@ -293,7 +350,7 @@ def _train_centroids(ds: rd.Dataset, init: np.ndarray, n_iter: int) -> np.ndarra
         c = centroids  # broadcast by closure (small)
 
         def partial(batch: pa.Table) -> pa.Table:
-            m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+            m = _embedding_matrix(batch["embedding"])
             d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
             sums = np.zeros_like(c)
@@ -359,7 +416,7 @@ def ann_topk_ivf(
     probed = np.sort(np.argsort(cd, kind="stable")[:n_probe])
 
     def probe(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         mask = np.isin(assign, probed)
@@ -417,7 +474,7 @@ def kmeans_embeddings(
     c = centroids
 
     def stats(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
         assign = d2.argmin(axis=1)
         counts = np.bincount(assign, minlength=len(c))
@@ -482,7 +539,7 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
         books = _pq_train_from_dir(sf_dir, m_sub, ks)
 
     def assign(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         batch = batch.append_column(
             "list_id", pa.array(d2.argmin(axis=1).astype(np.int64))
@@ -634,7 +691,7 @@ def ann_topk_ivf_partitioned(
                          "cos_sim": pa.array([], pa.float64())})
 
     def topk(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)
         cos = round_like_sql((m @ qn) / np.where(norms > 0, norms, 1.0), 6)
         ids = np.asarray(batch["vec_id"])
@@ -694,10 +751,7 @@ def ann_topk_ivfpq_partitioned(
     lut = _adc_lut(qn, books)
 
     def adc_scan(batch: pa.Table) -> pa.Table:
-        codes = np.stack([
-            np.frombuffer(b, dtype=np.uint8)
-            for b in batch["pq_code"].to_pylist()
-        ])
+        codes = _binary_matrix(batch["pq_code"], np.uint8)
         adc = lut[np.arange(m_sub)[None, :], codes].sum(axis=1)
         adc = np.round(adc, 9)  # quantize before ordering decisions
         ids = np.asarray(batch["vec_id"])
@@ -748,7 +802,7 @@ def embedding_near_dup_scalable(
     from nidaba_ray.util import join_partitions
 
     def bucket_ids_only(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         codes = lsh_bucket_ids(m, _planes(m.shape[1]))
         return pa.table({"bucket": pa.array(codes.astype(np.int64)),
                          "vec_id": batch["vec_id"]})
@@ -793,8 +847,8 @@ def embedding_near_dup_scalable(
         # Arrow hash joins don't carry list<float> payload columns —
         # pack each vector as float64 bytes (decoded after the join)
         b = batch.filter(pc.is_in(batch["vec_id"], _ray.get(ids_ref)))
-        packed = [np.asarray(v, dtype=np.float64).tobytes()
-                  for v in b["embedding"].to_pylist()]
+        m = _embedding_matrix(b["embedding"])
+        packed = [row.tobytes() for row in m]
         return pa.table({"vec_id": b["vec_id"],
                          "emb": pa.array(packed, pa.binary())})
 
@@ -823,10 +877,8 @@ def embedding_near_dup_scalable(
             return pa.table({"vec_a": pa.array([], pa.int64()),
                              "vec_b": pa.array([], pa.int64()),
                              "cos_sim": pa.array([], pa.float64())})
-        a = np.stack([np.frombuffer(x, dtype=np.float64)
-                      for x in batch["emb_a"].to_pylist()])
-        b = np.stack([np.frombuffer(x, dtype=np.float64)
-                      for x in batch["emb"].to_pylist()])
+        a = _binary_matrix(batch["emb_a"], np.float64)
+        b = _binary_matrix(batch["emb"], np.float64)
         # the SAME canonical kernel as the in-bucket variant
         # (_pair_cos6): normalize, row-wise einsum, quantize before
         # the decision
@@ -969,7 +1021,7 @@ def ann_topk_pq(
     lut = _adc_lut(qn, books)
 
     def scan(batch: pa.Table) -> pa.Table:
-        m = np.array(batch["embedding"].to_pylist(), dtype=np.float64)
+        m = _embedding_matrix(batch["embedding"])
         norms = np.linalg.norm(m, axis=1)
         mn = m / np.where(norms[:, None] > 0, norms[:, None], 1.0)
         codes = _pq_encode(mn, books)
@@ -995,8 +1047,8 @@ def ann_topk_pq(
     # layout-invariance: per-batch top-R union is a superset of the
     # global adc top-R; trim to exactly that set before reranking
     parts = parts.sort_values(["adc", "vec_id"]).head(rerank)
-    mn = np.stack([np.frombuffer(b, dtype=np.float64)
-                   for b in parts["emb"]])
+    mn = _binary_matrix(pa.array(parts["emb"].tolist(), pa.binary()),
+                        np.float64)
     cos = round_like_sql(mn @ qn, 6)
     ids = parts["vec_id"].to_numpy()
     order = np.lexsort((ids, -cos))[:k]
