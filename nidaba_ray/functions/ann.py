@@ -77,6 +77,21 @@ def _binary_matrix(col: pa.ChunkedArray | pa.Array,
     return np.stack([np.frombuffer(b, dtype=dtype) for b in col.to_pylist()])
 
 
+def _sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """(B, K) squared L2 distances via the ||a||²+||b||²−2a·b expansion
+    — replaces the (B, K, d) broadcast-subtract temporary (67 MB at
+    B=8192, K=16, d=64) that dominated every assignment kernel. The
+    cross term uses ``einsum`` (per-element fixed-order reduction, so
+    the result is independent of batch layout — BLAS dgemm's
+    shape-dependent kernel choice could make a short final batch sum
+    in a different order, breaking the repo's layout-invariance
+    contract for assignment decisions). Clamped at 0 for FP safety."""
+    m2 = np.einsum("ij,ij->i", m, m)
+    c2 = np.einsum("ij,ij->i", c, c)
+    cross = np.einsum("ij,kj->ik", m, c)
+    return np.maximum(m2[:, None] + c2[None, :] - 2.0 * cross, 0.0)
+
+
 # declared output schema for the near-dup family — collection sites
 # rebuild all-empty results against it (see util.ensure_columns)
 _NEAR_DUP_SCHEMA = pa.schema(
@@ -351,7 +366,7 @@ def _train_centroids(ds: rd.Dataset, init: np.ndarray, n_iter: int) -> np.ndarra
 
         def partial(batch: pa.Table) -> pa.Table:
             m = _embedding_matrix(batch["embedding"])
-            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sqdist(m, c)
             assign = d2.argmin(axis=1)
             sums = np.zeros_like(c)
             np.add.at(sums, assign, m)
@@ -417,7 +432,7 @@ def ann_topk_ivf(
 
     def probe(batch: pa.Table) -> pa.Table:
         m = _embedding_matrix(batch["embedding"])
-        d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sqdist(m, centroids)
         assign = d2.argmin(axis=1)
         mask = np.isin(assign, probed)
         if not mask.any():
@@ -475,7 +490,7 @@ def kmeans_embeddings(
 
     def stats(batch: pa.Table) -> pa.Table:
         m = _embedding_matrix(batch["embedding"])
-        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sqdist(m, c)
         assign = d2.argmin(axis=1)
         counts = np.bincount(assign, minlength=len(c))
         per_c = np.zeros(len(c))
@@ -540,7 +555,7 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         m = _embedding_matrix(batch["embedding"])
-        d2 = ((m[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        d2 = _sqdist(m, centroids)
         batch = batch.append_column(
             "list_id", pa.array(d2.argmin(axis=1).astype(np.int64))
         )
@@ -576,7 +591,11 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     import os
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    return f"{st.st_size}:{st.st_mtime_ns}"
+    # ":a2" = assignment-algorithm version — bump when the quantizer
+    # arithmetic changes (round 4: broadcast-subtract → _sqdist
+    # expansion), so a cached index built by older code is rebuilt
+    # rather than served with subtly different list assignments.
+    return f"{st.st_size}:{st.st_mtime_ns}:a2"
 
 
 def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
@@ -968,7 +987,7 @@ def _pq_train_codebooks(sample: np.ndarray, m_sub: int, ks: int,
         sub = sample[:, j * dsub:(j + 1) * dsub]
         cb = sub[:ks].copy()
         for _ in range(n_iter):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(axis=2)
+            d2 = _sqdist(sub, cb)
             assign = d2.argmin(axis=1)
             new = cb.copy()
             for c in range(ks):
@@ -988,7 +1007,7 @@ def _pq_encode(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
     codes = np.empty((mn.shape[0], m_sub), dtype=np.uint8)
     for j in range(m_sub):
         sub = mn[:, j * dsub:(j + 1) * dsub]
-        d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        d2 = _sqdist(sub, books[j])
         codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
     return codes
 
