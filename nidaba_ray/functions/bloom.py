@@ -38,6 +38,20 @@ class BloomFilter:
                 return False
         return True
 
+    def add_many(self, keys) -> None:
+        """Batch insert (md5 per key — the repo's md5-only determinism
+        trade, same as shingle_hashes; the Bloom path is the
+        beyond-broadcast fallback, never the small-key hot path)."""
+        for k in keys:
+            self.add(str(k))
+
+    def contains_many(self, keys) -> np.ndarray:
+        """Batch membership probe -> bool mask (possible false
+        positives, never false negatives)."""
+        return np.fromiter(
+            (str(k) in self for k in keys), dtype=bool, count=len(keys)
+        )
+
     @classmethod
     def build(cls, keys, fp_rate: float = 0.01) -> "BloomFilter":
         keys = list(keys)

@@ -26,7 +26,7 @@ import ray
 import ray.data as rd
 
 from nidaba_ray.functions.compat import round_like_sql
-from nidaba_ray.util import ensure_columns, join_partitions
+from nidaba_ray.util import distinct_small, ensure_columns, join_partitions
 
 # declared output schemas for queries whose final filter can drop every
 # row — collection sites rebuild all-empty results against these
@@ -299,8 +299,9 @@ LIMIT 10
 # ---------------------------------------------------------------------------
 
 def distinct_segments(sf_dir: str) -> pa.Table:
-    vals = _read(sf_dir, "customer", ["c_mktsegment"]).unique("c_mktsegment")
-    return pa.table({"c_mktsegment": pa.array(sorted(vals), pa.string())})
+    vals = distinct_small(_read(sf_dir, "customer", ["c_mktsegment"]),
+                          "c_mktsegment")
+    return pa.table({"c_mktsegment": vals})
 
 
 DISTINCT_SQL = "SELECT DISTINCT c_mktsegment FROM customer"
@@ -435,28 +436,115 @@ WHERE rn = 1
 # Semi / anti joins (broadcast key set — no shuffle; SURVEY.md §2.4)
 # ---------------------------------------------------------------------------
 
-def _custkeys_with_orders(sf_dir: str):
-    """Key set of the small side, shipped once via ray.put. At 10^12
-    scale substitute a Bloom filter of the keys (nidaba_ray.functions.
-    bloom) — same broadcast shape, constant memory, with an exact
-    re-check only for bloom-positive rows when exactness matters."""
-    keys = set(
-        _read(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
+# Above this many distinct keys, a broadcast sorted-int64 array stops
+# being a reasonable per-task payload (~8 B/key: 4M keys ≈ 32 MB in
+# every task's heap) and the semi/anti join switches to a Bloom
+# prefilter + exact verification join — constant broadcast memory,
+# with only the bloom-positive rows (true matches + ~1% FP) paying
+# the shuffle. Never reached at sandbox scale; equality of the two
+# paths is pinned in tests by monkeypatching this to 0.
+_EXACT_BROADCAST_MAX = 4_000_000
+
+
+def _distinct_keys_ds(ds: rd.Dataset, col: str) -> rd.Dataset:
+    """Distinct keys of the right side AS A DATASET (one int64 column)
+    — the driver never holds the key set in the Bloom path."""
+    from ray.data.aggregate import Count
+
+    return ds.groupby(col).aggregate(Count(alias_name="_n")).map_batches(
+        lambda t: t.select([col]), batch_format="pyarrow"
     )
-    return ray.put(keys)
+
+
+def _semi_anti_join(
+    left: rd.Dataset, key_col: str, keys_raw: rd.Dataset, keys_col: str,
+    negate: bool,
+) -> rd.Dataset:
+    """Broadcast semi/anti join (SURVEY.md §2.4).
+
+    Small key set (≤ _EXACT_BROADCAST_MAX): ship the sorted int64 key
+    array once via ray.put and filter each batch with ``pc.is_in`` —
+    the fully vectorized q3 pattern (round-3 verdict item 2; the old
+    per-row ``k in keys`` Python loop is gone).
+
+    Large key set: broadcast a Bloom filter (constant memory), then
+    verify exactly — semi keeps bloom-positive rows confirmed by an
+    inner join against the distinct-keys dataset; anti keeps
+    bloom-NEGATIVE rows outright (a Bloom has no false negatives) plus
+    the bloom-positive rows a left_outer join fails to match. Both
+    paths produce identical rows (pinned in pytest).
+
+    The cutover decision uses the RAW right-side row count (a free
+    parquet-metadata read for plain scans; an upper bound on the
+    distinct-key count) so the common small case pays no extra
+    distinct pass."""
+    if keys_raw.count() <= _EXACT_BROADCAST_MAX:
+        ref = ray.put(distinct_small(keys_raw, keys_col))
+
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch[key_col], value_set=ray.get(ref))
+            if negate:
+                mask = pc.invert(mask)
+            return batch.filter(mask)
+
+        return left.map_batches(fn, batch_format="pyarrow")
+
+    from nidaba_ray.functions.bloom import BloomFilter
+
+    keys_ds = _distinct_keys_ds(keys_raw, keys_col).materialize()
+    n_keys = keys_ds.count()
+    bf = BloomFilter(n_keys)
+    for b in keys_ds.iter_batches(batch_format="pyarrow"):
+        bf.add_many(np.asarray(b[keys_col]))  # streaming build
+    bf_ref = ray.put(bf)
+
+    def bloom_mask(batch: pa.Table, keep_positive: bool) -> pa.Table:
+        hit = ray.get(bf_ref).contains_many(np.asarray(batch[key_col]))
+        return batch.filter(pa.array(hit if keep_positive else ~hit))
+
+    out_cols = left.schema().names
+    positives = left.map_batches(
+        lambda t: bloom_mask(t, True), batch_format="pyarrow"
+    ).materialize()
+    n_pos = positives.count()
+    if not negate:
+        if n_pos == 0:
+            return positives
+        verified = positives.repartition(
+            min(join_partitions(8), n_pos)
+        ).join(
+            keys_ds.materialize(), "inner", join_partitions(8),
+            on=(key_col,), right_on=(keys_col,),
+        )
+        return verified.map_batches(
+            lambda t: t.select(out_cols), batch_format="pyarrow"
+        )
+    definite = left.map_batches(
+        lambda t: bloom_mask(t, False), batch_format="pyarrow"
+    )
+    if n_pos == 0:
+        return definite
+    marked = keys_ds.map_batches(
+        lambda t: t.append_column(
+            "_hit", pa.array(np.ones(t.num_rows, dtype=np.int8))),
+        batch_format="pyarrow",
+    ).materialize()
+    rescued = positives.repartition(min(join_partitions(8), n_pos)).join(
+        marked, "left_outer", join_partitions(8),
+        on=(key_col,), right_on=(keys_col,),
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["_hit"])).select(out_cols),
+        batch_format="pyarrow",
+    )
+    return definite.union(rescued)
 
 
 def customers_with_orders(sf_dir: str) -> rd.Dataset:
     """Semi join: customers having ≥1 order."""
-    ref = _custkeys_with_orders(sf_dir)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([k in keys for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
-        fn, batch_format="pyarrow"
+    return _semi_anti_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+        "c_custkey", _read(sf_dir, "orders", ["o_custkey"]), "o_custkey",
+        negate=False,
     )
 
 
@@ -470,25 +558,15 @@ def customers_without_orders(sf_dir: str) -> rd.Dataset:
     """Anti join: customers with no URGENT-priority order (the
     predicate keeps the result non-empty on the synthetic data —
     every customer has *some* order)."""
-    keys = set(
-        _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
-        .map_batches(
-            lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
-                ["o_custkey"]
-            ),
-            batch_format="pyarrow",
-        )
-        .unique("o_custkey")
-    )
-    ref = ray.put(keys)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        keys = ray.get(ref)
-        mask = pa.array([k not in keys for k in batch["c_custkey"].to_pylist()])
-        return batch.filter(mask)
-
-    return _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]).map_batches(
-        fn, batch_format="pyarrow"
+    urgent = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_custkey"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()  # narrow int64 column, consumed by count + unique
+    return _semi_anti_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_name", "c_mktsegment"]),
+        "c_custkey", urgent, "o_custkey", negate=True,
     )
 
 
@@ -650,16 +728,15 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
 
     cutoff = pa.scalar(Q3_CUTOFF, pa.timestamp("us"))
 
-    keys = set(
+    keys_ref = ray.put(distinct_small(
         _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
         .map_batches(
             lambda t: t.filter(
                 pc.equal(t["c_mktsegment"], Q3_SEGMENT)).select(["c_custkey"]),
             batch_format="pyarrow",
-        )
-        .unique("c_custkey")
-    )
-    keys_ref = ray.put(pa.array(sorted(keys), pa.int64()))
+        ),
+        "c_custkey",
+    ))
 
     def orders_filter(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.less(batch["o_orderdate"], cutoff))
@@ -672,9 +749,7 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
     # ^ consumed twice (orderkey set below + the join) — no CSE in Ray
     # Data, and the filtered orders table is 2 narrow columns
 
-    okeys_ref = ray.put(
-        pa.array(sorted(ords.unique("o_orderkey")), pa.int64())
-    )
+    okeys_ref = ray.put(distinct_small(ords, "o_orderkey"))
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         b = batch.filter(pc.greater(batch["l_shipdate"], cutoff))

@@ -108,6 +108,21 @@ def test_q5_hash_join_fallback_matches(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_semi_anti_bloom_path_matches_exact(ray_session, monkeypatch):
+    """The beyond-broadcast Bloom fallback (prefilter + exact
+    verification join) must produce exactly the rows of the default
+    broadcast is_in path — forced on by dropping the cutover to 0."""
+    from nidaba_ray.relational import queries as q
+
+    want_semi = canon(to_df(q.customers_with_orders(SF_DIR)))
+    want_anti = canon(to_df(q.customers_without_orders(SF_DIR)))
+    monkeypatch.setattr(q, "_EXACT_BROADCAST_MAX", 0)
+    got_semi = canon(to_df(q.customers_with_orders(SF_DIR)))
+    got_anti = canon(to_df(q.customers_without_orders(SF_DIR)))
+    pd.testing.assert_frame_equal(got_semi, want_semi)
+    pd.testing.assert_frame_equal(got_anti, want_anti)
+
+
 ROWS_ONLY = sorted(set(entry_mod.queries()) - set(entry_mod.oracle_sql()))
 
 
