@@ -402,6 +402,51 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     return out
 
 
+_HOT_MEMO: dict = {}
+
+
+def _hot_shingles(sf_dir: str, n_sample: int = 2048,
+                  hot_frac: float = 0.05, cap: int = 256) -> np.ndarray:
+    """Sampled hot-shingle (stopword n-gram) detection for the prefix
+    join's skew mitigation: shingles whose document frequency in a
+    pushdown-bounded sample is ≥ hot_frac (capped at the `cap`
+    hottest) get DEMOTED to the end of the global shingle order, so
+    they essentially never land in a prefix — removing the
+    skewed-join-key hot spot a stopword 3-gram would otherwise become
+    at corpus scale (round-3 verdict item 3).
+
+    Sampling is safe here because correctness does not depend on WHICH
+    shingles are called hot: the prefix-filter theorem holds for ANY
+    fixed total order of the shingle universe, and the order
+    ((is_hot, hash), hot last) is global — sampling error can only
+    affect skew quality, never the pair set. Deterministic: fixed
+    sample (doc_id < n_sample), ties broken (count desc, hash asc).
+    Memoized per corpus content alongside the pair memos."""
+    key = (os.path.realpath(sf_dir), _corpus_fingerprint(sf_dir),
+           n_sample, hot_frac, cap)
+    hit = _HOT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    sample = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filters=[("doc_id", "<", n_sample)],
+    )
+    texts = sample["text"].to_pylist()
+    df: Counter = Counter()
+    for t in texts:
+        df.update(np.unique(shingle_hashes(t)).tolist())
+    n = max(1, len(texts))
+    hot = [h for h, c in df.items() if c / n >= hot_frac]
+    hot.sort(key=lambda h: (-df[h], h))
+    out = np.sort(np.array(hot[:cap], dtype=np.uint64))
+    _HOT_MEMO[key] = out
+    return out
+
+
 def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     """EXACT set-similarity join at scale via prefix filtering (the
     public PPJoin/AllPairs principle: order the shingle universe
@@ -428,7 +473,15 @@ def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     survivors (pairs sharing several prefix shingles across join
     partitions) are a few percent, far cheaper to re-verify than a
     row-cardinality groupby (measured 10.6 s at sf0.1); the verifier
-    drops the duplicate rows on its pairs-sized output."""
+    drops the duplicate rows on its pairs-sized output.
+
+    Skew mitigation (round 4): the global shingle order is
+    ((is_hot, hash)) with the sampled universally-frequent shingles
+    (:func:`_hot_shingles`) sorting LAST — they drop out of prefixes
+    on both sides, so no stopword n-gram becomes a hot join key.
+    Lossless by the prefix-filter theorem (valid for any fixed total
+    order); pinned against brute-force all-pairs in pytest."""
+    hot = _hot_shingles(sf_dir)
 
     def prefix_rows(batch: pa.Table) -> pa.Table:
         import math
@@ -437,8 +490,13 @@ def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:
         for doc_id, text in zip(batch["doc_id"].to_pylist(),
                                 batch["text"].to_pylist()):
             sh = np.unique(shingle_hashes(text))
+            if len(hot):
+                is_hot = np.isin(sh, hot)
+                ordered = np.concatenate([sh[~is_hot], sh[is_hot]])
+            else:
+                ordered = sh
             plen = len(sh) - math.ceil(threshold * len(sh)) + 1
-            for h in sh[:plen]:
+            for h in ordered[:plen]:
                 sh_col.append(int(h))
                 doc_col.append(doc_id)
                 n_col.append(len(sh))

@@ -686,3 +686,44 @@ def test_deterministic_shuffle_matches_duckdb(ray_session):
     # different seeds give different permutations
     other = deterministic_shuffle(sf, seed=43).to_pandas()
     assert list(other["doc_id"]) != list(mine["doc_id"])
+
+
+def test_prefix_join_hot_shingle_demotion(ray_session, tmp_path):
+    """A stopword shingle shared by EVERY document must be detected as
+    hot and demoted out of prefixes — and the pair set must still
+    equal brute-force all-pairs (the order change is lossless)."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.dedup import (
+        _hot_shingles,
+        ngram_jaccard_pairs_exact,
+        shingle_hashes,
+    )
+
+    stop = "the quick brown"  # one 3-gram shared by all docs
+    texts = [f"{stop} doc{i} body{i} tail{i} extra{i} words{i} here{i}"
+             for i in range(8)]
+    texts += [texts[0], texts[3] + f" {stop}"]  # real dups
+    docs = pa.table({
+        "doc_id": pa.array(range(len(texts)), pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * len(texts)),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+
+    hot = _hot_shingles(str(d))
+    assert len(hot) >= 1  # the universal shingle was flagged
+
+    got = ngram_jaccard_pairs_exact(str(d), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["doc_a"], got["doc_b"]))
+    sets = [set(shingle_hashes(t).tolist()) for t in texts]
+    want = set()
+    for i, j in itertools.combinations(range(len(texts)), 2):
+        if len(sets[i] & sets[j]) / len(sets[i] | sets[j]) >= 0.5:
+            want.add((i, j))
+    assert got_pairs == want
