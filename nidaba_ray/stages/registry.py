@@ -127,6 +127,17 @@ def _ensure_builtin() -> None:
     from nidaba_ray.stages.serialize import to_abbyy_rows
 
     register_stage("output.abbyy")(to_abbyy_rows)
+    from nidaba_ray.stages.serialize import (
+        load_abbyy_rows,
+        load_alto_rows,
+        load_hocr_rows,
+        load_tei_rows,
+    )
+
+    register_stage("input.tei")(load_tei_rows)
+    register_stage("input.hocr")(load_hocr_rows)
+    register_stage("input.alto")(load_alto_rows)
+    register_stage("input.abbyy")(load_abbyy_rows)
     from nidaba_ray.stages.quality import QualityScorer
 
     register_stage("postprocess.quality", batch_size=256,

@@ -16,7 +16,9 @@ import pyarrow as pa
 from nidaba_ray.record import spans_to_jsonl
 
 __all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
-           "to_tei_rows", "to_hocr_rows", "to_alto_rows", "to_abbyy_rows"]
+           "to_tei_rows", "to_hocr_rows", "to_alto_rows", "to_abbyy_rows",
+           "load_tei_rows", "load_hocr_rows", "load_alto_rows",
+           "load_abbyy_rows"]
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
@@ -237,3 +239,165 @@ def to_abbyy_rows(batch: pa.Table) -> pa.Table:
         docs.append(ET.tostring(doc, encoding="unicode"))
     return pa.table({"url": pa.array(urls, pa.string()),
                      "abbyy": pa.array(docs, pa.string())})
+
+
+# ---------------------------------------------------------------------------
+# Load paths — the OCRRecord.load_tei / load_hocr analogs (nidaba
+# tei.py readers, UNVERIFIED per SURVEY.md §0): parse each output
+# dialect back into the spans schema so foreign OCR/extraction output
+# can enter the merge/vote stage (round-3 verdict item 4). Each loader
+# is a stateless map_batches stage over a one-string-column table.
+#
+# Lossy-field contract: the XML dialects never serialize
+# text_density / link_density / score, so loaded spans carry 0.0
+# there; every field a dialect DOES carry round-trips byte-identically
+# (serialize ∘ load ≡ id on the XML side — property-tested).
+# ---------------------------------------------------------------------------
+
+
+def _span(block_id: int, kind: str, depth: int, text: str,
+          start: int, end: int) -> dict:
+    return {
+        "block_id": block_id, "kind": kind, "depth": depth,
+        "text_density": 0.0, "link_density": 0.0, "score": 0.0,
+        "text": text, "start": start, "end": end,
+    }
+
+
+def _loaded_table(urls: list, langs: list, spans: list,
+                  texts: list, provs: list) -> pa.Table:
+    from nidaba_ray.record import PROVENANCE_STRUCT, SPAN_TYPE
+
+    return pa.table({
+        "url": pa.array(urls, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+        "spans": pa.array(spans, SPAN_TYPE),
+        "text": pa.array(texts, pa.string()),
+        "provenance": pa.array(provs, pa.list_(PROVENANCE_STRUCT)),
+    })
+
+
+def load_tei_rows(batch: pa.Table, column: str = "tei") -> pa.Table:
+    """Parse the repo's TEI dialect back into the spans schema (url,
+    lang, spans, text, provenance). The canonical text comes from the
+    <ab type="canonical"> element; respStmts become provenance."""
+    import xml.etree.ElementTree as ET
+
+    urls, langs, spans, texts, provs = [], [], [], [], []
+    for doc in batch[column].to_pylist():
+        root = ET.fromstring(doc)
+        urls.append(root.get("url", ""))
+        langs.append(root.get("lang", ""))
+        provs.append([
+            {"stage": r.get("stage", ""), "variant": r.get("variant", "")}
+            for r in root.findall("teiHeader/respStmt")
+        ])
+        spans.append([
+            _span(int(z.get("n")), z.get("type", ""), int(z.get("depth")),
+                  z.text or "", int(z.get("start")), int(z.get("end")))
+            for z in root.findall("text/body/zone")
+        ])
+        ab = root.find("ab[@type='canonical']")
+        texts.append((ab.text or "") if ab is not None else "")
+    return _loaded_table(urls, langs, spans, texts, provs)
+
+
+def load_hocr_rows(batch: pa.Table, column: str = "hocr") -> pa.Table:
+    """Parse the repo's hOCR dialect (ocr_page / ocr_carea / ocr_line
+    with x_kind / x_depth / x_offsets title properties). hOCR stores
+    no canonical text, so it is reconstructed from the spans in
+    reading order (spans_to_text)."""
+    import xml.etree.ElementTree as ET
+
+    from nidaba_ray.record import spans_to_text
+
+    urls, langs, spans, texts, provs = [], [], [], [], []
+    for doc in batch[column].to_pylist():
+        root = ET.fromstring(doc)
+        page = root.find("body/div[@class='ocr_page']")
+        title = page.get("title", "") if page is not None else ""
+        url = title.split('"')[1] if '"' in title else ""
+        urls.append(url)
+        langs.append(page.get("lang", "") if page is not None else "")
+        provs.append([])
+        ss = []
+        for area in (page.findall("div[@class='ocr_carea']")
+                     if page is not None else []):
+            props = {}
+            for part in area.get("title", "").split(";"):
+                fields = part.strip().split(" ")
+                if fields and fields[0]:
+                    props[fields[0]] = fields[1:]
+            line = area.find("p/span[@class='ocr_line']")
+            start, end = (int(v) for v in props.get("x_offsets", ["0", "0"]))
+            ss.append(_span(
+                int(area.get("id", "block_0").split("_")[1]),
+                props.get("x_kind", [""])[0],
+                int(props.get("x_depth", ["0"])[0]),
+                (line.text or "") if line is not None else "",
+                start, end,
+            ))
+        spans.append(ss)
+        texts.append(spans_to_text(ss))
+    return _loaded_table(urls, langs, spans, texts, provs)
+
+
+def load_alto_rows(batch: pa.Table, column: str = "alto") -> pa.Table:
+    """Parse the repo's ALTO dialect (TextBlock@STYLEREFS → kind,
+    String@HPOS/VPOS → start/end offsets). ALTO stores neither lang
+    nor depth in this dialect; depth loads as 0."""
+    import xml.etree.ElementTree as ET
+
+    from nidaba_ray.record import spans_to_text
+
+    urls, langs, spans, texts, provs = [], [], [], [], []
+    for doc in batch[column].to_pylist():
+        root = ET.fromstring(doc)
+        fn = root.find("Description/sourceImageInformation/fileName")
+        urls.append((fn.text or "") if fn is not None else "")
+        langs.append("")
+        provs.append([])
+        ss = []
+        for block in root.findall("Layout/Page/PrintSpace/TextBlock"):
+            s = block.find("TextLine/String")
+            if s is None:
+                continue
+            ss.append(_span(
+                int(block.get("ID", "b0")[1:]), block.get("STYLEREFS", ""),
+                0, s.get("CONTENT", ""),
+                int(s.get("HPOS", "0")), int(s.get("VPOS", "0")),
+            ))
+        spans.append(ss)
+        texts.append(spans_to_text(ss))
+    return _loaded_table(urls, langs, spans, texts, provs)
+
+
+def load_abbyy_rows(batch: pa.Table, column: str = "abbyy") -> pa.Table:
+    """Parse the repo's ABBYY dialect (block@x_kind/l/t/r → kind,
+    start, depth, end; formatting@lang → lang; formatting text)."""
+    import xml.etree.ElementTree as ET
+
+    from nidaba_ray.record import spans_to_text
+
+    urls, langs, spans, texts, provs = [], [], [], [], []
+    for doc in batch[column].to_pylist():
+        root = ET.fromstring(doc)
+        urls.append(root.get("source", ""))
+        provs.append([])
+        lang = ""
+        ss = []
+        for block in root.findall("page/block"):
+            fmt = block.find("text/par/line/formatting")
+            if fmt is not None and not lang:
+                lang = fmt.get("lang", "")
+            ss.append(_span(
+                int(block.get("blockName", "b0")[1:]),
+                block.get("x_kind", ""),
+                int(block.get("t", "0")),
+                (fmt.text or "") if fmt is not None else "",
+                int(block.get("l", "0")), int(block.get("r", "0")),
+            ))
+        langs.append(lang)
+        spans.append(ss)
+        texts.append(spans_to_text(ss))
+    return _loaded_table(urls, langs, spans, texts, provs)

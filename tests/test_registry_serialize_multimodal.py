@@ -308,3 +308,85 @@ def test_abbyy_rows_roundtrip():
     assert [f.get("lang") for f in fmts] == ["de", "de"]
     assert blocks[0].get("l") == "0" and blocks[0].get("r") == "12"
     assert blocks[1].get("x_kind") == "h1" and blocks[1].get("t") == "1"
+
+
+# ---------------------------------------------------------------------------
+# Round-4: load paths (serialize ∘ load ≡ id through the library API)
+# ---------------------------------------------------------------------------
+
+
+def test_dialect_load_paths_are_true_roundtrips():
+    """For every XML dialect: serialize → load → serialize again must
+    be byte-identical (the loader recovers every field the dialect
+    carries), and load(serialize(b)) preserves url/lang/span text."""
+    from nidaba_ray.stages.serialize import (
+        load_abbyy_rows,
+        load_alto_rows,
+        load_hocr_rows,
+        load_tei_rows,
+        to_abbyy_rows,
+        to_alto_rows,
+        to_hocr_rows,
+        to_tei_rows,
+    )
+
+    b = _extracted_batch()
+    for ser, load, col in (
+        (to_tei_rows, load_tei_rows, "tei"),
+        (to_hocr_rows, load_hocr_rows, "hocr"),
+        (to_alto_rows, load_alto_rows, "alto"),
+        (to_abbyy_rows, load_abbyy_rows, "abbyy"),
+    ):
+        first = ser(b)
+        loaded = load(first)
+        again = ser(loaded)
+        assert again[col].to_pylist() == first[col].to_pylist(), col
+        assert loaded["url"].to_pylist() == b["url"].to_pylist(), col
+        for orig, got in zip(b["spans"].to_pylist(),
+                             loaded["spans"].to_pylist()):
+            assert [s["text"] for s in got] == [s["text"] for s in orig], col
+    # TEI additionally carries canonical text + provenance losslessly
+    t = load_tei_rows(to_tei_rows(b))
+    assert t["text"].to_pylist() == b["text"].to_pylist()
+    assert t["provenance"].to_pylist() == b["provenance"].to_pylist()
+    assert t["lang"].to_pylist() == b["lang"].to_pylist()
+
+
+def test_loaded_foreign_candidate_enters_vote():
+    """A foreign hOCR document (another engine's output) loaded via
+    load_hocr_rows can be voted against native spans in
+    merge.vote_row — the blend_hocr ingestion use case."""
+    import pyarrow as pa
+
+    from nidaba_ray.record import SPAN_TYPE, assign_offsets, spans_to_text
+    from nidaba_ray.stages.merge import vote_row
+    from nidaba_ray.stages.serialize import load_hocr_rows, to_hocr_rows
+
+    native = assign_offsets([
+        {"block_id": 0, "kind": "p", "depth": 2, "text_density": 1.0,
+         "link_density": 0.0, "score": 9.0, "text": "the quick brown fox",
+         "start": 0, "end": 0},
+        {"block_id": 1, "kind": "p", "depth": 2, "text_density": 1.0,
+         "link_density": 0.0, "score": 8.0, "text": "jumps over the dog",
+         "start": 0, "end": 0},
+    ])
+    # the foreign engine agrees on block 0 but read block 1 noisily
+    foreign = assign_offsets([
+        dict(native[0]),
+        {**native[1], "text": "jumps ovvr the dog"},
+    ])
+    hocr = to_hocr_rows(pa.table({
+        "url": pa.array(["https://x/p"], pa.string()),
+        "lang": pa.array(["en"], pa.string()),
+        "spans": pa.array([foreign], SPAN_TYPE),
+    }))
+    cand = load_hocr_rows(hocr)
+    cand_text = cand["text"].to_pylist()[0]
+    assert cand_text == spans_to_text(foreign)
+
+    text, kept, prov, n_blocks, n_kept = vote_row(
+        native, cand_text, payload_kind="html", lang="en")
+    assert n_blocks == 2 and n_kept >= 1
+    # the dictionary-scored vote must prefer the native reading of the
+    # disputed token ('over' is lexicon English; 'ovvr' is not)
+    assert "ovvr" not in text
