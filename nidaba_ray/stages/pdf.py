@@ -764,7 +764,11 @@ def _parse_content(
         if op == b"BI":  # inline image: skip BI…ID…EI as one opaque span
             m2 = _INLINE_ID_RE.search(data, i)
             if m2 is None:
-                i = n
+                # a bare BI with no ID anywhere after it is a corrupt /
+                # false-positive operator (e.g. one flipped byte), not
+                # an image — treat it as unknown and keep tokenizing
+                # instead of dropping every later block in the stream
+                stack.clear()
             else:
                 m3 = (_INLINE_EI_RE.search(data, m2.end())
                       or _INLINE_EI_BARE_RE.search(data, m2.end()))

@@ -73,8 +73,22 @@ class SeenShard:
     resident footprint is the mutable set plus the OS page cache's
     working set of run pages, so a shard's key capacity is bounded by
     DISK, not heap. Binary search over a memmap touches O(log n)
-    pages per probe; merges stream through a new file and delete the
+    pages per probe; merges of spilled runs STREAM through the new
+    file in bounded chunks (vectorized k-way merge, peak heap
+    O(runs × chunk) — see ``_merge_runs_streaming``) and delete the
     inputs. Same ``admit`` contract, pinned equivalent in tests.
+
+    Crash recovery (spill tier only): each freeze atomically rewrites
+    a per-shard ``MANIFEST.json`` (run list, frozen-key count, hit
+    counter) and admitted-but-unfrozen keys append to a WAL segment
+    (16 raw bytes/key, deleted once its keys freeze into a run). A
+    replacement actor pointed at the same ``spill_dir`` reloads the
+    manifest runs, replays the WAL into the mutable set, and rebuilds
+    the Bloom front — the admitted key set survives the crash
+    exactly. Best-effort after recovery: duplicate-hit counts since
+    the last freeze (not WAL'd). Exactly-once admission under
+    IN-FLIGHT task retry would additionally need batch-id-idempotent
+    admit messages — documented limitation, not built.
 
     Bloom front: when tiering is on, a per-shard Bloom filter over
     all frozen keys gates the run probes — a fresh key (the common
@@ -107,10 +121,106 @@ class SeenShard:
             np.zeros(self._BLOOM_BITS // 64, dtype=np.uint64)
             if max_mem_keys is not None else None
         )
+        self._wal = None       # open append handle for the current segment
+        self._wal_paths: list = []  # segments holding the mutable tier
+        self._wal_seq = 0
         if spill_dir is not None:
             import os
 
             os.makedirs(spill_dir, exist_ok=True)
+            if os.path.isfile(os.path.join(spill_dir, "MANIFEST.json")):
+                self._recover()
+            else:
+                # no manifest = nothing recoverable: wipe stale
+                # orphans from a previous index reusing this dir
+                # (disk-leak hazard otherwise)
+                for f in os.listdir(spill_dir):
+                    if f.startswith(("run-", "wal-")):
+                        try:
+                            os.unlink(os.path.join(spill_dir, f))
+                        except OSError:
+                            pass
+            self._open_wal()
+
+    # -- durability -------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        import os
+
+        return os.path.join(self._spill_dir, "MANIFEST.json")
+
+    def _write_manifest(self) -> None:
+        """Atomic (tmp + os.replace) snapshot of the frozen state."""
+        import json
+        import os
+
+        doc = {
+            "runs": [os.path.basename(p) for p in self._run_paths],
+            "n_frozen": self._n_frozen,
+            "hits": self._hits,
+            "spill_seq": self._spill_seq,
+            "wal_seq": self._wal_seq,
+        }
+        tmp = self._manifest_path() + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.replace(tmp, self._manifest_path())
+
+    def _open_wal(self) -> None:
+        import os
+
+        path = os.path.join(self._spill_dir, f"wal-{self._wal_seq:08d}.bin")
+        self._wal_seq += 1
+        self._wal = open(path, "ab")
+        self._wal_paths.append(path)
+
+    def _recover(self) -> None:
+        """Reload frozen runs + manifest counters, replay the WAL into
+        the mutable set, rebuild the Bloom front. Keys present in both
+        a run and a trailing WAL segment (crash between run store and
+        WAL cleanup) are harmless: the mutable set is checked first."""
+        import json
+        import os
+
+        np = self._np
+        with open(self._manifest_path()) as f:
+            doc = json.load(f)
+        self._run_paths = [os.path.join(self._spill_dir, r)
+                           for r in doc["runs"]]
+        self._runs = [np.load(p, mmap_mode="r") for p in self._run_paths]
+        self._n_frozen = int(doc["n_frozen"])
+        self._hits = int(doc["hits"])
+        self._spill_seq = int(doc["spill_seq"])
+        self._wal_seq = int(doc["wal_seq"])
+        listed = set(doc["runs"])
+        for f_ in os.listdir(self._spill_dir):
+            # a crash between run store and manifest write leaves an
+            # orphan run file; its keys are still in the WAL, so drop it
+            if f_.startswith("run-") and f_ not in listed:
+                try:
+                    os.unlink(os.path.join(self._spill_dir, f_))
+                except OSError:
+                    pass
+        for f_ in sorted(os.listdir(self._spill_dir)):
+            if not f_.startswith("wal-"):
+                continue
+            with open(os.path.join(self._spill_dir, f_), "rb") as fh:
+                blob = fh.read()
+            blob = blob[: len(blob) - (len(blob) % 16)]  # torn tail write
+            for i in range(0, len(blob), 16):
+                self._seen.add(blob[i:i + 16])
+            self._wal_paths.append(os.path.join(self._spill_dir, f_))
+        if self._bloom is not None:
+            # same Python-int arithmetic as _bloom_add — a wrapped
+            # uint64 variant would compute DIFFERENT positions and
+            # turn recovered lookups into false negatives
+            for run in self._runs:
+                arr = np.asarray(run)
+                for hi, lo in zip(arr[:, 0].tolist(), arr[:, 1].tolist()):
+                    h1, h2 = int(hi), int(lo) | 1
+                    for i in range(self._BLOOM_K):
+                        p = (h1 + i * h2) % self._BLOOM_BITS
+                        self._bloom[p >> 6] |= np.uint64(1 << (p & 63))
 
     def _bloom_positions(self, k: bytes) -> list[int]:
         h1 = int.from_bytes(k[:8], "big")
@@ -159,6 +269,84 @@ class SeenShard:
             self._run_paths = []
         self._runs = []
 
+    def _wal_write(self, ks: list[bytes]) -> None:
+        if self._wal is not None and ks:
+            self._wal.write(b"".join(ks))
+            self._wal.flush()  # survives actor-process death
+
+    def _rotate_wal(self) -> None:
+        """The mutable tier just froze into a run recorded by the
+        manifest — its WAL segments are obsolete; start a fresh one."""
+        import os
+
+        if self._wal is not None:
+            self._wal.close()
+        for p in self._wal_paths:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
+        self._wal_paths = []
+        self._open_wal()
+
+    def _merge_spilled(self, buf) -> None:
+        """Streaming k-way merge of the spilled runs + ``buf`` into a
+        new .npy: bounded chunks per source, write-through — peak heap
+        is O(runs × chunk), never the shard's total frozen keys. Per
+        output block the cutoff key is the smallest last-key of any
+        source's next window, so everything ≤ cutoff across all
+        sources is globally ordered before everything after it."""
+        import os
+
+        np = self._np
+        sources = [*self._runs, buf]
+        total = sum(len(s) for s in sources)
+        path = os.path.join(self._spill_dir,
+                            f"run-{os.getpid()}-{self._spill_seq}.npy")
+        self._spill_seq += 1
+        chunk = 1 << 16
+        with open(path, "wb") as f:
+            np.lib.format.write_array_header_1_0(
+                f, {"descr": ">u8", "fortran_order": False,
+                    "shape": (total, 2)},
+            )
+            cursors = [0] * len(sources)
+            while True:
+                best = None
+                for s, c in zip(sources, cursors):
+                    if c >= len(s):
+                        continue
+                    end = min(c + chunk, len(s)) - 1
+                    key = (int(s[end, 0]), int(s[end, 1]))
+                    if best is None or key < best:
+                        best = key
+                if best is None:
+                    break
+                parts = []
+                for idx, s in enumerate(sources):
+                    c = cursors[idx]
+                    if c >= len(s):
+                        continue
+                    hi = int(np.searchsorted(s[c:, 0], best[0],
+                                             side="right")) + c
+                    lo_edge = int(np.searchsorted(s[c:, 0], best[0],
+                                                  side="left")) + c
+                    cut = lo_edge + int(np.searchsorted(
+                        s[lo_edge:hi, 1], best[1], side="right"))
+                    if cut > c:
+                        parts.append(np.asarray(s[c:cut]))
+                        cursors[idx] = cut
+                block = np.concatenate(parts)
+                order = np.lexsort((block[:, 1], block[:, 0]))
+                # np.concatenate silently converts >u8 to NATIVE
+                # uint64 — cast back so the bytes match the big-endian
+                # header (caught by the crash-recovery test: a merged
+                # run read back byte-swapped)
+                f.write(block[order].astype(">u8", copy=False).tobytes())
+        self._drop_runs()
+        self._runs.append(np.load(path, mmap_mode="r"))
+        self._run_paths.append(path)
+
     def _freeze(self) -> None:
         np = self._np
         if not self._seen:
@@ -172,14 +360,23 @@ class SeenShard:
         self._seen = set()
         self._n_frozen += n_new
         if len(self._runs) + 1 >= self._merge_every:
-            merged = np.concatenate([np.asarray(r) for r in self._runs]
-                                    + [buf])
-            order = np.lexsort((merged[:, 1], merged[:, 0]))
-            merged = merged[order]
-            self._drop_runs()
-            self._store_run(merged)
+            if self._spill_dir is not None:
+                self._merge_spilled(buf)
+            else:
+                merged = np.concatenate([np.asarray(r) for r in self._runs]
+                                        + [buf])
+                order = np.lexsort((merged[:, 1], merged[:, 0]))
+                merged = merged[order]
+                self._drop_runs()
+                self._store_run(merged)
         else:
             self._store_run(buf)
+        if self._spill_dir is not None:
+            # run durable first, THEN retire the WAL: a crash between
+            # the two replays keys that are also in the new run —
+            # harmless (mutable set is probed before the runs)
+            self._write_manifest()
+            self._rotate_wal()
 
     def _in_runs(self, k: bytes) -> bool:
         np = self._np
@@ -196,6 +393,7 @@ class SeenShard:
     def admit(self, keys: list[bytes]) -> list[bool]:
         out = []
         hits = 0
+        fresh: list[bytes] = []  # admitted this message, not yet WAL'd
         for k in keys:
             if k in self._seen or (
                 self._runs and self._bloom_maybe(k) and self._in_runs(k)
@@ -205,8 +403,12 @@ class SeenShard:
             else:
                 self._seen.add(k)
                 out.append(True)
+                fresh.append(k)
                 if self._max_mem is not None and len(self._seen) >= self._max_mem:
+                    self._wal_write(fresh)  # freeze consumes the WAL
+                    fresh = []
                     self._freeze()
+        self._wal_write(fresh)
         self._hits += hits
         return out
 

@@ -207,6 +207,12 @@ def test_pdf_inline_image_bare_ei_and_truncated():
     )
     assert extract_pdf_blocks(truncated) == ["before"]
 
+    # a corrupt/false-positive bare BI with NO ID anywhere after it is
+    # an unknown operator, not an image — later text must survive
+    # (previously the whole stream remainder was dropped)
+    bare_bi = wrap(b"BT (before) Tj ET\nBI\nBT (after) Tj ET")
+    assert extract_pdf_blocks(bare_bi) == ["before", "after"]
+
 
 @given(st.lists(st.sampled_from(
     [f"w{i}" for i in range(40)]

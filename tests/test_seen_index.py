@@ -174,10 +174,13 @@ def test_spilled_shard_equals_flat(ray_session, tmp_path):
     assert sum(got_flat) == 131
     sf, ss = _ray.get([flat.stats.remote(), spilled.stats.remote()])
     assert sf == ss == (131, 900 - 131)
-    files = os.listdir(spill)
-    assert files and all(f.endswith(".npy") for f in files)
+    runs = [f for f in os.listdir(spill) if f.startswith("run-")]
+    assert runs and all(f.endswith(".npy") for f in runs)
     # merges bound the live run count below merge_every
-    assert len(files) < 3 + 1
+    assert len(runs) < 3 + 1
+    # durability sidecars present: manifest + exactly one live WAL
+    assert "MANIFEST.json" in os.listdir(spill)
+    assert sum(f.startswith("wal-") for f in os.listdir(spill)) == 1
 
 
 def test_spilled_index_through_dataset(ray_session, tmp_path):
@@ -192,3 +195,99 @@ def test_spilled_index_through_dataset(ray_session, tmp_path):
         rd.from_arrow(t).repartition(8), shards, key_col="text"
     ).to_pandas()
     assert len(got) == 137 and got["text"].nunique() == 137
+
+
+def test_shard_crash_recovery(ray_session, tmp_path):
+    """Kill a spilled shard mid-stream; a replacement actor on the
+    same spill_dir must reject every previously admitted key —
+    including keys that only ever lived in the mutable tier (WAL
+    replay) — and admit exactly the remaining distinct keys."""
+    import hashlib
+
+    import ray as _ray
+
+    from nidaba_ray.state.seen import SeenShard
+
+    keys = [hashlib.md5(f"k{i}".encode()).digest() for i in range(100)]
+    spill = str(tmp_path / "crash-spill")
+    shard = SeenShard.remote(7, 3, spill)  # freezes + merges happen
+    first = _ray.get(shard.admit.remote(keys[:60]))
+    assert all(first)
+    # 60 admitted; with max_mem=7 the last ≤6 live only in the WAL
+    _ray.kill(shard)
+
+    revived = SeenShard.remote(7, 3, spill)
+    # every old key (frozen OR WAL-only) must be a duplicate now
+    assert _ray.get(revived.admit.remote(keys[:60])) == [False] * 60
+    # fresh keys still admit
+    assert all(_ray.get(revived.admit.remote(keys[60:])))
+    n_keys, _hits = _ray.get(revived.stats.remote())
+    assert n_keys == 100
+
+
+def test_index_crash_recovery_through_dataset(ray_session, tmp_path):
+    """End-to-end: stream part A, kill ALL shards, rebuild the index
+    from the spill dir, stream part B (overlapping A) — the union of
+    admitted rows matches DuckDB count-distinct over A ∪ B."""
+    import ray as _ray
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import (admit_first_arrival, index_stats,
+                                       seen_index)
+
+    spill = str(tmp_path / "crash-spill-ds")
+    a = _pages(n_rows=400, n_distinct=97)
+    shards = seen_index(2, max_mem_keys=9, spill_dir=spill)
+    got_a = admit_first_arrival(
+        rd.from_arrow(a).repartition(4), shards, key_col="text"
+    ).to_pandas()
+    for s in shards:
+        _ray.kill(s)
+
+    b = pa.table({
+        "doc_id": pa.array(range(500), pa.int64()),
+        "text": pa.array(
+            [f"document body number {i % 150}" for i in range(500)],
+            pa.string()),
+    })  # first 97 keys overlap part A entirely
+    revived = seen_index(2, max_mem_keys=9, spill_dir=spill)
+    got_b = admit_first_arrival(
+        rd.from_arrow(b).repartition(4), revived, key_col="text"
+    ).to_pandas()
+
+    import pandas as pd
+
+    union = pd.concat([got_a, got_b])
+    want = duckdb.sql(
+        "SELECT count(DISTINCT text) FROM (SELECT text FROM a UNION ALL "
+        "SELECT text FROM b)"
+    ).fetchone()[0]
+    assert union["text"].nunique() == len(union) == want == 150
+    st = index_stats(revived).to_pandas()
+    assert int(st["n_keys"].sum()) == 150
+
+
+def test_spill_dir_reuse_without_manifest_wipes_orphans(ray_session, tmp_path):
+    """A spill_dir with leftover files but NO manifest is a stale dir,
+    not recoverable state: a new shard wipes the orphans and starts
+    empty (re-admitting everything)."""
+    import hashlib
+    import os
+
+    import ray as _ray
+
+    from nidaba_ray.state.seen import SeenShard
+
+    spill = str(tmp_path / "stale-spill")
+    keys = [hashlib.md5(f"z{i}".encode()).digest() for i in range(20)]
+    shard = SeenShard.remote(None, 8, spill)  # never freezes: no manifest
+    assert all(_ray.get(shard.admit.remote(keys)))
+    _ray.kill(shard)
+    assert "MANIFEST.json" not in os.listdir(spill)
+    wals_before = [f for f in os.listdir(spill) if f.startswith("wal-")]
+    assert wals_before  # the stale WAL exists ...
+
+    fresh = SeenShard.remote(None, 8, spill)
+    # ... but was wiped: with no manifest the index starts empty
+    assert all(_ray.get(fresh.admit.remote(keys)))
+    _ray.kill(fresh)
