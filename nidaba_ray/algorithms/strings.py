@@ -77,61 +77,117 @@ def edit_distance(s1: Sequence, s2: Sequence) -> int:
     return int(prev[-1])
 
 
+def _sub_cost_row(
+    tok, b_toks: Sequence, b_codes: np.ndarray, a_code: int,
+    substitutionscore, charmatrix: dict | None,
+) -> np.ndarray:
+    """Vectorized substitution-cost vector of one DP row: flat
+    (0 on match, ``substitutionscore`` otherwise) with per-pair
+    ``charmatrix[(s1_tok, s2_tok)]`` overrides — nidaba's OCR-confusion
+    weighting (full_edit_distance charmatrix arg, SURVEY.md §2.5)."""
+    cost = np.where(b_codes == a_code, 0.0, float(substitutionscore))
+    if charmatrix:
+        for j, bt in enumerate(b_toks):
+            w = charmatrix.get((tok, bt))
+            if w is not None:
+                cost[j] = float(w)
+    return cost
+
+
 def _dp_matrix(
     s1: Sequence,
     s2: Sequence,
-    substitutionscore: int = 1,
-    insertscore: int = 1,
-    deletescore: int = 1,
+    substitutionscore: float = 1,
+    insertscore: float = 1,
+    deletescore: float = 1,
+    charmatrix: dict | None = None,
 ) -> np.ndarray:
     """Full (n+1)×(m+1) edit DP matrix, row-vectorized.
 
     The sequential insert chain ``dp[i,j] = min(..., dp[i,j-1]+ins)`` is
     linearized with the min-accumulate identity
     ``dp[i,j] = min_k (best[k] + (j-k)·ins)`` (unit-cost chains); valid
-    because insertscore is constant along a row."""
+    because insertscore is constant along a row (charmatrix weights
+    substitutions only, so the identity survives weighting).
+
+    ``charmatrix`` maps (s1_token, s2_token) → substitution cost,
+    overriding the flat score for those pairs (including equal pairs,
+    matching the reference's per-pair semantics); with it the DP runs
+    in float64, otherwise int32 as before."""
     n, m = len(s1), len(s2)
     # token → int codes for vectorized equality
     vocab: dict = {}
     a = np.fromiter((vocab.setdefault(t, len(vocab)) for t in s1), dtype=np.int64, count=n)
     b = np.fromiter((vocab.setdefault(t, len(vocab)) for t in s2), dtype=np.int64, count=m)
-    dp = np.empty((n + 1, m + 1), dtype=np.int32)
-    dp[0, :] = np.arange(m + 1, dtype=np.int32) * insertscore
-    dp[:, 0] = np.arange(n + 1, dtype=np.int32) * deletescore
+    floaty = bool(charmatrix) or any(
+        isinstance(x, float) for x in (substitutionscore, insertscore, deletescore)
+    )
+    dtype = np.float64 if floaty else np.int32
+    dp = np.empty((n + 1, m + 1), dtype=dtype)
+    dp[0, :] = np.arange(m + 1, dtype=dtype) * insertscore
+    dp[:, 0] = np.arange(n + 1, dtype=dtype) * deletescore
     if m == 0 or n == 0:
         return dp
-    j_ins = np.arange(1, m + 1, dtype=np.int32) * insertscore
+    j_ins = np.arange(1, m + 1, dtype=dtype) * insertscore
     for i in range(1, n + 1):
-        cost = np.where(b == a[i - 1], 0, substitutionscore).astype(np.int32)
+        cost = _sub_cost_row(s1[i - 1], s2, b, a[i - 1],
+                             substitutionscore, charmatrix).astype(dtype)
         best = np.minimum(dp[i - 1, 1:] + deletescore, dp[i - 1, :-1] + cost)
         if best[0] > dp[i, 0] + insertscore:
             best[0] = dp[i, 0] + insertscore
-        dp[i, 1:] = np.minimum.accumulate(best - j_ins) + j_ins
+        if floaty:
+            # exact single-add arithmetic (no subtract/re-add): the
+            # accumulate trick's `best - j_ins + j_ins` rounds float
+            # cell values, which breaks the backtrace's exact-equality
+            # branch tests. Weighted use is word-level (short rows).
+            prev_cell = best[0]
+            dp[i, 1] = prev_cell
+            for j in range(1, m):
+                prev_cell = min(best[j], prev_cell + insertscore)
+                dp[i, j + 1] = prev_cell
+        else:
+            dp[i, 1:] = np.minimum.accumulate(best - j_ins) + j_ins
     return dp
 
 
 def full_edit_distance(
     s1: Sequence,
     s2: Sequence,
-    substitutionscore: int = 1,
-    insertscore: int = 1,
-    deletescore: int = 1,
-) -> tuple[int, str]:
+    substitutionscore: float = 1,
+    insertscore: float = 1,
+    deletescore: float = 1,
+    charmatrix: dict | None = None,
+) -> tuple[float, str]:
     """Edit distance plus a compact edit script (ops string).
 
     Returns ``(distance, ops)`` where ops is a string over
     ``M`` (match), ``S`` (substitute), ``I`` (insert into s1), ``D``
     (delete from s1) — nidaba's full matrix variant exposed the same
     information via the DP matrix + backtrace.
+
+    ``charmatrix`` maps (s1_token, s2_token) pairs to a substitution
+    cost overriding ``substitutionscore`` — the reference's
+    OCR-confusion weighting (cheap 'rn'→'m' style confusions).
+    Distance is int when all costs are ints and no charmatrix is
+    given (flat-case reduction pinned in tests), float otherwise.
     """
     n, m = len(s1), len(s2)
-    dp = _dp_matrix(s1, s2, substitutionscore, insertscore, deletescore)
+    dp = _dp_matrix(s1, s2, substitutionscore, insertscore, deletescore,
+                    charmatrix)
+
+    def sub_cost(x, y) -> float:
+        if charmatrix:
+            w = charmatrix.get((x, y))
+            if w is not None:
+                return float(w)
+        return 0.0 if x == y else float(substitutionscore)
+
     # backtrace
     ops = []
     i, j = n, m
     while i > 0 or j > 0:
-        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + (
-            0 if s1[i - 1] == s2[j - 1] else substitutionscore
+        if i > 0 and j > 0 and dp[i, j] == dp[i - 1, j - 1] + sub_cost(
+            s1[i - 1], s2[j - 1]
         ):
             ops.append("M" if s1[i - 1] == s2[j - 1] else "S")
             i, j = i - 1, j - 1
@@ -141,7 +197,9 @@ def full_edit_distance(
         else:
             ops.append("I")
             j -= 1
-    return int(dp[n, m]), "".join(reversed(ops))
+    dist = dp[n, m]
+    return (float(dist) if dp.dtype == np.float64 else int(dist)), \
+        "".join(reversed(ops))
 
 
 def lcs_align(a: Sequence, b: Sequence) -> list[tuple[int | None, int | None]]:

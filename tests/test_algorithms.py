@@ -142,3 +142,83 @@ def test_improve_median():
     total = lambda s: sum(edit_distance(s, c) for c in cands)  # noqa: E731
     assert total(m) <= total("zzzz")
     assert total(m) <= total(approximate_median(cands))
+
+
+# ---------------------------------------------------------------------------
+# Round-4: charmatrix-weighted edit distance (reference full_edit_distance
+# per-pair substitution weights, SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+
+def test_charmatrix_reduces_to_flat():
+    from nidaba_ray.algorithms.strings import full_edit_distance
+
+    for a, b in [("kitten", "sitting"), ("abc", ""), ("", ""),
+                 ("same", "same"), ("ab", "ba")]:
+        flat = full_edit_distance(a, b)
+        empty = full_edit_distance(a, b, charmatrix={})
+        none = full_edit_distance(a, b, charmatrix=None)
+        assert flat == none
+        assert empty[1] == flat[1] and float(empty[0]) == float(flat[0])
+        assert isinstance(flat[0], int)  # int contract preserved
+
+
+def test_charmatrix_ocr_confusion_weighting():
+    """Cheap OCR confusions must make the confused reading CLOSER than
+    an arbitrary corruption — the vote-scoring use case."""
+    from nidaba_ray.algorithms.strings import full_edit_distance
+
+    confusions = {("1", "l"): 0.25, ("l", "1"): 0.25,
+                  ("0", "o"): 0.25, ("o", "0"): 0.25}
+    truth = "hello world"
+    ocr = "he1lo wor1d"     # two l→1 confusions
+    noise = "hexlo worxd"   # two arbitrary corruptions
+    d_ocr, ops = full_edit_distance(ocr, truth, charmatrix=confusions)
+    d_noise, _ = full_edit_distance(noise, truth, charmatrix=confusions)
+    assert d_ocr == 0.5 and isinstance(d_ocr, float)
+    assert d_noise == 2
+    assert ops.count("S") == 2 and ops.count("M") == len(truth) - 2
+    # weighted matches are expressible too (per-pair semantics)
+    d_pen, _ = full_edit_distance("aa", "aa", charmatrix={("a", "a"): 0.1})
+    assert d_pen == 0.2
+
+
+def test_charmatrix_metric_axioms():
+    """Axioms on a symmetric confusion matrix: identity, symmetry,
+    non-negativity, and the triangle inequality (holds when the
+    substitution weights themselves satisfy it, as 0.25-flat ones do)."""
+    import itertools
+
+    from nidaba_ray.algorithms.strings import full_edit_distance
+
+    cm = {}
+    for x, y in [("1", "l"), ("0", "o"), ("5", "s")]:
+        cm[(x, y)] = cm[(y, x)] = 0.25
+    words = ["s0lo", "solo", "5olo", "sill", "10l5"]
+    d = {(a, b): full_edit_distance(a, b, charmatrix=cm)[0]
+         for a in words for b in words}
+    for a in words:
+        assert d[(a, a)] == 0
+    for a, b in itertools.permutations(words, 2):
+        assert d[(a, b)] == d[(b, a)]
+        assert d[(a, b)] > 0
+    for a, b, c in itertools.permutations(words, 3):
+        assert d[(a, c)] <= d[(a, b)] + d[(b, c)] + 1e-9
+
+
+def test_charmatrix_in_vote_scoring():
+    """_dict_ratio-style candidate scoring via weighted distance: with
+    confusion weights, the OCR-confused candidate outranks (is closer
+    to the lexicon word than) the arbitrarily corrupted one, flipping
+    the flat-distance tie."""
+    from nidaba_ray.algorithms.strings import full_edit_distance
+
+    cm = {("1", "l"): 0.2, ("l", "1"): 0.2}
+    lexicon_word = "hello"
+    cands = ["he1lo", "hexlo"]
+    flat = [full_edit_distance(c, lexicon_word)[0] for c in cands]
+    assert flat[0] == flat[1]  # flat distance cannot separate them
+    weighted = [full_edit_distance(c, lexicon_word, charmatrix=cm)[0]
+                for c in cands]
+    best = min(range(2), key=lambda i: (weighted[i], cands[i]))
+    assert best == 0 and weighted[0] < weighted[1]
