@@ -1,11 +1,14 @@
 """Multimodal column stages — image / audio / video as opaque binary
 columns with typed metadata (driver instruction).
 
-The sandbox has no image/audio libraries, so the *decoders* are
-deterministic fakes behind the real Ray-side plumbing: schema, small
-batch sizes for wide binary rows, actor-pool stage shape, per-row
-error isolation, output layout. Swapping in Pillow/ffmpeg means
-replacing ``_decode_fake_*`` ONLY — every signature stays.
+IMAGES decode for real since round 4: payloads may be PNG or
+uncompressed BMP bytes, decoded by the repo's own from-scratch codec
+(:mod:`nidaba_ray.algorithms.png` — public-spec, zlib-only, same
+approach as the PDF parser), converted to grayscale with integer
+BT.601 luma. The FAKEIMG container remains as the synthetic source
+format. Audio/video *dsp* stays a deterministic stub (no ffmpeg in
+the sandbox); swapping it means replacing ``_decode_fake_*`` ONLY —
+every signature stays.
 
 Fake media container (produced by ``synth_media_batch``):
     b"FAKEIMG\\0" + uint16 width + uint16 height + width*height bytes
@@ -23,7 +26,8 @@ import pyarrow as pa
 
 __all__ = [
     "IMG_MAGIC", "AUD_MAGIC", "VID_MAGIC",
-    "synth_media_batch", "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
+    "synth_media_batch", "decode_image",
+    "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
     "MediaFeatureExtractor",
 ]
 
@@ -80,7 +84,7 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
 
 
 def _decode_fake_img(payload: bytes) -> np.ndarray:
-    """STUB decoder — replace with PIL.Image.open for real images.
+    """FAKEIMG container decoder (the synthetic source format).
     Raises ValueError on malformed payloads (quarantine path)."""
     if payload[:8] != IMG_MAGIC:
         raise ValueError("not a FAKEIMG payload")
@@ -89,6 +93,22 @@ def _decode_fake_img(payload: bytes) -> np.ndarray:
     if len(px) != w * h:
         raise ValueError("truncated image payload")
     return px.reshape(h, w)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Format-dispatching image decode → (h, w) grayscale uint8.
+
+    Real formats first: PNG (signature sniff) and BMP ("BM") via the
+    from-scratch public-spec codec in algorithms/png.py; the FAKEIMG
+    container remains for synthetic corpora. ValueError on anything
+    malformed — the actor stages' per-row quarantine path."""
+    from nidaba_ray.algorithms.png import PNG_SIG, decode_bmp, decode_png, to_gray
+
+    if payload[:8] == PNG_SIG:
+        return to_gray(decode_png(payload))
+    if payload[:2] == b"BM":
+        return to_gray(decode_bmp(payload))
+    return _decode_fake_img(payload)
 
 
 class ImageDecoder:
@@ -105,7 +125,7 @@ class ImageDecoder:
         widths, heights, means, thumbs, errors = [], [], [], [], []
         for p in batch["payload"].to_pylist():
             try:
-                img = _decode_fake_img(p or b"")
+                img = decode_image(p or b"")
                 h, w = img.shape
                 # nearest-neighbor resize to thumb×thumb (the resize op)
                 ys = (np.arange(self.thumb) * h // self.thumb)
