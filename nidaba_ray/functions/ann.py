@@ -292,11 +292,16 @@ def _pair_cos6(an_rows: np.ndarray, bn_rows: np.ndarray) -> np.ndarray:
 
 
 def embedding_near_dup_pairs(sf_dir: str, threshold: float = 0.95) -> pa.Table:
-    """Embedding-cosine near-dup pairs via LSH blocking: vectors
+    """DEMO ONLY — in-bucket all-pairs variant; the scalable,
+    driver-surfaced entry is :func:`embedding_near_dup_scalable`.
+
+    Embedding-cosine near-dup pairs via LSH blocking: vectors
     sharing a bucket are candidates; exact cosine verifies. The
-    groupby shuffles (bucket, vec_id, embedding) — at 10^12 scale the
-    embedding column dominates, so production would shuffle
-    (bucket, vec_id) and re-join vectors per bucket.
+    groupby shuffles (bucket, vec_id, embedding) and does
+    ``triu_indices`` all-pairs per bucket — quadratic in bucket size,
+    so at 10^12 scale a hot bucket is an O(n²) blow-up; production
+    shuffles (bucket, vec_id) only and re-joins vectors per bucket
+    (see the scalable variant).
 
     Boundary contract (since round 2): the threshold compares the
     6-decimal-ROUNDED cosine (:func:`_pair_cos6`), not the raw value —

@@ -134,6 +134,9 @@ def _ensure_builtin() -> None:
         load_tei_rows,
     )
 
+    from nidaba_ray.stages.serialize import tei_metadata_rows
+
+    register_stage("output.tei_metadata")(tei_metadata_rows)
     register_stage("input.tei")(load_tei_rows)
     register_stage("input.hocr")(load_hocr_rows)
     register_stage("input.alto")(load_alto_rows)

@@ -18,7 +18,7 @@ from nidaba_ray.record import spans_to_jsonl
 __all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
            "to_tei_rows", "to_hocr_rows", "to_alto_rows", "to_abbyy_rows",
            "load_tei_rows", "load_hocr_rows", "load_alto_rows",
-           "load_abbyy_rows"]
+           "load_abbyy_rows", "tei_metadata_rows", "TEI_HEADER_FIELDS"]
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
@@ -401,3 +401,86 @@ def load_abbyy_rows(batch: pa.Table, column: str = "abbyy") -> pa.Table:
         spans.append(ss)
         texts.append(spans_to_text(ss))
     return _loaded_table(urls, langs, spans, texts, provs)
+
+
+# TEI header fields the metadata merge accepts under validate=True —
+# the TEI-P5 fileDesc vocabulary subset nidaba's metadata YAML uses
+# (nidaba/tasks/output.py tei_metadata, UNVERIFIED per SURVEY.md §0;
+# field names are the public TEI P5 header elements).
+TEI_HEADER_FIELDS = frozenset({
+    "title", "author", "editor", "publisher", "pubPlace", "licence",
+    "sourceDesc", "distributor", "funder", "idno", "date", "language",
+    "notes",
+})
+
+
+def tei_metadata_rows(batch: pa.Table, metadata=(), validate: bool = False,
+                      column: str = "tei") -> pa.Table:
+    """Merge user metadata into each TEI document's header — the
+    ``output.tei_metadata`` analog (nidaba/tasks/output.py
+    ``(doc, method, metadata=tuple, validate=False)``, UNVERIFIED per
+    SURVEY.md §0).
+
+    ``metadata`` is a tuple of YAML documents (strings) and/or
+    mappings, merged left-to-right (later keys override earlier —
+    nidaba merges its metadata files the same way). Each resulting
+    key becomes a child of ``teiHeader/fileDesc``; keys must be
+    scalars or lists of scalars (lists emit one element per item,
+    e.g. multiple authors). Under ``validate=True`` a key outside
+    :data:`TEI_HEADER_FIELDS` raises ``ValueError`` (the schema-
+    validation analog — no RelaxNG in the sandbox); under
+    ``validate=False`` unknown keys are carried as
+    ``<note type="key">``.
+
+    Idempotent per key: re-merging replaces any existing fileDesc
+    element of the same tag instead of duplicating it. Stateless
+    ``map_batches`` projection — bind metadata with
+    ``functools.partial`` (KB-sized, ships in the closure).
+    """
+    import xml.etree.ElementTree as ET
+
+    import yaml
+
+    merged: dict = {}
+    if isinstance(metadata, (str, dict)):
+        metadata = (metadata,)
+    for doc in metadata:
+        part = yaml.safe_load(doc) if isinstance(doc, str) else doc
+        if part is None:
+            continue
+        if not isinstance(part, dict):
+            raise ValueError(f"metadata document is not a mapping: {part!r}")
+        merged.update(part)
+    if validate:
+        unknown = sorted(set(merged) - TEI_HEADER_FIELDS)
+        if unknown:
+            raise ValueError(f"unknown TEI header fields: {unknown}")
+
+    out = []
+    for doc in batch[column].to_pylist():
+        root = ET.fromstring(doc)
+        hdr = root.find("teiHeader")
+        if hdr is None:
+            hdr = ET.Element("teiHeader")
+            root.insert(0, hdr)
+        fdesc = hdr.find("fileDesc")
+        if fdesc is None:
+            fdesc = ET.Element("fileDesc")
+            hdr.insert(0, fdesc)
+        for key in sorted(merged):
+            vals = merged[key]
+            if not isinstance(vals, (list, tuple)):
+                vals = [vals]
+            tag = key if key in TEI_HEADER_FIELDS else "note"
+            for el in list(fdesc):
+                if el.tag == tag and (tag != "note" or el.get("type") == key):
+                    fdesc.remove(el)
+            for v in vals:
+                el = ET.SubElement(fdesc, tag)
+                if tag == "note":
+                    el.set("type", key)
+                el.text = "" if v is None else str(v)
+        out.append(ET.tostring(root, encoding="unicode"))
+    res = batch.set_column(
+        batch.column_names.index(column), column, pa.array(out, pa.string()))
+    return res

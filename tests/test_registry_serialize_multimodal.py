@@ -390,3 +390,54 @@ def test_loaded_foreign_candidate_enters_vote():
     # the dictionary-scored vote must prefer the native reading of the
     # disputed token ('over' is lexicon English; 'ovvr' is not)
     assert "ovvr" not in text
+
+
+def test_tei_metadata_merge():
+    """tei_metadata analog: YAML docs merge left-to-right into
+    teiHeader/fileDesc; idempotent per key; validate gates unknown
+    fields; the load path still roundtrips afterwards."""
+    import xml.etree.ElementTree as ET
+
+    import pytest
+
+    from nidaba_ray.stages.serialize import (
+        load_tei_rows,
+        tei_metadata_rows,
+        to_tei_rows,
+    )
+
+    b = _extracted_batch()
+    tei = to_tei_rows(b)
+    merged = tei_metadata_rows(
+        tei,
+        ("title: First\nauthor: [Ada, Bob]\n", {"title": "Corpus v2",
+                                                "licence": "CC-BY-4.0"}),
+    )
+    root = ET.fromstring(merged["tei"][0].as_py())
+    fdesc = root.find("teiHeader/fileDesc")
+    assert fdesc is not None
+    # later doc overrides the earlier title; list keys emit one
+    # element per item
+    assert [e.text for e in fdesc.findall("title")] == ["Corpus v2"]
+    assert [e.text for e in fdesc.findall("author")] == ["Ada", "Bob"]
+    assert [e.text for e in fdesc.findall("licence")] == ["CC-BY-4.0"]
+
+    # idempotent: re-merging the same key replaces, never duplicates
+    again = tei_metadata_rows(merged, ({"title": "Corpus v3"},))
+    root2 = ET.fromstring(again["tei"][0].as_py())
+    assert [e.text for e in root2.findall("teiHeader/fileDesc/title")] == [
+        "Corpus v3"]
+
+    # unknown keys: carried as typed notes unvalidated, rejected
+    # under validate=True
+    noted = tei_metadata_rows(tei, ({"jobid": "x7"},))
+    r3 = ET.fromstring(noted["tei"][0].as_py())
+    notes = r3.findall("teiHeader/fileDesc/note")
+    assert [(n.get("type"), n.text) for n in notes] == [("jobid", "x7")]
+    with pytest.raises(ValueError, match="jobid"):
+        tei_metadata_rows(tei, ({"jobid": "x7"},), validate=True)
+
+    # header growth must not break the spans-schema load path
+    back = load_tei_rows(merged)
+    assert back["text"].to_pylist() == b["text"].to_pylist()
+    assert back["provenance"].to_pylist() == b["provenance"].to_pylist()
