@@ -97,9 +97,20 @@ class SeenShard:
     straight from the md5 digest the key already IS (no re-hashing;
     md5-only invariant holds). False positives only cost a run probe
     — never correctness; the filter accumulates (merges don't remove
-    keys) and saturation only degrades back to always-probing."""
+    keys) and saturation never costs correctness.
 
-    _BLOOM_BITS = 1 << 23  # 1 MiB of bits per shard (~8 bits/key at 1M)
+    Bloom resize: the front targets ~8 bits per frozen key. When a
+    freeze pushes ``n_frozen`` past the current capacity the filter
+    is REBUILT from the frozen runs at the next power-of-two size
+    (vectorized over the run arrays) — geometric doubling keeps total
+    rebuild work O(n_frozen), and the size is derived purely from
+    ``n_frozen`` so recovery recomputes it without a manifest field.
+    Sizes are powers of two ON PURPOSE: ``(h1 + i*h2) mod 2**m`` is
+    identical under exact Python ints and wrapping uint64 arithmetic
+    (2**m divides 2**64), so the scalar probe path and the vectorized
+    rebuild path compute the same positions — pinned in tests."""
+
+    _BLOOM_MIN_BITS = 1 << 23  # 1 MiB of bits per shard (~8 bits/key at 1M)
     _BLOOM_K = 6
 
     def __init__(self, max_mem_keys: int | None = None,
@@ -117,8 +128,9 @@ class SeenShard:
         self._spill_dir = spill_dir
         self._spill_seq = 0
         self._run_paths: list = []  # parallel to _runs when spilling
+        self._bloom_bits = self._BLOOM_MIN_BITS
         self._bloom = (
-            np.zeros(self._BLOOM_BITS // 64, dtype=np.uint64)
+            np.zeros(self._bloom_bits // 64, dtype=np.uint64)
             if max_mem_keys is not None else None
         )
         self._wal = None       # open append handle for the current segment
@@ -211,21 +223,40 @@ class SeenShard:
                 self._seen.add(blob[i:i + 16])
             self._wal_paths.append(os.path.join(self._spill_dir, f_))
         if self._bloom is not None:
-            # same Python-int arithmetic as _bloom_add — a wrapped
-            # uint64 variant would compute DIFFERENT positions and
-            # turn recovered lookups into false negatives
-            for run in self._runs:
-                arr = np.asarray(run)
-                for hi, lo in zip(arr[:, 0].tolist(), arr[:, 1].tolist()):
-                    h1, h2 = int(hi), int(lo) | 1
-                    for i in range(self._BLOOM_K):
-                        p = (h1 + i * h2) % self._BLOOM_BITS
-                        self._bloom[p >> 6] |= np.uint64(1 << (p & 63))
+            self._rebuild_bloom()
+
+    def _bloom_target_bits(self, n_keys: int) -> int:
+        """Next power-of-two size giving ≥8 bits/key (min 1 MiB)."""
+        bits = self._BLOOM_MIN_BITS
+        while bits < 8 * n_keys:
+            bits <<= 1
+        return bits
+
+    def _rebuild_bloom(self) -> None:
+        """Re-derive the front from the frozen runs at the size
+        ``n_frozen`` dictates — used after recovery and when a freeze
+        outgrows the current capacity. Vectorized: power-of-two sizes
+        make wrapping uint64 arithmetic exact (see class docstring)."""
+        np = self._np
+        self._bloom_bits = self._bloom_target_bits(self._n_frozen)
+        bloom = np.zeros(self._bloom_bits // 64, dtype=np.uint64)
+        mask = np.uint64(self._bloom_bits - 1)
+        for run in self._runs:
+            arr = np.asarray(run).astype(np.uint64)  # >u8 → native values
+            h1 = arr[:, 0]
+            h2 = arr[:, 1] | np.uint64(1)
+            for i in range(self._BLOOM_K):
+                with np.errstate(over="ignore"):
+                    p = (h1 + np.uint64(i) * h2) & mask
+                np.bitwise_or.at(
+                    bloom, (p >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (p & np.uint64(63)))
+        self._bloom = bloom
 
     def _bloom_positions(self, k: bytes) -> list[int]:
         h1 = int.from_bytes(k[:8], "big")
         h2 = int.from_bytes(k[8:], "big") | 1
-        return [(h1 + i * h2) % self._BLOOM_BITS
+        return [(h1 + i * h2) % self._bloom_bits
                 for i in range(self._BLOOM_K)]
 
     def _bloom_add(self, k: bytes) -> None:
@@ -371,6 +402,11 @@ class SeenShard:
                 self._store_run(merged)
         else:
             self._store_run(buf)
+        if self._bloom is not None and 8 * self._n_frozen > self._bloom_bits:
+            # outgrew ~8 bits/key: double (geometrically) and re-derive
+            # from the runs — every frozen key is in exactly the runs
+            # at this point (the mutable set just emptied into one)
+            self._rebuild_bloom()
         if self._spill_dir is not None:
             # run durable first, THEN retire the WAL: a crash between
             # the two replays keys that are also in the new run —

@@ -291,3 +291,68 @@ def test_spill_dir_reuse_without_manifest_wipes_orphans(ray_session, tmp_path):
     # ... but was wiped: with no manifest the index starts empty
     assert all(_ray.get(fresh.admit.remote(keys)))
     _ray.kill(fresh)
+
+
+def _plain_shard(**kw):
+    """Undecorated SeenShard for in-process unit tests (no actor)."""
+    from nidaba_ray.state.seen import SeenShard
+
+    cls = SeenShard.__ray_actor_class__
+    s = cls.__new__(cls)
+    cls.__init__(s, **kw)
+    return s, cls
+
+
+def test_bloom_resize_keeps_no_false_negatives(tmp_path, monkeypatch):
+    """When frozen keys outgrow ~8 bits/key the front doubles and is
+    rebuilt from the runs: capacity grows geometrically, admitted set
+    is unchanged, and no frozen key is ever bloom-rejected (false
+    negatives would silently re-admit duplicates)."""
+    import hashlib
+
+    from nidaba_ray.state.seen import SeenShard
+
+    cls = SeenShard.__ray_actor_class__
+    monkeypatch.setattr(cls, "_BLOOM_MIN_BITS", 1 << 10)  # resize at 128 keys
+    s, _ = _plain_shard(max_mem_keys=64, merge_every=3,
+                        spill_dir=str(tmp_path / "shard"))
+    keys = [hashlib.md5(f"k{i}".encode()).digest() for i in range(1500)]
+    assert all(s.admit(keys))
+    assert s._bloom_bits > (1 << 10)          # grew
+    assert s._bloom_bits & (s._bloom_bits - 1) == 0  # stays a power of two
+    assert 8 * s._n_frozen <= s._bloom_bits   # capacity invariant
+    # every frozen key still passes the rebuilt front
+    frozen = [k for k in keys if k not in s._seen]
+    assert frozen and not any(not s._bloom_maybe(k) for k in frozen)
+    # duplicates still rejected through the resized front
+    assert not any(s.admit(keys))
+    # recovery recomputes the SAME size purely from n_frozen
+    r, _ = _plain_shard(max_mem_keys=64, merge_every=3,
+                        spill_dir=str(tmp_path / "shard"))
+    assert r._bloom_bits == s._bloom_bits
+    assert not any(r.admit(keys))
+    n, hits = r.stats()
+    assert n == 1500
+
+
+def test_bloom_scalar_vs_vectorized_positions(monkeypatch):
+    """The scalar probe path (exact Python ints) and the vectorized
+    rebuild path (wrapping uint64) must compute identical bit
+    positions — true because sizes are powers of two (2**m | 2**64).
+    Pinned so a future non-power-of-two size change fails loudly."""
+    import hashlib
+
+    import numpy as np
+
+    s, _ = _plain_shard(max_mem_keys=4)
+    for bits in (1 << 10, 1 << 23, 1 << 26):
+        s._bloom_bits = bits
+        mask = np.uint64(bits - 1)
+        for i in range(200):
+            k = hashlib.md5(f"pos{i}".encode()).digest()
+            h1 = np.uint64(int.from_bytes(k[:8], "big"))
+            h2 = np.uint64(int.from_bytes(k[8:], "big") | 1)
+            with np.errstate(over="ignore"):
+                vec = [int((h1 + np.uint64(j) * h2) & mask)
+                       for j in range(s._BLOOM_K)]
+            assert vec == s._bloom_positions(k)
