@@ -1038,6 +1038,65 @@ Visit our sponsor for unbeatable deals today!</p></body></html>
 </main>{_FOOTER}</body></html>""",
         [_P1, _P2],
     ),
+    # 58. JSON-LD / analytics script payloads never leak into text
+    _page(
+        "jsonld_scripts",
+        f"""<html><head>
+<script type="application/ld+json">{{"@context":"https://schema.org",
+"@type":"NewsArticle","headline":"Committee approves budget",
+"articleBody":"This structured copy of the article must never appear
+in the extracted text."}}</script>
+</head><body>
+<script>window.dataLayer=[];dataLayer.push({{"event":"pageview"}});
+</script>
+<main><article><h1>Budget approved</h1><p>{_P1}</p><p>{_P2}</p>
+</article></main>
+<script type="application/ld+json">{{"@type":"BreadcrumbList",
+"itemListElement":[{{"name":"News"}},{{"name":"Budget"}}]}}</script>
+{_FOOTER}</body></html>""",
+        ["Budget approved", _P1, _P2],
+    ),
+    # 59. lazy-load placeholders and <noscript> image fallbacks are
+    # chrome; the figure caption is content
+    _page(
+        "noscript_lazyload",
+        f"""<html><body><main><article><p>{_P1}</p>
+<figure><img data-src="/img/bridge.jpg" class="lazyload"
+src="data:image/gif;base64,R0lGOD" alt="">
+<noscript><img src="/img/bridge.jpg" alt="The harbor bridge at dusk">
+JavaScript is disabled; showing static image.</noscript>
+<figcaption>The harbor bridge, whose repairs anchor the plan.
+</figcaption></figure>
+<p>{_P2}</p></article></main>
+<noscript><div class="no-js-banner">Please enable JavaScript to see
+personalized recommendations.</div></noscript>
+{_FOOTER}</body></html>""",
+        [_P1,
+         "The harbor bridge, whose repairs anchor the plan.",
+         _P2],
+    ),
+    # 60. documentation page: table-of-contents sidebar of anchor
+    # links is chrome; section headings + prose are content
+    _page(
+        "docs_toc_sidebar",
+        f"""<html><body>
+<nav class="toc sidebar"><h3>On this page</h3><ul>
+<li><a href="#install">Installation</a></li>
+<li><a href="#config">Configuration</a></li>
+<li><a href="#faq">FAQ</a></li></ul></nav>
+<main><article>
+<h2 id="install">Installation</h2>
+<p>Install the package from the archive and verify the checksum
+before unpacking it into the tools directory on the build host.</p>
+<h2 id="config">Configuration</h2>
+<p>{_P2}</p>
+<div class="edit-this-page"><a href="/edit">Edit this page</a></div>
+</article></main>{_FOOTER}</body></html>""",
+        ["Installation",
+         "Install the package from the archive and verify the checksum "
+         "before unpacking it into the tools directory on the build host.",
+         "Configuration", _P2],
+    ),
 ]
 
 
