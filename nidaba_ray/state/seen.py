@@ -86,9 +86,20 @@ class SeenShard:
     manifest runs, replays the WAL into the mutable set, and rebuilds
     the Bloom front — the admitted key set survives the crash
     exactly. Best-effort after recovery: duplicate-hit counts since
-    the last freeze (not WAL'd). Exactly-once admission under
-    IN-FLIGHT task retry would additionally need batch-id-idempotent
-    admit messages — documented limitation, not built.
+    the last freeze (not WAL'd).
+
+    Idempotent admits (exactly-once under task retry): ``admit``
+    accepts an optional ``batch_id``; the shard memoizes the reply
+    per id (bounded LRU) and a retried task — Ray re-executing a
+    ``map_batches`` task after a worker loss re-sends the SAME batch
+    — replays the stored flags instead of double-admitting, so the
+    retried task keeps exactly the rows the original run admitted.
+    The memo is in-memory: a task retry that races an ACTOR crash
+    (double failure) degrades to at-most-once for that batch's fresh
+    keys (they re-probe as already-seen after WAL recovery and the
+    rows drop) — never duplicates. ``admit_first_arrival`` derives
+    the id from an id column + the key digests, so only byte-equal
+    retries of the same rows replay.
 
     Bloom front: when tiering is on, a per-shard Bloom filter over
     all frozen keys gates the run probes — a fresh key (the common
@@ -136,6 +147,10 @@ class SeenShard:
         self._wal = None       # open append handle for the current segment
         self._wal_paths: list = []  # segments holding the mutable tier
         self._wal_seq = 0
+        from collections import OrderedDict
+
+        # batch_id → reply memo for idempotent admits (task retry)
+        self._replies: "OrderedDict[bytes, list[bool]]" = OrderedDict()
         if spill_dir is not None:
             import os
 
@@ -426,7 +441,23 @@ class SeenShard:
                 return True
         return False
 
-    def admit(self, keys: list[bytes]) -> list[bool]:
+    _REPLY_MEMO_MAX = 4096  # retried batches arrive soon after the loss
+
+    def admit(self, keys: list[bytes],
+              batch_id: bytes | None = None) -> list[bool]:
+        if batch_id is not None:
+            memo = self._replies.get(batch_id)
+            if memo is not None:
+                self._replies.move_to_end(batch_id)
+                return memo
+        out = self._admit_new(keys)
+        if batch_id is not None:
+            self._replies[batch_id] = out
+            while len(self._replies) > self._REPLY_MEMO_MAX:
+                self._replies.popitem(last=False)
+        return out
+
+    def _admit_new(self, keys: list[bytes]) -> list[bool]:
         out = []
         hits = 0
         fresh: list[bytes] = []  # admitted this message, not yet WAL'd
@@ -481,12 +512,23 @@ def _shard_of(digest: bytes, n_shards: int) -> int:
 
 def admit_first_arrival(ds: "ray.data.Dataset",
                         shards: list["ray.actor.ActorHandle"],
-                        key_col: str = "text") -> "ray.data.Dataset":
+                        key_col: str = "text",
+                        idempotency_col: str | None = None,
+                        ) -> "ray.data.Dataset":
     """Filter ``ds`` to first-arrival rows per distinct ``key_col``
     value, consulting the shared index. Streaming-safe: each batch
     sends one admit() message per touched shard and keeps only
     admitted rows; nothing corpus-sized accumulates anywhere except
-    the (keys-only) index itself."""
+    the (keys-only) index itself.
+
+    ``idempotency_col`` (a unique row-id column, e.g. ``doc_id`` or
+    ``url``) turns on exactly-once admission under Ray task retry:
+    each per-shard message carries a batch id — md5 over that shard's
+    row ids + key digests — and the shard replays its memoized reply
+    for a byte-equal resend (see SeenShard). Without it a retried
+    task would re-probe keys its first attempt admitted, see them as
+    duplicates, and drop the rows. The id column must not repeat
+    across rows, or distinct identical batches could alias."""
     n_shards = len(shards)
 
     def admit_batch(batch: pa.Table) -> pa.Table:
@@ -499,14 +541,26 @@ def admit_first_arrival(ds: "ray.data.Dataset",
             ).digest()
             for v in vals
         ]
+        row_ids = (
+            batch[idempotency_col].to_pylist()
+            if idempotency_col is not None else None
+        )
         by_shard: dict[int, list[int]] = {}
         for i, d in enumerate(digests):
             by_shard.setdefault(_shard_of(d, n_shards), []).append(i)
         order = sorted(by_shard)
-        refs = [
-            shards[s].admit.remote([digests[i] for i in by_shard[s]])
-            for s in order
-        ]
+        refs = []
+        for s in order:
+            ks = [digests[i] for i in by_shard[s]]
+            if row_ids is None:
+                refs.append(shards[s].admit.remote(ks))
+            else:
+                h = hashlib.md5()
+                for i in by_shard[s]:
+                    h.update(repr(row_ids[i]).encode("utf-8"))
+                for k in ks:
+                    h.update(k)
+                refs.append(shards[s].admit.remote(ks, h.digest()))
         keep = [False] * len(digests)
         for s, flags in zip(order, ray.get(refs)):
             for i, ok in zip(by_shard[s], flags):

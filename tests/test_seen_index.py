@@ -356,3 +356,59 @@ def test_bloom_scalar_vs_vectorized_positions(monkeypatch):
                 vec = [int((h1 + np.uint64(j) * h2) & mask)
                        for j in range(s._BLOOM_K)]
             assert vec == s._bloom_positions(k)
+
+
+def test_idempotent_admit_replays_reply():
+    """A byte-equal resend of a batch (Ray task retry) must replay
+    the original flags without double-admitting; a different batch id
+    with the same keys is a genuine duplicate batch and drops."""
+    import hashlib
+
+    s, _ = _plain_shard(max_mem_keys=None)
+    keys = [hashlib.md5(f"k{i}".encode()).digest() for i in range(100)]
+    bid = hashlib.md5(b"batch-1").digest()
+    first = s.admit(keys, bid)
+    assert all(first)
+    n0, hits0 = s.stats()
+    # the retry: identical reply object, counters untouched
+    assert s.admit(keys, bid) == first
+    assert s.stats() == (n0, hits0)
+    # same keys under a NEW id = real duplicate content, all rejected
+    assert not any(s.admit(keys, hashlib.md5(b"batch-2").digest()))
+    # memo is bounded
+    cap = type(s)._REPLY_MEMO_MAX
+    for i in range(cap + 10):
+        s.admit([hashlib.md5(f"x{i}".encode()).digest()],
+                hashlib.md5(f"b{i}".encode()).digest())
+    assert len(s._replies) <= cap
+
+
+def test_idempotent_admit_through_dataset(ray_session):
+    """admit_first_arrival(idempotency_col=...): re-running the same
+    Dataset filter against a live index (the worst-case 'every task
+    retried' scenario) admits the SAME rows again instead of zero."""
+    import ray.data as rd
+
+    from nidaba_ray.state.seen import (
+        admit_first_arrival,
+        index_stats,
+        seen_index,
+    )
+
+    t = _pages(400, 97)
+    shards = seen_index(3)
+    ds = rd.from_arrow(t)
+    first = admit_first_arrival(ds, shards, "text",
+                                idempotency_col="doc_id").to_pandas()
+    assert sorted(first["text"].unique()) == sorted(set(t["text"].to_pylist()))
+    n_before = int(index_stats(shards)["n_keys"].to_pandas().sum())
+    # identical re-execution (simulated whole-job retry: same blocks,
+    # same rows) — replay returns the same representatives
+    again = admit_first_arrival(rd.from_arrow(t), shards, "text",
+                                idempotency_col="doc_id").to_pandas()
+    assert sorted(again["doc_id"]) == sorted(first["doc_id"])
+    assert int(index_stats(shards)["n_keys"].to_pandas().sum()) == n_before
+    # without the idempotency column the rerun correctly drops all
+    # rows (keys already seen)
+    none = admit_first_arrival(rd.from_arrow(t), shards, "text").to_pandas()
+    assert len(none) == 0
