@@ -10,9 +10,12 @@ BMP per the public BITMAPINFOHEADER layout (uncompressed BI_RGB,
 bytes). ``zlib`` is the only dependency (stdlib).
 
 Scope (documented, errors — not silent wrongness — outside it):
-bit depth 8, color types gray / RGB / RGBA / palette, non-interlaced
-(Adam7 raises). Encoders exist for both formats so tests are
-self-contained roundtrips with no external library.
+bit depth 8, color types gray / RGB / RGBA / palette (with optional
+tRNS per-entry alpha → RGBA), both non-interlaced and Adam7-interlaced
+streams (each interlace pass is an independent filtered sub-image;
+unfiltered per pass, then scattered on the ``(y0 + i·ys, x0 + j·xs)``
+grid). Encoders exist for both formats — including an Adam7 encoder —
+so tests are self-contained roundtrips with no external library.
 """
 
 from __future__ import annotations
@@ -28,6 +31,10 @@ __all__ = ["PNG_SIG", "decode_png", "encode_png", "decode_bmp",
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # colortype → samples/px
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the PNG spec
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
 def _chunks(data: bytes):
@@ -98,6 +105,32 @@ def _unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def _deinterlace(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
+    """Adam7: the inflated stream is seven concatenated sub-images,
+    each filtered independently (filter byte per sub-image scanline,
+    'previous row' scoped to the pass). Unfilter each pass, scatter
+    onto the full-size grid."""
+    out = np.zeros((h, w * ch), dtype=np.uint8)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        need = ph * (stride + 1)
+        sub = _unfilter(raw[pos:pos + need], ph, stride, ch)
+        pos += need
+        sub = sub.reshape(ph, pw, ch)
+        ys_idx = np.arange(y0, h, ys)
+        xs_idx = np.arange(x0, w, xs)
+        full = out.reshape(h, w, ch)
+        full[np.ix_(ys_idx, xs_idx)] = sub
+    if pos != len(raw):
+        raise ValueError("PNG inflated size mismatch")
+    return out
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → uint8 array: (h, w) for grayscale, (h, w, c) for
     RGB/RGBA/gray+alpha; palette images return expanded (h, w, 3).
@@ -106,12 +139,15 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     ihdr = None
     plte = None
+    trns = None
     idat = bytearray()
     for ctype, body in _chunks(data):
         if ctype == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = np.frombuffer(body, dtype=np.uint8)
         elif ctype == b"IDAT":
             idat.extend(body)
     if ihdr is None:
@@ -123,43 +159,43 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError(f"unknown PNG color type {ctype_}")
     if comp != 0 or filt != 0:
         raise ValueError("nonstandard PNG compression/filter method")
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     if w == 0 or h == 0:
         raise ValueError("empty PNG")
     ch = _CHANNELS[ctype_]
     raw = zlib.decompress(bytes(idat))
-    mat = _unfilter(raw, h, w * ch, ch)
+    if interlace == 1:
+        mat = _deinterlace(raw, w, h, ch)
+    else:
+        mat = _unfilter(raw, h, w * ch, ch)
     if ctype_ == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         idx = mat.reshape(h, w)
         if int(idx.max(initial=0)) >= len(plte):
             raise ValueError("palette index out of range")
+        if trns is not None:
+            # tRNS on a palette image: per-entry alpha, entries past
+            # the chunk's length are fully opaque (spec default 255)
+            alpha = np.full(len(plte), 255, dtype=np.uint8)
+            alpha[:min(len(trns), len(plte))] = trns[:len(plte)]
+            rgba = np.concatenate([plte, alpha[:, None]], axis=1)
+            return rgba[idx]
         return plte[idx]
     if ch == 1:
         return mat.reshape(h, w)
     return mat.reshape(h, w, ch)
 
 
-def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3|4) truecolor → PNG bytes.
-    ``filter_type`` applies one filter to every scanline (0/1/2/3/4) —
-    the variants exist so the decoder's filter paths are testable."""
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        ctype, ch = 0, 1
-    elif arr.ndim == 3 and arr.shape[2] == 3:
-        ctype, ch = 2, 3
-    elif arr.ndim == 3 and arr.shape[2] == 4:
-        ctype, ch = 6, 4
-    else:
-        raise ValueError("encode_png wants (h,w), (h,w,3) or (h,w,4)")
-    h, w = arr.shape[:2]
-    flat = arr.reshape(h, w * ch).astype(np.int32)
-    bpp = ch
+def _filter_rows(flat: np.ndarray, bpp: int, filter_type: int) -> bytearray:
+    """Apply one PNG filter to every scanline of a (h, stride) int32
+    image, returning the filtered byte stream (filter byte + data per
+    row). 'Previous row' starts at zero — callers scope it per image
+    or per interlace pass."""
+    h, stride = flat.shape
     lines = bytearray()
-    prev = np.zeros(w * ch, np.int32)
+    prev = np.zeros(stride, np.int32)
     for y in range(h):
         cur = flat[y]
         if filter_type == 0:
@@ -178,14 +214,47 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
             pred = np.fromiter(
                 (_paeth(int(a), int(b), int(c))
                  for a, b, c in zip(left, prev, ul)),
-                dtype=np.int32, count=w * ch)
+                dtype=np.int32, count=stride)
             enc = (cur - pred) & 0xFF
         else:
             raise ValueError(f"unknown filter type {filter_type}")
         lines.append(filter_type)
         lines.extend(enc.astype(np.uint8).tobytes())
         prev = cur
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return lines
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3|4) truecolor → PNG bytes.
+    ``filter_type`` applies one filter to every scanline (0/1/2/3/4) —
+    the variants exist so the decoder's filter paths are testable.
+    ``interlace=True`` emits an Adam7 stream (seven independently
+    filtered sub-images in pass order) for decoder coverage."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        ctype, ch = 0, 1
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        ctype, ch = 2, 3
+    elif arr.ndim == 3 and arr.shape[2] == 4:
+        ctype, ch = 6, 4
+    else:
+        raise ValueError("encode_png wants (h,w), (h,w,3) or (h,w,4)")
+    h, w = arr.shape[:2]
+    full = arr.reshape(h, w, ch).astype(np.int32)
+    if interlace:
+        lines = bytearray()
+        for x0, y0, xs, ys in _ADAM7:
+            sub = full[y0::ys, x0::xs]
+            ph, pw = sub.shape[:2]
+            if pw == 0 or ph == 0:
+                continue
+            lines.extend(_filter_rows(
+                np.ascontiguousarray(sub).reshape(ph, pw * ch),
+                ch, filter_type))
+    else:
+        lines = _filter_rows(full.reshape(h, w * ch), ch, filter_type)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, int(interlace))
 
     def chunk(tag: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + tag + body

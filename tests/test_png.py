@@ -71,6 +71,29 @@ def test_png_palette():
     assert (got[idx == 0] == [255, 0, 0]).all()
 
 
+def test_png_palette_trns_alpha():
+    """tRNS on a palette image yields RGBA; entries past the chunk's
+    length default to opaque per the spec."""
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    pal = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
+    idx = np.array([[0, 1, 2]], np.uint8)
+    raw = b"\x00" + idx.tobytes()
+    png = (PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", pal)
+           + chunk(b"tRNS", bytes([0, 128]))  # entry 2 → default 255
+           + chunk(b"IDAT", zlib.compress(raw))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (1, 3, 4)
+    assert got[0, :, 3].tolist() == [0, 128, 255]
+    assert np.array_equal(got[0, :, :3], [[255, 0, 0], [0, 255, 0],
+                                          [0, 0, 255]])
+
+
 def test_png_malformed_inputs_raise():
     a = _img(6, 6)
     good = encode_png(a)
@@ -82,8 +105,8 @@ def test_png_malformed_inputs_raise():
     corrupt[40] ^= 0xFF                          # flip an IDAT byte
     with pytest.raises((ValueError, zlib.error)):
         decode_png(bytes(corrupt))               # CRC catches it
-    # interlaced flagged, not silently wrong
-    ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1)
+    # unknown interlace method flagged, not silently wrong
+    ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 2)
 
     def chunk(tag, body):
         return (struct.pack(">I", len(body)) + tag + body
@@ -92,8 +115,67 @@ def test_png_malformed_inputs_raise():
     inter = (PNG_SIG + chunk(b"IHDR", ihdr)
              + chunk(b"IDAT", zlib.compress(b"\x00" * 42))
              + chunk(b"IEND", b""))
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlace"):
         decode_png(inter)
+    # a truncated Adam7 stream raises rather than zero-filling
+    short = (PNG_SIG
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+             + chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(short)
+
+
+def test_png_adam7_hand_built_stream():
+    """Hand-built interlaced 6x6 grayscale: seven all-zero passes
+    (2+2+3+4+4+12+21 = 48 filtered bytes) decode to a zero image —
+    pins the per-pass sub-image sizes against the spec grid."""
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    png = (PNG_SIG
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1))
+           + chunk(b"IDAT", zlib.compress(b"\x00" * 48))
+           + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (6, 6)
+    assert not got.any()
+    # palette + Adam7 together: 2x2 image → pass1 (0,0), pass6 (0,1),
+    # pass7 (1,0) and (1,1); indices expand through PLTE afterwards
+    pal = b"\xff\x00\x00" + b"\x00\xff\x00"  # red, green
+    stream = bytes([0, 0]) + bytes([0, 1]) + bytes([0, 1, 0])
+    png2 = (PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 1))
+            + chunk(b"PLTE", pal)
+            + chunk(b"IDAT", zlib.compress(stream))
+            + chunk(b"IEND", b""))
+    got2 = decode_png(png2)
+    assert got2.shape == (2, 2, 3)
+    assert np.array_equal(got2[0, 0], [255, 0, 0])
+    assert np.array_equal(got2[0, 1], [0, 255, 0])
+    assert np.array_equal(got2[1, 0], [0, 255, 0])
+    assert np.array_equal(got2[1, 1], [255, 0, 0])
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 encode→decode is identity for every color layout and
+    every filter type, including sizes smaller than one 8x8 tile
+    (where several passes are empty) and non-multiples of 8."""
+    shapes = [(5, 7, None), (1, 1, None), (16, 16, 3), (9, 3, 3),
+              (4, 11, 4), (8, 8, None), (3, 2, 3), (23, 17, 4)]
+    for h, w, c in shapes:
+        a = _img(h, w, c, seed=h * 100 + w)
+        got = decode_png(encode_png(a, interlace=True))
+        assert got.shape == a.shape
+        assert np.array_equal(got, a), (h, w, c)
+    a = _img(13, 19, 3, seed=5)
+    for ft in range(5):
+        enc = encode_png(a, filter_type=ft, interlace=True)
+        assert np.array_equal(decode_png(enc), a), ft
+    # interlaced and plain streams of the same pixels agree
+    plain = decode_png(encode_png(a))
+    assert np.array_equal(decode_png(encode_png(a, interlace=True)), plain)
 
 
 def test_bmp_roundtrip_and_odd_stride():
