@@ -81,6 +81,63 @@ def test_pq_training_deterministic():
     assert (a == b).all()
 
 
+def test_kmeanspp_init_deterministic_and_valid():
+    from nidaba_ray.functions.ann import _kmeanspp_init
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(120, 8))
+    a = _kmeanspp_init(pts, 16, tag="t")
+    b = _kmeanspp_init(pts.copy(), 16, tag="t")
+    assert (a == b).all()
+    assert (a[0] == pts[0]).all()  # center 0 is row 0 by contract
+    # every center is an actual sample row
+    for c in a:
+        assert (np.abs(pts - c[None, :]).sum(axis=1) == 0).any()
+    # a different tag draws a different (still valid) seeding
+    c = _kmeanspp_init(pts, 16, tag="u")
+    assert not (a == c).all()
+    # degenerate: fewer distinct points than ks → unused rows in order
+    dup = np.zeros((5, 4))
+    got = _kmeanspp_init(dup, 4, tag="t")
+    assert got.shape == (4, 4)
+
+
+def test_kmeanspp_cuts_quantization_error():
+    """Pathological sample: the first ks rows all sit in one tight
+    cluster, so the old first-ks init starts with every codeword in
+    the same place and Lloyd can't spread them; k-means++ D²-weighted
+    seeding escapes it. Assert the trained books quantize strictly
+    better than first-ks-init books trained identically."""
+    from nidaba_ray.functions.ann import _pq_train_codebooks, _sqdist
+
+    rng = np.random.default_rng(19)
+    ks, dsub = 16, 8
+    tight = rng.normal(scale=0.01, size=(ks, dsub))          # one blob
+    spread = (rng.normal(scale=0.3, size=(240, dsub))
+              + 10.0 * rng.integers(0, 6, size=(240, 1)))    # 6 blobs
+    sample = np.concatenate([tight, spread])                  # (256, 8)
+
+    def err(books):
+        return float(_sqdist(sample, books[0]).min(axis=1).mean())
+
+    new = _pq_train_codebooks(sample, m_sub=1, ks=ks)
+
+    # old init, same Lloyd loop
+    cb = sample[:ks].copy()
+    for _ in range(8):
+        assign = _sqdist(sample, cb).argmin(axis=1)
+        nxt = cb.copy()
+        for c in range(ks):
+            mask = assign == c
+            if mask.any():
+                nxt[c] = sample[mask].mean(axis=0)
+        if np.allclose(nxt, cb, atol=1e-12):
+            break
+        cb = nxt
+    old_err = float(_sqdist(sample, cb).min(axis=1).mean())
+    assert err(new) < old_err * 0.5, (err(new), old_err)
+
+
 def test_ivfpq_full_rerank_equals_ivf_partitioned(ray_session):
     """IVFADC with rerank ≥ probed population must equal the
     partitioned IVF query exactly (same quantizer, same probes, exact
