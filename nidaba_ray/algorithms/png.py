@@ -10,8 +10,10 @@ BMP per the public BITMAPINFOHEADER layout (uncompressed BI_RGB,
 bytes). ``zlib`` is the only dependency (stdlib).
 
 Scope (documented, errors — not silent wrongness — outside it):
-bit depth 8, color types gray / RGB / RGBA / palette (with optional
-tRNS per-entry alpha → RGBA), both non-interlaced and Adam7-interlaced
+bit depth 8, color types gray / RGB / RGBA / palette, tRNS
+transparency on all three alpha-less types (palette: per-entry alpha
+→ RGBA; gray/RGB: single color key → gray+alpha / RGBA), both
+non-interlaced and Adam7-interlaced
 streams (each interlace pass is an independent filtered sub-image;
 unfiltered per pass, then scattered on the ``(y0 + i·ys, x0 + j·xs)``
 grid). Encoders exist for both formats — including an Adam7 encoder —
@@ -183,6 +185,27 @@ def decode_png(data: bytes) -> np.ndarray:
             rgba = np.concatenate([plte, alpha[:, None]], axis=1)
             return rgba[idx]
         return plte[idx]
+    if trns is not None:
+        # tRNS on gray/truecolor: a single transparent color key,
+        # stored as 2 big-endian bytes per sample (low byte at depth
+        # 8) — pixels equal to the key get alpha 0, an alpha channel
+        # is appended. Forbidden by the spec on types that already
+        # carry alpha.
+        if ctype_ == 0:
+            if len(trns) != 2:
+                raise ValueError("bad tRNS length for grayscale PNG")
+            g = mat.reshape(h, w)
+            alpha = np.where(g == trns[1], 0, 255).astype(np.uint8)
+            return np.stack([g, alpha], axis=2)
+        if ctype_ == 2:
+            if len(trns) != 6:
+                raise ValueError("bad tRNS length for truecolor PNG")
+            rgb = mat.reshape(h, w, 3)
+            key = np.array([trns[1], trns[3], trns[5]], np.uint8)
+            alpha = np.where((rgb == key[None, None, :]).all(axis=2),
+                             0, 255).astype(np.uint8)
+            return np.concatenate([rgb, alpha[:, :, None]], axis=2)
+        raise ValueError(f"tRNS forbidden on PNG color type {ctype_}")
     if ch == 1:
         return mat.reshape(h, w)
     return mat.reshape(h, w, ch)

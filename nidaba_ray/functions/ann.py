@@ -975,8 +975,11 @@ def _kmeanspp_init(points: np.ndarray, ks: int, tag: str) -> np.ndarray:
     with the "random" draw replaced by an md5-derived uniform —
     u_t = md5(tag:t) as a 64-bit fraction — so the seeding is a pure
     function of (points, ks, tag). md5 only, per the repo's
-    determinism invariant; ties in the inverse-CDF lookup resolve to
-    the lower row index (searchsorted side='right' on the cumsum).
+    determinism invariant. The inverse-CDF lookup uses searchsorted
+    side='right' ON PURPOSE: a draw landing exactly on a cumsum
+    boundary selects the NEXT row, which is what keeps zero-weight
+    (already-chosen) rows unselectable — e.g. u == 0 must not re-pick
+    center 0. Do not "fix" this to side='left'.
     Degenerate case: when every remaining D² is 0 (fewer distinct
     points than ks) the next unused row index is taken in order."""
     import hashlib
@@ -1046,8 +1049,11 @@ def _pq_train_codebooks(sample: np.ndarray, m_sub: int, ks: int,
         sub = sample[:, j * dsub:(j + 1) * dsub]
         first = lloyd(sub, sub[:ks].copy())
         seeded = lloyd(sub, _kmeanspp_init(sub, ks, tag=f"pq:{j}"))
-        err_first = float(_sqdist(sub, first).min(axis=1).sum())
-        err_seeded = float(_sqdist(sub, seeded).min(axis=1).sum())
+        # quantize before the pick (repo invariant: floats feeding
+        # decisions are quantized) — a last-bit kernel difference must
+        # not flip which codebook ships
+        err_first = float(np.round(_sqdist(sub, first).min(axis=1).sum(), 9))
+        err_seeded = float(np.round(_sqdist(sub, seeded).min(axis=1).sum(), 9))
         books[j] = seeded if err_seeded < err_first else first
     return books
 

@@ -29,6 +29,15 @@ def _img(h, w, c=None, seed=1):
     return rng.integers(0, 256, size=shape, dtype=np.uint8)
 
 
+def _chunk(tag, body):
+    """PNG chunk framing (length + tag + body + CRC) for hand-built
+    test streams — one definition so every hand-built stream shares
+    the same framing."""
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+
 def test_png_roundtrip_gray_rgb_rgba():
     for shape in [(5, 7, None), (1, 1, None), (16, 16, 3), (9, 3, 3),
                   (4, 11, 4), (2, 2, 4)]:
@@ -55,15 +64,11 @@ def test_png_palette():
     idx = np.array([[0, 1, 0, 1], [1, 1, 0, 0], [0, 0, 1, 1]], np.uint8)
     raw = b"".join(b"\x00" + row.tobytes() for row in idx)
 
-    def chunk(tag, body):
-        return (struct.pack(">I", len(body)) + tag + body
-                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
-
     png = (PNG_SIG
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
-           + chunk(b"PLTE", pal)
-           + chunk(b"IDAT", zlib.compress(raw))
-           + chunk(b"IEND", b""))
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(raw))
+           + _chunk(b"IEND", b""))
     got = decode_png(png)
     assert got.shape == (3, 4, 3)
     assert np.array_equal(got[0, 0], [255, 0, 0])
@@ -74,24 +79,68 @@ def test_png_palette():
 def test_png_palette_trns_alpha():
     """tRNS on a palette image yields RGBA; entries past the chunk's
     length default to opaque per the spec."""
-    def chunk(tag, body):
-        return (struct.pack(">I", len(body)) + tag + body
-                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
-
     pal = b"\xff\x00\x00" + b"\x00\xff\x00" + b"\x00\x00\xff"
     idx = np.array([[0, 1, 2]], np.uint8)
     raw = b"\x00" + idx.tobytes()
     png = (PNG_SIG
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
-           + chunk(b"PLTE", pal)
-           + chunk(b"tRNS", bytes([0, 128]))  # entry 2 → default 255
-           + chunk(b"IDAT", zlib.compress(raw))
-           + chunk(b"IEND", b""))
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"tRNS", bytes([0, 128]))  # entry 2 → default 255
+           + _chunk(b"IDAT", zlib.compress(raw))
+           + _chunk(b"IEND", b""))
     got = decode_png(png)
     assert got.shape == (1, 3, 4)
     assert got[0, :, 3].tolist() == [0, 128, 255]
     assert np.array_equal(got[0, :, :3], [[255, 0, 0], [0, 255, 0],
                                           [0, 0, 255]])
+
+
+def test_png_color_key_trns():
+    """tRNS on gray/truecolor is a single transparent color key
+    (2-byte samples, low byte at depth 8): matching pixels get alpha
+    0, an alpha channel is appended. Forbidden on alpha-bearing types
+    (raises, per the scope contract)."""
+    g = np.array([[10, 20], [20, 10]], np.uint8)
+    raw = b"".join(b"\x00" + row.tobytes() for row in g)
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + _chunk(b"tRNS", bytes([0, 20]))
+           + _chunk(b"IDAT", zlib.compress(raw))
+           + _chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got.shape == (2, 2, 2)
+    assert np.array_equal(got[:, :, 0], g)
+    assert got[:, :, 1].tolist() == [[255, 0], [0, 255]]
+    assert np.array_equal(to_gray(got), g)  # gray+alpha reads ch 0
+
+    rgb = np.array([[[1, 2, 3], [9, 9, 9]]], np.uint8)
+    raw = b"\x00" + rgb.tobytes()
+    png2 = (PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+            + _chunk(b"tRNS", bytes([0, 1, 0, 2, 0, 3]))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b""))
+    got2 = decode_png(png2)
+    assert got2.shape == (1, 2, 4)
+    assert got2[0, :, 3].tolist() == [0, 255]
+    assert np.array_equal(got2[0, :, :3], rgb[0])
+
+    # wrong key length and alpha-bearing color type both raise
+    gray_raw = b"".join(b"\x00" + row.tobytes() for row in g)
+    bad = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+           + _chunk(b"tRNS", bytes([20]))
+           + _chunk(b"IDAT", zlib.compress(gray_raw))
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="tRNS"):
+        decode_png(bad)
+    rgba = _img(2, 2, 4)
+    enc = bytearray(encode_png(rgba))
+    # splice a tRNS chunk before IDAT: find IDAT offset
+    off = bytes(enc).index(b"IDAT") - 4
+    spliced = bytes(enc[:off]) + _chunk(b"tRNS", bytes(6)) + bytes(enc[off:])
+    with pytest.raises(ValueError, match="forbidden"):
+        decode_png(spliced)
 
 
 def test_png_malformed_inputs_raise():
@@ -108,20 +157,16 @@ def test_png_malformed_inputs_raise():
     # unknown interlace method flagged, not silently wrong
     ihdr = struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 2)
 
-    def chunk(tag, body):
-        return (struct.pack(">I", len(body)) + tag + body
-                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
-
-    inter = (PNG_SIG + chunk(b"IHDR", ihdr)
-             + chunk(b"IDAT", zlib.compress(b"\x00" * 42))
-             + chunk(b"IEND", b""))
+    inter = (PNG_SIG + _chunk(b"IHDR", ihdr)
+             + _chunk(b"IDAT", zlib.compress(b"\x00" * 42))
+             + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="interlace"):
         decode_png(inter)
     # a truncated Adam7 stream raises rather than zero-filling
     short = (PNG_SIG
-             + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1))
-             + chunk(b"IDAT", zlib.compress(b"\x00" * 30))
-             + chunk(b"IEND", b""))
+             + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1))
+             + _chunk(b"IDAT", zlib.compress(b"\x00" * 30))
+             + _chunk(b"IEND", b""))
     with pytest.raises(ValueError, match="size mismatch"):
         decode_png(short)
 
@@ -130,14 +175,10 @@ def test_png_adam7_hand_built_stream():
     """Hand-built interlaced 6x6 grayscale: seven all-zero passes
     (2+2+3+4+4+12+21 = 48 filtered bytes) decode to a zero image —
     pins the per-pass sub-image sizes against the spec grid."""
-    def chunk(tag, body):
-        return (struct.pack(">I", len(body)) + tag + body
-                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
-
     png = (PNG_SIG
-           + chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1))
-           + chunk(b"IDAT", zlib.compress(b"\x00" * 48))
-           + chunk(b"IEND", b""))
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 6, 8, 0, 0, 0, 1))
+           + _chunk(b"IDAT", zlib.compress(b"\x00" * 48))
+           + _chunk(b"IEND", b""))
     got = decode_png(png)
     assert got.shape == (6, 6)
     assert not got.any()
@@ -146,10 +187,10 @@ def test_png_adam7_hand_built_stream():
     pal = b"\xff\x00\x00" + b"\x00\xff\x00"  # red, green
     stream = bytes([0, 0]) + bytes([0, 1]) + bytes([0, 1, 0])
     png2 = (PNG_SIG
-            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 1))
-            + chunk(b"PLTE", pal)
-            + chunk(b"IDAT", zlib.compress(stream))
-            + chunk(b"IEND", b""))
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 1))
+            + _chunk(b"PLTE", pal)
+            + _chunk(b"IDAT", zlib.compress(stream))
+            + _chunk(b"IEND", b""))
     got2 = decode_png(png2)
     assert got2.shape == (2, 2, 3)
     assert np.array_equal(got2[0, 0], [255, 0, 0])
