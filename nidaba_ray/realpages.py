@@ -1097,6 +1097,87 @@ before unpacking it into the tools directory on the build host.</p>
          "before unpacking it into the tools directory on the build host.",
          "Configuration", _P2],
     ),
+    # 61. social-embed blockquote. POLICY (documented here, decided
+    # round 4): the no-JS fallback text of a platform embed
+    # (<blockquote class="twitter-tweet">…) is KEPT — it is the
+    # quotation the author deliberately surfaced and often the subject
+    # of the article; cross-page duplication of viral embeds is the
+    # dedup family's job, not the extractor's. The attribution/date
+    # line ("— Author (@handle) <a>date</a>") is boilerplate and is
+    # dropped by the link-density prior; the platform <script> is
+    # dropped by SKIP_TAGS.
+    _page(
+        "social_embed_blockquote",
+        f"""<html><body><main><article>
+<p>{_P1}</p>
+<blockquote class="twitter-tweet"><p>Bridge repairs start Monday;
+expect detours on the east approach while crews stage equipment.</p>
+&mdash; City Roads (@cityroads) <a
+href="https://twitter.com/cityroads/status/1">April 2, 2024</a>
+</blockquote>
+<script async src="https://platform.twitter.com/widgets.js"></script>
+<p>{_P2}</p>
+</article></main>{_FOOTER}</body></html>""",
+        [_P1,
+         "Bridge repairs start Monday; expect detours on the east "
+         "approach while crews stage equipment.",
+         _P2],
+    ),
+    # 62. server-rendered search results: snippets and displayed URLs
+    # are the retained content (query-specific server text); the
+    # anchor-only result titles pattern-match navigation under the
+    # anchor-density prior and are dropped, as are pagination/footer.
+    # The result-count line is plain server text and is kept.
+    _page(
+        "serp_results",
+        """<html><body>
+<header><form role="search"><input name="q" value="harbor bridge repairs">
+</form></header>
+<main>
+<p class="result-stats">About 1,240 results (0.42 seconds)</p>
+<div class="result"><h3><a href="https://example.com/a">Harbor bridge
+repairs to begin in April</a></h3>
+<cite>example.com/a</cite>
+<p>The city confirmed that harbor bridge repairs will begin in early
+April, with night closures limited to the east approach.</p></div>
+<div class="result"><h3><a href="https://example.org/b">Bridge repair
+budget approved after debate</a></h3>
+<cite>example.org/b</cite>
+<p>Officials approved the repair budget on Tuesday following a long
+debate about borrowing costs and the library system.</p></div>
+<nav class="pagination"><a href="/s?p=2">2</a><a href="/s?p=3">3</a>
+<a rel="next" href="/s?p=2">Next</a></nav>
+</main><footer><p>Search help</p></footer></body></html>""",
+        ["About 1,240 results (0.42 seconds)",
+         "example.com/a",
+         "The city confirmed that harbor bridge repairs will begin in "
+         "early April, with night closures limited to the east approach.",
+         "example.org/b",
+         "Officials approved the repair budget on Tuesday following a "
+         "long debate about borrowing costs and the library system."],
+    ),
+    # 63. calendar/event grid: the month heading and populated event
+    # cells are content; bare day-number cells and the weekday header
+    # row are grid furniture and are dropped (uniformly — the month
+    # heading between intro and grid keeps score smoothing from
+    # bleeding prose score into the first header cell).
+    _page(
+        "event_calendar_grid",
+        """<html><body><header><h1>Town Hall Events</h1></header>
+<main><p>Events scheduled at the main hall this week, all open to the
+public unless marked otherwise.</p>
+<h2>April 2024</h2>
+<table class="calendar"><tr><th>Mon</th><th>Tue</th><th>Wed</th></tr>
+<tr><td>1</td><td>2<br>Budget hearing 6pm</td><td>3</td></tr>
+<tr><td>8<br>Jazz night 7pm</td><td>9</td><td>10<br>Book fair opens</td></tr>
+</table></main><footer><p>© 2024 Town Hall</p></footer></body></html>""",
+        ["Events scheduled at the main hall this week, all open to the "
+         "public unless marked otherwise.",
+         "April 2024",
+         "2 Budget hearing 6pm",
+         "8 Jazz night 7pm",
+         "10 Book fair opens"],
+    ),
 ]
 
 

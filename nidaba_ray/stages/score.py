@@ -41,6 +41,8 @@ def block_features(blocks) -> dict[str, np.ndarray]:
     anchor = np.fromiter((b.anchor_chars for b in blocks), dtype=np.float64, count=n)
     n_tags = np.fromiter((b.n_tags for b in blocks), dtype=np.float64, count=n)
     chrome = np.fromiter((b.in_chrome for b in blocks), dtype=bool, count=n)
+    cell = np.fromiter((b.kind in ("td", "th") for b in blocks),
+                       dtype=bool, count=n)
     link_density = np.where(text_len > 0, anchor / np.maximum(text_len, 1.0), 0.0)
     text_density = text_len / (1.0 + n_tags)
     return {
@@ -48,6 +50,7 @@ def block_features(blocks) -> dict[str, np.ndarray]:
         "link_density": link_density,
         "text_density": text_density,
         "chrome": chrome,
+        "cell": cell,
     }
 
 
@@ -62,19 +65,34 @@ def block_scores(feat: dict[str, np.ndarray]) -> np.ndarray:
 
 
 def smooth_scores(scores: np.ndarray, feat: dict[str, np.ndarray],
-                  alpha: float = 0.25) -> np.ndarray:
+                  alpha: float = 0.25, beta: float = 3.0) -> np.ndarray:
     """Context boost (boilerpipe-style): a content-shaped block
     (non-chrome, low link density) adjacent to high-scoring blocks is
     almost certainly content even if short — add a fraction of its
     neighbors' scores so trailing short paragraphs don't fall into the
     boilerplate class of the histogram. Chrome / link-heavy blocks are
-    never boosted (the boost must not leak into site furniture)."""
+    never boosted (the boost must not leak into site furniture).
+
+    For TABLE CELLS the boost is capped at ``beta``× the cell's own
+    score. Prose blocks read in document order, so adjacency is strong
+    continuity evidence and a genuinely tiny trailing paragraph should
+    ride its neighbors' mass — but a grid serializes row-major, its
+    document-order neighbors are not its visual neighbors, so context
+    may AMPLIFY a cell's own evidence, never fabricate it. Without the
+    cap a near-empty cell (a bare day-number in a calendar grid)
+    sandwiched between two populated cells crosses the threshold on
+    neighbor mass alone; with it, worded cells (own score ≥ a few
+    chars) still chain normally. Real-page fixtures
+    ``event_calendar_grid`` (bare cells drop) and ``data_table`` /
+    ``giant_data_table`` (worded cells keep) pin both sides."""
     if len(scores) < 2:
         return scores
     prev = np.concatenate(([0.0], scores[:-1]))
     nxt = np.concatenate((scores[1:], [0.0]))
     eligible = (~feat["chrome"]) & (feat["link_density"] < 0.33) & (scores > 0)
-    return np.where(eligible, scores + alpha * (prev + nxt), scores)
+    boost = alpha * (prev + nxt)
+    boost = np.where(feat["cell"], np.minimum(boost, beta * scores), boost)
+    return np.where(eligible, scores + boost, scores)
 
 
 def suppress_isolated(raw: np.ndarray, smoothed: np.ndarray,
