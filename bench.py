@@ -77,6 +77,10 @@ TIMED_QUERIES = [
     "pack_sequences",
     "curated_by_percentile",
     "deterministic_shuffle",
+    # round-4 additions (training-data cleaning family)
+    "scrub_pii",
+    "dedup_paragraphs",
+    "repetition_metrics",
 ]
 
 
@@ -84,7 +88,7 @@ def _extra_timed() -> dict:
     """Operators timed for round-over-round continuity but no longer on
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
-    from nidaba_ray.functions import ann, dedup, pack, textops
+    from nidaba_ray.functions import ann, dedup, pack, scrub, textops
     from nidaba_ray.pipelines import curate
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
@@ -125,6 +129,11 @@ def _extra_timed() -> dict:
         "ann_topk_ivfpq_partitioned": ann.ann_topk_ivfpq_partitioned,
         "ann_topk_lsh": ann.ann_topk_lsh,
         "event_value_quantiles_sketch": win.event_value_quantiles_sketch,
+        # round-4 cleaning family (test-level DuckDB oracles in
+        # tests/test_scrub_paradedup.py)
+        "scrub_pii": scrub.scrub_pii,
+        "dedup_paragraphs": dedup.dedup_paragraphs,
+        "repetition_metrics": textops.repetition_metrics,
     }
 
 

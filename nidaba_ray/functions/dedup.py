@@ -883,3 +883,83 @@ DUP_CLUSTERS_EXACT_SQL = """
 SELECT doc_id, MIN(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id
 FROM documents
 """
+
+
+# ---------------------------------------------------------------------------
+# Cross-document paragraph (line-level) dedup — the CCNet/C4-style
+# corpus-statistical boilerplate remover
+# ---------------------------------------------------------------------------
+
+def dedup_paragraphs(sf_dir: str, max_df: int = 1,
+                     column: str = "text") -> rd.Dataset:
+    """Remove every line that appears in more than ``max_df`` DISTINCT
+    documents, then drop documents left with no lines (the public
+    CCNet paragraph-dedup / C4 boilerplate-line recipe: a line shared
+    across many pages is site furniture, not content).
+
+    Scale shape — two streaming passes, payloads never shuffle:
+
+    1. *df counts*: per batch, each doc contributes its DISTINCT line
+       fingerprints (16-byte md5 digests), pre-counted within the
+       batch, so the only shuffle is a groupby-sum over (fp, n)
+       partials — ≤ 24 bytes per distinct line per batch. The
+       over-threshold survivors are collected to the driver; that set
+       is boilerplate-sized by construction (a line must recur in
+       > max_df documents to enter it), the same small-side
+       precondition every broadcast join in this repo documents.
+    2. *rewrite*: re-read the docs, drop frequent lines per row
+       against the broadcast fp set (``pc.is_in`` on the exploded
+       fps), rejoin with newline. No shuffle at all in this pass.
+
+    Line fingerprints are md5 (repo md5-only invariant); splitting is
+    ``str.split("\\n")`` — byte-identical to DuckDB
+    ``string_split(text, chr(10))``, which the pytest oracle uses.
+    """
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def fp_partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[column].to_pylist():
+            fps = {hashlib.md5(ln.encode("utf-8")).digest()
+                   for ln in t.split("\n")}
+            counts.update(fps)
+        fps, ns = zip(*counts.items()) if counts else ((), ())
+        return pa.table({"fp": pa.array(list(fps), pa.binary(16)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    docs = _docs(sf_dir, ["doc_id", column])
+    df_counts = (
+        docs.map_batches(fp_partials, batch_format="pyarrow")
+        .groupby("fp").aggregate(Sum("n", alias_name="df"))
+    )
+    frequent = df_counts.filter(
+        expr=f"df > {int(max_df)}"
+    ).select_columns(["fp"])
+    freq_chunks = [b["fp"] for b in frequent.iter_batches(batch_format="pyarrow")
+                   if b.num_rows]
+    freq_arr = (pa.concat_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                                  else c for c in freq_chunks])
+                if freq_chunks else pa.array([], pa.binary(16)))
+    freq_ref = ray.put(freq_arr)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        out_ids, out_texts = [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch[column].to_pylist()):
+            lines = t.split("\n")
+            fps = pa.array(
+                [hashlib.md5(ln.encode("utf-8")).digest() for ln in lines],
+                pa.binary(16))
+            drop = pc.is_in(fps, value_set=freq).to_numpy(
+                zero_copy_only=False)
+            kept = [ln for ln, d in zip(lines, drop) if not d]
+            if kept:
+                out_ids.append(did)
+                out_texts.append("\n".join(kept))
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         column: pa.array(out_texts, pa.string())})
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")

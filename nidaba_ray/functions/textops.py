@@ -450,3 +450,71 @@ def shuffle_sql(seed: int = SHUFFLE_SEED) -> str:
 SELECT doc_id, lang, md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS shuffle_rank
 FROM documents ORDER BY shuffle_rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics (Gopher-style quality rules, Rae et al. 2021 §A1.1)
+# ---------------------------------------------------------------------------
+
+def _doc_repetition(text: str) -> tuple[float, float, float, float, float]:
+    """Per-doc repetition fractions, whitespace tokens / chr(10) lines:
+
+    - ``dup_line_frac``: fraction of lines that are repeats of an
+      earlier identical line,
+    - ``top{2,3,4}gram_char_frac``: characters covered by the single
+      most frequent token n-gram (count × n-gram char length) over
+      total characters; 0.0 when no n-gram repeats (a once-seen gram
+      is not repetition). Ties break to the lexicographically largest
+      gram so the metric is deterministic,
+    - ``dup5gram_char_frac``: characters covered by token positions
+      that belong to at least one 5-gram occurring ≥ 2 times (the
+      position-marking form — overlaps are NOT double counted).
+    """
+    from collections import Counter
+
+    lines = text.split("\n")
+    dup_line_frac = (len(lines) - len(set(lines))) / len(lines)
+    toks = text.split(" ")
+    total = len(text) or 1
+    tops = []
+    for n in (2, 3, 4):
+        if len(toks) < n:
+            tops.append(0.0)
+            continue
+        grams = Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        gram, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+        tops.append(0.0 if cnt < 2 else
+                    cnt * (sum(len(t) for t in gram) + n - 1) / total)
+    n = 5
+    if len(toks) < n:
+        dup5 = 0.0
+    else:
+        grams = Counter(tuple(toks[i:i + n]) for i in range(len(toks) - n + 1))
+        covered = np.zeros(len(toks), dtype=bool)
+        for i in range(len(toks) - n + 1):
+            if grams[tuple(toks[i:i + n])] >= 2:
+                covered[i:i + n] = True
+        dup5 = sum(len(t) for t, c in zip(toks, covered) if c) / total
+    return (dup_line_frac, tops[0], tops[1], tops[2], dup5)
+
+
+def repetition_metrics(sf_dir: str) -> rd.Dataset:
+    """Per-doc Gopher repetition quality signals. Per-document n-gram
+    counting is inherently row-local work (like the PDF parse); it is
+    batched, allocation-light, and never shuffles — the output is one
+    fixed-width row per doc."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        rows = [_doc_repetition(t) for t in batch["text"].to_pylist()]
+        cols = list(zip(*rows)) if rows else [[]] * 5
+        names = ["dup_line_frac", "top2gram_char_frac",
+                 "top3gram_char_frac", "top4gram_char_frac",
+                 "dup5gram_char_frac"]
+        out = {"doc_id": batch["doc_id"]}
+        for name, vals in zip(names, cols):
+            out[name] = pa.array(
+                np.round(np.asarray(vals, dtype=np.float64), 6))
+        return pa.table(out)
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -1,0 +1,198 @@
+"""PII scrubbing, cross-doc paragraph dedup, and Gopher repetition
+metrics — test-level DuckDB oracles (driver surface is capped at 50;
+see docs/NEXT.md) plus hand-computed pins.
+
+The synthetic corpora here are derived deterministically from the
+sf0.001 documents table (no external data): PII tokens / paragraph
+structure are injected as pure functions of doc_id.
+"""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nidaba_ray.functions.scrub import (
+    PII_PATTERNS,
+    scrub_pii,
+    scrub_sql_expr,
+    scrub_text_column,
+)
+from nidaba_ray.functions.dedup import dedup_paragraphs
+from nidaba_ray.functions.textops import _doc_repetition, repetition_metrics
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pii_corpus(tmp_path):
+    """documents.text with deterministic PII injected per doc_id."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetch_arrow_table()
+    ids = docs["doc_id"].to_pylist()
+    texts = [
+        f"{t} contact user{i}@example.com or {10 + i % 90}.0.{i % 256}.7 "
+        f"call +1 (555) {100 + i % 900}-{1000 + i % 9000}"
+        if i % 3 else t  # every third doc stays clean
+        for i, t in zip(ids, docs["text"].to_pylist())
+    ]
+    out = pa.table({"doc_id": docs["doc_id"],
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "pii"
+    d.mkdir()
+    pq.write_table(out, d / "documents.parquet")
+    return str(d)
+
+
+def test_scrub_pii_matches_duckdb_oracle(ray_session, tmp_path):
+    sf = _pii_corpus(tmp_path)
+    mine = scrub_pii(sf).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ora = duckdb.connect().execute(
+        f"SELECT doc_id, {scrub_sql_expr('text')} AS text "
+        f"FROM read_parquet('{sf}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    assert mine.equals(ora)
+    # the scrub actually fired: placeholders present, raw PII gone
+    joined = "\n".join(mine["text"])
+    assert "<EMAIL>" in joined and "<IP>" in joined and "<PHONE>" in joined
+    assert "@example.com" not in joined
+
+
+def test_scrub_noop_on_clean_corpus(ray_session):
+    """The real documents corpus carries no PII — scrub is identity."""
+    mine = scrub_pii(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ora = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        f"ORDER BY doc_id"
+    ).df()
+    assert mine.equals(ora)
+
+
+def test_scrub_kernel_edge_cases():
+    texts = [
+        "mail john.doe+x@sub.example.co.uk now",
+        "server 10.0.255.3 and phone +1 (555) 123-4567 ok",
+        "overlong 999.999.999.999 quad",
+        "call 555-123-4567 or 5551234567 ip 1.2.3.4.5",
+        "",
+    ]
+    got = scrub_text_column(pa.array(texts)).to_pylist()
+    con = duckdb.connect()
+    for t, g in zip(texts, got):
+        (o,) = con.execute(
+            f"SELECT {scrub_sql_expr('?')}", [t]
+        ).fetchone()
+        assert g == o
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "server <IP> and phone <PHONE> ok"
+
+
+def _para_corpus(tmp_path):
+    """Line-structured corpus: doc text chunked into 7-word lines plus
+    a per-site boilerplate footer shared by ~50 docs (doc_id // 50)."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetch_arrow_table()
+    texts = []
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        toks = t.split(" ")
+        lines = [" ".join(toks[j:j + 7]) for j in range(0, len(toks), 7)]
+        lines.append(f"site {i // 50} footer — all rights reserved")
+        texts.append("\n".join(lines))
+    out = pa.table({"doc_id": docs["doc_id"],
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "para"
+    d.mkdir()
+    pq.write_table(out, d / "documents.parquet")
+    return str(d)
+
+
+PARA_ORACLE = """
+WITH docs AS (SELECT doc_id, text FROM read_parquet('{sf}/documents.parquet')),
+lines AS (SELECT doc_id, u.line, u.seq FROM docs,
+          LATERAL (SELECT unnest(string_split(text, chr(10))) AS line,
+                          generate_subscripts(string_split(text, chr(10)), 1) AS seq) u),
+df AS (SELECT line, count(DISTINCT doc_id) AS n FROM lines GROUP BY line)
+SELECT l.doc_id, string_agg(l.line, chr(10) ORDER BY l.seq) AS text
+FROM lines l JOIN df USING (line) WHERE df.n <= {max_df}
+GROUP BY l.doc_id ORDER BY l.doc_id
+"""
+
+
+@pytest.mark.parametrize("max_df", [1, 3])
+def test_dedup_paragraphs_matches_duckdb_oracle(ray_session, tmp_path, max_df):
+    sf = _para_corpus(tmp_path)
+    mine = (dedup_paragraphs(sf, max_df=max_df).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    ora = duckdb.connect().execute(
+        PARA_ORACLE.format(sf=sf, max_df=max_df)).df()
+    assert mine.equals(ora)
+    if max_df == 1:
+        # the shared footers really were removed
+        assert not mine["text"].str.contains("footer", regex=False).any()
+
+
+def test_dedup_paragraphs_edge_cases(ray_session, tmp_path):
+    """Within-doc repeats survive (df counts DISTINCT docs), fully
+    boilerplate docs vanish, empty lines behave like any other line."""
+    docs = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "alpha beta\nshared footer\nunique one",
+            "gamma delta\nshared footer\nunique two",
+            "shared footer\nshared footer\nepsilon",
+            "zeta eta",
+            "shared footer",
+            "theta\n\niota",
+        ], pa.string()),
+    })
+    d = tmp_path / "edge"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    mine = (dedup_paragraphs(str(d), max_df=1).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    ora = duckdb.connect().execute(
+        PARA_ORACLE.format(sf=str(d), max_df=1)).df()
+    assert mine.equals(ora)
+    assert mine["doc_id"].tolist() == [0, 1, 2, 3, 5]  # doc 4 fully dropped
+    assert mine.loc[2, "text"] == "epsilon"  # in-doc repeat still boilerplate
+
+
+def test_repetition_metrics_hand_pins():
+    # one repeated line out of three
+    f = _doc_repetition("ab cd\nxy\nab cd")
+    assert f[0] == pytest.approx(1 / 3)
+    text = "ab cd ab cd zz"  # len 14; top 2-gram ("ab","cd")×2, 5 chars
+    f = _doc_repetition(text)
+    assert f[1] == pytest.approx(2 * 5 / 14)
+    # no repeated 2-gram → 0.0, not the once-seen gram's mass
+    assert _doc_repetition("aa bb cc")[1] == 0.0
+    # dup 5-gram coverage, overlaps not double counted
+    text = "a b c d e a b c d e"   # every token covered, len 19
+    f = _doc_repetition(text)
+    assert f[4] == pytest.approx(10 * 1 / 19)
+    # short docs: fewer tokens than n → 0 everywhere but lines
+    assert _doc_repetition("one")[1:] == (0.0, 0.0, 0.0, 0.0)
+
+
+def test_repetition_metrics_corpus(ray_session):
+    out = repetition_metrics(SF).to_pandas()
+    assert len(out) == 500
+    for c in ("dup_line_frac", "top2gram_char_frac", "top3gram_char_frac",
+              "top4gram_char_frac", "dup5gram_char_frac"):
+        v = out[c].to_numpy()
+        assert (v >= 0).all() and np.isfinite(v).all()
+    # single-line synthetic docs: no line dups by construction
+    assert (out["dup_line_frac"] == 0).all()
+    # the word-stream corpus genuinely repeats 2-grams
+    assert (out["top2gram_char_frac"] > 0).any()
+    # spot-check one row against the row kernel
+    row = out.sort_values("doc_id").iloc[0]
+    text = duckdb.connect().execute(
+        f"SELECT text FROM read_parquet('{SF}/documents.parquet') "
+        f"WHERE doc_id = 0").fetchone()[0]
+    exp = np.round(np.array(_doc_repetition(text)), 6)
+    got = row[["dup_line_frac", "top2gram_char_frac", "top3gram_char_frac",
+               "top4gram_char_frac", "dup5gram_char_frac"]].to_numpy(float)
+    assert np.allclose(got, exp)
