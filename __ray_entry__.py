@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.stages import quality
 
     return {
-        # ===== oracle-bearing (37) — every key below has an
+        # ===== oracle-bearing (42) — every key below has an
         # oracle_sql() entry and gets the full rows+schema+hash check
         # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -101,15 +101,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- composed curation pipeline (gate + dedup, oracle-checked)
         "curated_corpus": curate.curated_corpus,
         "curation_stats": curate.curation_stats,
-        # ===== rows-only (13) — non-SQL-expressible; each is pinned by
-        # a unit/property/golden/recall test named in its docstring
-        "hll_distinct_users": win.hll_distinct_users,
-        "lang_id": textops.lang_id,
-        "doc_winnow": textops.doc_winnow,
+        # --- near-dup family, promoted to full oracles in round 4:
+        #     the LSH candidate generation (permutation constants, band
+        #     tuples, pigeonhole chunks) is replayed exactly in SQL
         "minhash_dedup_pairs": dedup.minhash_dedup_pairs,
         "simhash_dup_pairs": dedup.simhash_dup_pairs,
         "ngram_jaccard_pairs_exact": dedup.ngram_jaccard_pairs_exact,
         "dup_clusters_distributed": dedup.dup_clusters_distributed,
+        "doc_winnow": textops.doc_winnow,
+        # ===== rows-only (8) — non-SQL-expressible; each is pinned by
+        # a unit/property/golden/recall test named in its docstring
+        "hll_distinct_users": win.hll_distinct_users,
+        "lang_id": textops.lang_id,
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_dup_scalable": ann.embedding_near_dup_scalable,
         # --- hand-labelled realistic page shapes (rows check; every
@@ -170,10 +173,13 @@ def oracle_sql() -> dict[str, str]:
         "extract_quarantine": conformance.EXTRACT_QUARANTINE_SQL,
         "curated_corpus": curate.CURATED_SQL,
         "curation_stats": curate.CURATION_STATS_SQL,
+        "minhash_dedup_pairs": dedup.minhash_pairs_sql(),
+        "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
+        "ngram_jaccard_pairs_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
+        "dup_clusters_distributed": dedup.dup_clusters_distributed_sql(),
+        "doc_winnow": textops.WINNOW_SQL,
         # no oracle (non-SQL-expressible → rows-only check):
-        #   hll_distinct_users, lang_id, doc_winnow, minhash_dedup_pairs,
-        #   simhash_dup_pairs, ngram_jaccard_pairs_exact,
-        #   dup_clusters_distributed, ann_topk_ivf_partitioned,
+        #   hll_distinct_users, lang_id, ann_topk_ivf_partitioned,
         #   embedding_near_dup_scalable, extract_golden_real,
         #   block_quality_scores, streaming_extract_stats, media_features
     }

@@ -59,6 +59,27 @@ def shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.fromiter(hs, dtype=np.uint64, count=len(hs))
 
 
+# SQL mirror of :func:`shingle_hashes` working over the distinct
+# shingle STRINGS (the md5-hash set and the string set have identical
+# cardinalities and intersections absent a 64-bit md5 collision —
+# impossible to confuse a <3-token whole-text shingle with a 3-gram
+# because their space counts differ). Shared by the Jaccard oracles.
+_SHINGLE_SQL_CTE = """
+base AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(t) >= 3
+      THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      ELSE [text] END)) AS g
+  FROM base
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+# md5_64 (first 8 digest bytes, big-endian) as DuckDB SQL
+_MD5_64_SQL = "('0x' || substr(md5({e}),1,16))::UBIGINT"
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -402,6 +423,88 @@ def minhash_dedup_pairs(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     return out
 
 
+def _minhash_pairs_cte(threshold: float = 0.7) -> str:
+    """CTE body reproducing the full MinHash-LSH semantics in SQL:
+    per-doc 64 minhash values (the permutation constants from
+    :func:`_perm_params` are inlined as a VALUES list — same
+    seeded generator, so the signatures are identical), candidates =
+    pairs agreeing on all 4 values of ≥1 band (the Ray side compares
+    md5(band bytes); equal bytes ⇔ equal value tuples, so the SQL
+    band-tuple join differs only on an md5 collision), then exact
+    Jaccard verification. Ends with ``good(doc_a, doc_b, jaccard)``."""
+    a, b = _perm_params()
+    perm_vals = ", ".join(
+        f"({i}, {int(a[i])}, {int(b[i])})" for i in range(N_PERM)
+    )
+    return f"""
+perms(i, a, b) AS (VALUES {perm_vals}),
+{_SHINGLE_SQL_CTE.strip()},
+h32 AS (
+  SELECT doc_id,
+         ({_MD5_64_SQL.format(e='g')} & 4294967295)::BIGINT AS h
+  FROM sh
+),
+sigs AS (
+  SELECT doc_id, p.i, MIN((p.a * h + p.b) % {MERSENNE}) AS sig
+  FROM h32, perms p GROUP BY doc_id, p.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_id, list(sig ORDER BY i) AS band_sig
+  FROM sigs GROUP BY doc_id, i // 4
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.band_sig = y.band_sig
+   AND x.doc_id < y.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS c
+  FROM cands c
+  JOIN sh sa ON sa.doc_id = c.doc_a
+  JOIN sh sb ON sb.doc_id = c.doc_b AND sa.g = sb.g
+  GROUP BY c.doc_a, c.doc_b
+),
+good AS (
+  SELECT i.doc_a, i.doc_b,
+         ROUND(i.c * 1.0 / (na.n + nb.n - i.c), 4) AS jaccard
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE i.c * 1.0 / (na.n + nb.n - i.c) >= {threshold}
+)
+"""
+
+
+def minhash_pairs_sql(threshold: float = 0.7) -> str:
+    """Driver oracle for :func:`minhash_dedup_pairs` (brute-force SQL;
+    the Ray side is the scale path)."""
+    return (f"WITH {_minhash_pairs_cte(threshold)} "
+            "SELECT doc_a, doc_b, jaccard FROM good ORDER BY doc_a, doc_b")
+
+
+def dup_clusters_distributed_sql(threshold: float = 0.7) -> str:
+    """Driver oracle for :func:`dup_clusters_distributed`: connected
+    components over the verified MinHash pair set via a recursive
+    transitive closure (component sizes are dup-group sized, so the
+    closure stays tiny), cluster label = min reachable doc_id."""
+    return f"""
+WITH RECURSIVE {_minhash_pairs_cte(threshold)},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM good
+  UNION SELECT doc_b, doc_a FROM good
+),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT d.doc_id, LEAST(d.doc_id, COALESCE(MIN(r.b), d.doc_id)) AS cluster_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id ORDER BY d.doc_id
+"""
+
+
 _HOT_MEMO: dict = {}
 
 
@@ -545,6 +648,26 @@ def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     return _verify_jaccard_pairs(pairs, sf_dir, threshold)
 
 
+# Driver oracle for ngram_jaccard_pairs_exact: the prefix-filter join
+# is lossless, so brute-force all-pairs SQL over the distinct shingle
+# strings is a true oracle (ROUND half-away matches round_like_sql).
+NGRAM_JACCARD_EXACT_SQL = f"""
+WITH {_SHINGLE_SQL_CTE.strip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -669,6 +792,41 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3) -> pa.Table:
         .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# Driver oracle for simhash_dup_pairs: the 4×16-bit pigeonhole
+# blocking is lossless for Hamming ≤ 3, so brute-force all-pairs SQL
+# over the recomputed simhashes (md5_64 per token occurrence → ±1 bit
+# sums → sign bits) is a true oracle.
+SIMHASH_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+),
+tok_hash AS (
+  SELECT doc_id, {_MD5_64_SQL.format(e='tok')} AS h, c FROM tok_counts
+),
+bits AS (
+  SELECT doc_id, i,
+         SUM(CASE WHEN (h >> i) & 1 = 1 THEN c ELSE -c END) AS acc
+  FROM tok_hash, range(0, 64) r(i)
+  GROUP BY doc_id, i
+),
+sims AS (
+  SELECT doc_id,
+         SUM(CASE WHEN acc > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS sim
+  FROM bits GROUP BY doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+ORDER BY doc_a, doc_b
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -175,8 +175,10 @@ def winnow_fingerprint(tokens: list[str]) -> list[int]:
 
 
 def doc_winnow(sf_dir: str) -> rd.Dataset:
-    """Winnowing fingerprints per doc (rows-only check: not SQL-
-    expressible; unit-tested against known overlap properties)."""
+    """Winnowing fingerprints per doc. Oracle-checked: the fingerprint
+    SET is the distinct window minima (the rightmost-tie rule only
+    picks WHICH position contributes the min — the contributed VALUE
+    is the min either way), which ``WINNOW_SQL`` expresses directly."""
 
     def fn(batch: pa.Table) -> pa.Table:
         fps = [winnow_fingerprint(t.split(" ")) for t in batch["text"].to_pylist()]
@@ -193,6 +195,36 @@ def doc_winnow(sf_dir: str) -> rd.Dataset:
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(fn, batch_format="pyarrow")
+
+
+# Driver oracle for doc_winnow (k=5, w=4): md5_64 per 5-token shingle
+# in position order; windows i..i+3 (clamped — short docs collapse to
+# one window, <5-token docs to one whole-text hash, both mirroring
+# winnow_fingerprint); fingerprints = sorted distinct window minima,
+# serialized like json.dumps (", "-separated).
+WINNOW_SQL = """
+WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+hs AS (
+  SELECT doc_id,
+    CASE WHEN len(t) >= 5
+      THEN list_transform(range(1, len(t) - 3),
+             i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),1,16))::UBIGINT)
+      ELSE [('0x' || substr(md5(text),1,16))::UBIGINT] END AS h
+  FROM base
+),
+wins AS (
+  SELECT doc_id, unnest(
+    list_transform(range(1, greatest(1, len(h) - 3) + 1),
+      i -> list_min(h[i:i+3]))) AS fp
+  FROM hs
+),
+fps AS (
+  SELECT doc_id, list_sort(list(DISTINCT fp)) AS f FROM wins GROUP BY doc_id
+)
+SELECT doc_id, len(f)::BIGINT AS n_fingerprints,
+       '[' || array_to_string(f, ', ') || ']' AS fingerprints
+FROM fps ORDER BY doc_id
+"""
 
 
 # ---------------------------------------------------------------------------
