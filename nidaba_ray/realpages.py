@@ -1178,6 +1178,140 @@ public unless marked otherwise.</p>
          "8 Jazz night 7pm",
          "10 Book fair opens"],
     ),
+    # 64. full forum topic page: the POSTS are the main content —
+    # richer than fixture 37's minimal thread (thread title, an
+    # in-reply quotation, per-post meta, signature). Kept: title, post
+    # bodies, the quotation. Dropped: the per-post meta lines (class
+    # "post-meta" → chrome via the "meta" token, and link-led), the
+    # link-only signature (anchor-dominated), pagination (chrome +
+    # link farm).
+    _page(
+        "forum_topic_page",
+        f"""<html><body><header><h1>City Forum</h1>{_NAV}</header>
+<main><h2>Harbor bridge closure and alternate routes</h2>
+<div class="post">
+<div class="post-meta"><a href="/u/rider22">rider22</a> · 42 posts ·
+April 2024</div>
+<div class="post-body"><p>Has anyone heard when the east approach
+actually closes? The notice on the pier gate says April but the city
+page still shows the March dates from the first announcement.</p></div>
+</div>
+<div class="post">
+<div class="post-meta"><a href="/u/ferrydan">ferrydan</a> · 980 posts ·
+April 2024</div>
+<div class="post-body">
+<blockquote><p>The notice on the pier gate says April.</p></blockquote>
+<p>The gate notice is the updated one; the city page usually lags the
+posted schedule by a week or two after every revision.</p>
+<p>Crews were staging equipment this morning, so plan for next week.
+The ferry added two early runs while the approach is closed.</p></div>
+<div class="signature">&mdash; <a href="/u/ferrydan/blog">My ferry
+log</a></div>
+</div>
+<nav class="pagination"><a href="?p=2">2</a> <a href="?p=3">3</a>
+<a rel="next" href="?p=2">Next</a></nav>
+</main>{_FOOTER}</body></html>""",
+        ["Harbor bridge closure and alternate routes",
+         "Has anyone heard when the east approach actually closes? The "
+         "notice on the pier gate says April but the city page still "
+         "shows the March dates from the first announcement.",
+         "The notice on the pier gate says April.",
+         "The gate notice is the updated one; the city page usually "
+         "lags the posted schedule by a week or two after every revision.",
+         "Crews were staging equipment this morning, so plan for next "
+         "week. The ferry added two early runs while the approach is "
+         "closed."],
+    ),
+    # 65. print-friendly view: minimal chrome, but the print header
+    # ("Printed from …" + print button) and the page footer are
+    # furniture — both carry header/footer class tokens; the article
+    # itself is the whole remaining page.
+    _page(
+        "print_friendly",
+        f"""<html><body>
+<div class="print-header"><p>Example Media &mdash; printed from
+example.com/news/budget</p>
+<button onclick="window.print()">Print this page</button></div>
+<h1>Budget approved after marathon session</h1>
+<p>{_P1}</p><p>{_P2}</p><p>{_P3}</p>
+<div class="print-footer"><p>Page 1 of 1 &mdash; © 2024 Example
+Media</p></div>
+</body></html>""",
+        ["Budget approved after marathon session", _P1, _P2, _P3],
+    ),
+    # 66. AMP article with figure: extends fixture 49's bare AMP shape
+    # with a head (title + amp-boilerplate <style>, skipped wholesale)
+    # and a figcaption under an amp-img, kept like any figure caption.
+    _page(
+        "amp_article_figure",
+        f"""<html amp><head><title>Rail line reopens</title>
+<style amp-boilerplate>body{{-amp-start:visibility 8s}}</style>
+<script async src="https://cdn.ampproject.org/v0.js"></script></head>
+<body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article>
+<h1>Rail line reopens after repairs</h1>
+<p>{_P1}</p>
+<figure><amp-img src="viaduct.jpg" width="600" height="400"
+layout="responsive"></amp-img>
+<figcaption>Crews test the new signals on the east viaduct.</figcaption>
+</figure>
+<p>{_P2}</p>
+<amp-ad width="300" height="250" type="adnet"
+data-slot="/1/example"></amp-ad>
+<p>{_P3}</p>
+</article></main>{_FOOTER}</body></html>""",
+        ["Rail line reopens after repairs", _P1,
+         "Crews test the new signals on the east viaduct.",
+         _P2, _P3],
+    ),
+    # 67. cookie-wall interstitial with an ARIA dialog role: a modal
+    # overlays the document rather than being part of it, so the whole
+    # subtree is skipped (segment._attrs_mark_hidden), prose-length
+    # consent text and all.
+    _page(
+        "cookie_wall",
+        f"""<html><body>
+<div class="consent-wall" role="dialog" aria-modal="true">
+<h2>We value your privacy</h2>
+<p>We and our 143 partners store and access information on your device
+to provide personalised content and measure audiences. You can accept
+all purposes, or manage your choices for each partner individually.
+Consent applies to this site only and can be withdrawn at any time
+from the privacy page.</p>
+<div class="consent-buttons"><a href="/consent/accept">Accept all</a>
+<a href="/consent/manage">Manage choices</a>
+<a href="/consent/reject">Reject non-essential</a></div>
+</div>
+<main><article><h1>Budget approved after marathon session</h1>
+<p>{_P1}</p><p>{_P2}</p><p>{_P3}</p></article></main>
+{_FOOTER}</body></html>""",
+        ["Budget approved after marathon session", _P1, _P2, _P3],
+    ),
+    # 68. the same wall WITHOUT ARIA markup — only class tokens mark it
+    # ("consent" → chrome). This is the case where text density alone
+    # would keep the legal prose: the consent paragraph is paragraph-
+    # length, and a linear 0.1× damp survives the log-space Otsu. The
+    # chrome saturation cap (score.block_scores CHROME_SAT) pins it
+    # below the threshold while the article stays.
+    _page(
+        "consent_wall_classonly",
+        f"""<html><body>
+<div class="consent-wall">
+<h2>We value your privacy</h2>
+<p>We and our 143 partners store and access information on your device
+to provide personalised content and measure audiences. You can accept
+all purposes, or manage your choices for each partner individually.
+Consent applies to this site only and can be withdrawn at any time
+from the privacy page.</p>
+<div class="consent-buttons"><a href="/consent/accept">Accept all</a>
+<a href="/consent/manage">Manage choices</a>
+<a href="/consent/reject">Reject non-essential</a></div>
+</div>
+<main><article><h1>Budget approved after marathon session</h1>
+<p>{_P1}</p><p>{_P2}</p><p>{_P3}</p></article></main>
+{_FOOTER}</body></html>""",
+        ["Budget approved after marathon session", _P1, _P2, _P3],
+    ),
 ]
 
 

@@ -28,9 +28,11 @@ __all__ = [
     "keep_local_sauvola",
     "keep_nlbin",
     "CHROME_WEIGHT",
+    "CHROME_SAT",
 ]
 
 CHROME_WEIGHT = 0.1  # score multiplier for blocks inside nav/aside/footer/header
+CHROME_SAT = 50.0    # chrome text evidence saturates at this many chars
 N_BINS = 64
 
 
@@ -55,13 +57,24 @@ def block_features(blocks) -> dict[str, np.ndarray]:
 
 
 def block_scores(feat: dict[str, np.ndarray]) -> np.ndarray:
-    """score = text_len · (1 − link_density)² · chrome_weight.
+    """score = text_len · (1 − link_density)² · chrome_weight, with
+    chrome evidence SATURATED at ``CHROME_SAT`` chars first.
 
     High for long, link-free content blocks; ~0 for link farms; damped
-    for site furniture. This is the 'pixel intensity' the thresholds
-    binarize."""
-    w = np.where(feat["chrome"], CHROME_WEIGHT, 1.0)
-    return feat["text_len"] * np.square(1.0 - feat["link_density"]) * w
+    for site furniture. The saturation exists because the thresholds
+    histogram log1p(score): a linear 0.1× discount is only a −ln(10)
+    shift there, so a prose-LENGTH chrome block (a consent wall's
+    legal text, ~300 chars) would land inside the content cluster and
+    survive Otsu — length is not evidence of content-ness once
+    structure marks furniture, so chrome contribution is bounded.
+    A cap (not a power law) keeps every chrome block under the cap at
+    its EXACT historical score, so no frozen fixture's threshold
+    histogram moves. Fixture ``consent_wall_classonly`` pins the
+    long-chrome case."""
+    base = feat["text_len"] * np.square(1.0 - feat["link_density"])
+    return np.where(
+        feat["chrome"], CHROME_WEIGHT * np.minimum(base, CHROME_SAT), base
+    )
 
 
 def smooth_scores(scores: np.ndarray, feat: dict[str, np.ndarray],

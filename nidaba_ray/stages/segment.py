@@ -84,7 +84,7 @@ _CHROME_CLASS = re.compile(
     rf"(?:^|[-_])(?:{_CHROME_WORDS})(?:[-_]|$)", re.IGNORECASE
 )
 _CHROME_ROLES = {"navigation", "banner", "contentinfo", "complementary",
-                 "search", "dialog"}
+                 "search"}
 _HIDDEN_STYLE = re.compile(r"display\s*:\s*none|visibility\s*:\s*hidden",
                            re.IGNORECASE)
 
@@ -103,12 +103,27 @@ def _attrs_mark_chrome(attrs) -> bool:
     return False
 
 
+_MODAL_ROLES = {"dialog", "alertdialog"}
+
+
 def _attrs_mark_hidden(attrs) -> bool:
-    """True if the element is hidden (content contributes no text)."""
+    """True if the element is hidden (content contributes no text).
+
+    Modal dialogs (``role="dialog"``/``"alertdialog"``, or
+    ``aria-modal="true"``) count as hidden: a dialog overlays the
+    document rather than being part of it — consent walls, paywall
+    prompts, login modals — so its text is interaction UI, never page
+    text (same rationale as iframe fallbacks). Class-marked walls
+    without ARIA roles are handled by the chrome score damping
+    instead (fixture ``consent_wall_classonly``)."""
     for name, value in attrs:
         if name == "hidden":
             return True
         if name == "aria-hidden" and value and value.strip().lower() == "true":
+            return True
+        if name == "aria-modal" and value and value.strip().lower() == "true":
+            return True
+        if name == "role" and value and value.strip().lower() in _MODAL_ROLES:
             return True
         if name == "style" and value and _HIDDEN_STYLE.search(value):
             return True
