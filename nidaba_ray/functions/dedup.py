@@ -1121,3 +1121,104 @@ def dedup_paragraphs(sf_dir: str, max_df: int = 1,
                          column: pa.array(out_texts, pa.string())})
 
     return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-SPAN removal — exact substring dedup (the
+# public Lee et al. 2021 "Deduplicating Training Data Makes Language
+# Models Better" ExactSubstr recipe, re-expressed over token n-grams)
+# ---------------------------------------------------------------------------
+
+def remove_duplicate_spans(sf_dir: str, n: int = 8, max_df: int = 1,
+                           column: str = "text") -> rd.Dataset:
+    """Remove every token that is covered by a token ``n``-gram
+    occurring in more than ``max_df`` DISTINCT documents — the
+    substring-level sibling of :func:`dedup_paragraphs` (a span
+    duplicated across pages is syndicated/boilerplate text even when
+    the surrounding lines differ). Documents left with no tokens are
+    dropped; survivors carry an ``n_removed`` token count.
+
+    Scale shape mirrors the paragraph pass: (1) per-batch pre-counted
+    ``(fp, n)`` partials over each doc's DISTINCT n-gram fingerprints
+    → one vocabulary-sized groupby-sum; the over-threshold survivors
+    are broadcast (boilerplate-sized by construction — an n-gram must
+    recur across documents to qualify); (2) a shuffle-free rewrite
+    pass marks covered token positions per row with one vectorized
+    ``pc.is_in`` and a sliding-window OR. Fingerprints are md5_64 over
+    the space-joined n-gram (repo md5-only invariant); the pytest
+    oracle replays the same semantics over the raw n-gram STRINGS in
+    DuckDB (equal sets absent an md5 collision — the Jaccard-oracle
+    argument)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def gram_fps(tokens: list[str]) -> np.ndarray:
+        if len(tokens) < n:
+            return np.array([], dtype=np.uint64)
+        return np.fromiter(
+            (_md5_64(" ".join(tokens[i:i + n]))
+             for i in range(len(tokens) - n + 1)),
+            dtype=np.uint64, count=len(tokens) - n + 1,
+        )
+
+    def fp_partials(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[column].to_pylist():
+            counts.update(np.unique(gram_fps(t.split(" "))).tolist())
+        fps, ns = zip(*counts.items()) if counts else ((), ())
+        return pa.table({
+            "fp": pa.array(np.array(list(fps), dtype=np.uint64)
+                           .view(np.int64)),
+            "n": pa.array(list(ns), pa.int64()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", column])
+    df_counts = (
+        docs.map_batches(fp_partials, batch_format="pyarrow")
+        .groupby("fp").aggregate(Sum("n", alias_name="df"))
+    )
+    frequent = df_counts.filter(
+        expr=f"df > {int(max_df)}"
+    ).select_columns(["fp"])
+    chunks = [b["fp"] for b in frequent.iter_batches(batch_format="pyarrow")
+              if b.num_rows]
+    freq_arr = (pa.concat_arrays([c.combine_chunks() if
+                                  isinstance(c, pa.ChunkedArray) else c
+                                  for c in chunks])
+                if chunks else pa.array([], pa.int64()))
+    freq_ref = ray.put(freq_arr)
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        out_ids, out_texts, out_removed = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch[column].to_pylist()):
+            toks = t.split(" ")
+            fps = gram_fps(toks)
+            if len(fps):
+                hot = pc.is_in(
+                    pa.array(fps.view(np.int64)), value_set=freq
+                ).to_numpy(zero_copy_only=False)
+                # token i is covered iff ANY window start in
+                # [i-n+1, i] is hot — a sliding-window OR via the
+                # cumulative count of hot starts
+                c = np.concatenate(([0], np.cumsum(hot)))
+                idx = np.arange(len(toks))
+                lo = np.maximum(idx - n + 1, 0)
+                hi = np.minimum(idx + 1, len(fps))
+                covered = (c[hi] - c[np.minimum(lo, hi)]) > 0
+            else:
+                covered = np.zeros(len(toks), dtype=bool)
+            kept = [tok for tok, d in zip(toks, covered) if not d]
+            if kept:
+                out_ids.append(did)
+                out_texts.append(" ".join(kept))
+                out_removed.append(len(toks) - len(kept))
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            column: pa.array(out_texts, pa.string()),
+            "n_removed": pa.array(out_removed, pa.int64()),
+        })
+
+    return docs.map_batches(rewrite, batch_format="pyarrow")

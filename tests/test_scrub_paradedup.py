@@ -196,3 +196,124 @@ def test_repetition_metrics_corpus(ray_session):
     got = row[["dup_line_frac", "top2gram_char_frac", "top3gram_char_frac",
                "top4gram_char_frac", "dup5gram_char_frac"]].to_numpy(float)
     assert np.allclose(got, exp)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-SPAN removal (exact substring dedup, Lee et al. 2021 style)
+# ---------------------------------------------------------------------------
+
+def _span_corpus(tmp_path):
+    """Corpus with deterministic syndicated spans: every 4th doc gets a
+    shared 11-token wire-service tail, every 5th a shared 8-token promo
+    lead — both recur across docs, the surrounding text does not."""
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetch_arrow_table()
+    wire = ("this article is syndicated from the example news network "
+            "wire service")
+    promo = "subscribe today for unlimited access to every story"
+    texts = []
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        parts = []
+        if i % 5 == 0:
+            parts.append(promo)
+        parts.append(t)
+        if i % 4 == 0:
+            parts.append(wire)
+        texts.append(" ".join(parts))
+    out = pa.table({"doc_id": docs["doc_id"],
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "span"
+    d.mkdir()
+    pq.write_table(out, d / "documents.parquet")
+    return str(d), wire, promo
+
+
+SPAN_ORACLE = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM read_parquet('{sf}/documents.parquet')),
+toks AS (
+  SELECT doc_id, unnest(t) AS tok,
+         unnest(range(1, len(t) + 1)) AS pos
+  FROM base
+),
+grams AS (
+  SELECT doc_id,
+         unnest(range(1, greatest(len(t) - {n} + 2, 1))) AS i,
+         unnest(list_transform(range(1, greatest(len(t) - {n} + 2, 1)),
+                i -> array_to_string(t[i:i+{nm1}], ' '))) AS g
+  FROM base
+),
+freq AS (SELECT g FROM grams GROUP BY g
+         HAVING count(DISTINCT doc_id) > {max_df}),
+cov AS (
+  SELECT DISTINCT doc_id, i + unnest(range(0, {n})) AS pos
+  FROM grams JOIN freq USING (g)
+),
+sizes AS (SELECT doc_id, len(t) AS n_t FROM base),
+kept AS (
+  SELECT t.doc_id, t.pos, t.tok FROM toks t
+  LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+  WHERE c.pos IS NULL
+)
+SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.pos) AS text,
+       MAX(s.n_t) - count(*) AS n_removed
+FROM kept k JOIN sizes s ON s.doc_id = k.doc_id
+GROUP BY k.doc_id ORDER BY k.doc_id
+"""
+
+
+def test_remove_duplicate_spans_matches_duckdb_oracle(ray_session, tmp_path):
+    from nidaba_ray.functions.dedup import remove_duplicate_spans
+
+    sf, wire, promo = _span_corpus(tmp_path)
+    n = 8
+    mine = (remove_duplicate_spans(sf, n=n).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    ora = duckdb.connect().execute(
+        SPAN_ORACLE.format(sf=sf, n=n, nm1=n - 1, max_df=1)).df()
+    ora["n_removed"] = ora["n_removed"].astype("int64")
+    assert mine.equals(ora)
+    joined = " ".join(mine["text"])
+    assert wire not in joined and promo not in joined
+    # docs the pass did not touch keep their exact text (the synthetic
+    # token soup DOES contain naturally recurring 8-grams, so not every
+    # uninjected doc is untouched — n_removed is the ground truth)
+    orig = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') "
+        "WHERE doc_id % 4 != 0 AND doc_id % 5 != 0 ORDER BY doc_id").df()
+    m = mine.merge(orig, on="doc_id", suffixes=("_got", "_orig"))
+    assert ((m["text_got"] == m["text_orig"]) == (m["n_removed"] == 0)).all()
+    assert (m["n_removed"] == 0).any()
+    # injected docs lost at least the injected span's tokens
+    injected = mine[(mine["doc_id"] % 4 == 0) | (mine["doc_id"] % 5 == 0)]
+    assert (injected["n_removed"] >= 8).all()
+
+
+def test_remove_duplicate_spans_edge_cases(ray_session, tmp_path):
+    """Short docs (< n tokens) pass through untouched even when
+    byte-identical; a doc that IS one duplicated span vanishes; a span
+    covered by overlapping frequent windows is removed once."""
+    from nidaba_ray.functions.dedup import remove_duplicate_spans
+
+    span = "a b c d e f g h i j"            # 10 tokens, shared
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            f"left unique{0} {span} right{0}",
+            f"prefix unique{1} {span} suffix{1}",
+            span,                             # entirely duplicated
+            "tiny doc",                       # < n: never fingerprinted
+            "tiny doc",                       # identical, still kept
+        ], pa.string()),
+    })
+    d = tmp_path / "spanedge"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = (remove_duplicate_spans(str(d), n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["doc_id"]) == [0, 1, 3, 4]  # doc 2 vanished
+    assert list(out[out["doc_id"] == 0]["text"]) == ["left unique0 right0"]
+    assert list(out[out["doc_id"] == 1]["text"]) == ["prefix unique1 suffix1"]
+    assert (out[out["doc_id"] >= 3]["text"] == "tiny doc").all()
+    assert list(out["n_removed"]) == [10, 10, 0, 0]
