@@ -81,6 +81,8 @@ TIMED_QUERIES = [
     "scrub_pii",
     "dedup_paragraphs",
     "repetition_metrics",
+    "charlm_perplexity",
+    "remove_duplicate_spans",
 ]
 
 
@@ -88,7 +90,7 @@ def _extra_timed() -> dict:
     """Operators timed for round-over-round continuity but no longer on
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
-    from nidaba_ray.functions import ann, dedup, pack, scrub, textops
+    from nidaba_ray.functions import ann, dedup, lm, pack, scrub, textops
     from nidaba_ray.pipelines import curate
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
@@ -130,10 +132,12 @@ def _extra_timed() -> dict:
         "ann_topk_lsh": ann.ann_topk_lsh,
         "event_value_quantiles_sketch": win.event_value_quantiles_sketch,
         # round-4 cleaning family (test-level DuckDB oracles in
-        # tests/test_scrub_paradedup.py)
+        # tests/test_scrub_paradedup.py / test_charlm.py)
         "scrub_pii": scrub.scrub_pii,
         "dedup_paragraphs": dedup.dedup_paragraphs,
         "repetition_metrics": textops.repetition_metrics,
+        "charlm_perplexity": lm.charlm_perplexity,
+        "remove_duplicate_spans": dedup.remove_duplicate_spans,
     }
 
 
@@ -144,10 +148,13 @@ def _prewarm() -> None:
     query cost. (The minhash pair-list memo needs no explicit warm —
     minhash_dedup_pairs runs before the curated_* entries in
     TIMED_QUERIES and populates the in-process memo.)"""
-    from nidaba_ray.functions import ann
+    from nidaba_ray.functions import ann, lm
 
     ann._resolve_ivf_index(SF_DIR, 16)
     ann._resolve_ivf_index(SF_DIR, 16, pq_params=(8, 16))
+    # LM fit is a bounded-sample one-time cost (memoized per corpus);
+    # the tracked charlm_perplexity number is the warm scoring path
+    lm.train_charlm(SF_DIR)
 
 
 def pages_cache_dir() -> str:

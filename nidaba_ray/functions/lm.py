@@ -41,7 +41,7 @@ import ray.data as rd
 from nidaba_ray.functions.compat import round_like_sql
 
 __all__ = ["train_charlm", "CharLMScorer", "charlm_perplexity",
-           "perplexity_reference"]
+           "curate_by_perplexity", "perplexity_reference"]
 
 SAMPLE_DOCS = 4096  # training-sample bound (pushdown row filter)
 _SHIFT = 21         # bits per codepoint in packed keys
@@ -102,28 +102,28 @@ class _LangModel:
 
 def _count_partials(batch: pa.Table) -> pa.Table:
     """Per-batch pre-counted (lang, trigram key, n) rows — the
-    combiner that keeps the training shuffle vocabulary-sized."""
-    from collections import Counter
-
-    counts: Counter = Counter()
+    combiner that keeps the training shuffle vocabulary-sized.
+    Per-lang key arrays are concatenated and uniq-counted ONCE per
+    batch (no per-trigram Python dict work)."""
+    per_lang: dict[str, list[np.ndarray]] = {}
     for lang, text in zip(batch["lang"].to_pylist(),
                           batch["text"].to_pylist()):
         c = _codes(text)
-        if len(c) < 3:
-            continue
-        tri = _pack3(c)
-        keys, ns = np.unique(tri, return_counts=True)
-        for k, n in zip(keys.tolist(), ns.tolist()):
-            counts[(lang, k)] += n
-    if counts:
-        langs, tris = zip(*counts.keys())
-        ns = list(counts.values())
-    else:
-        langs, tris, ns = (), (), ()
+        if len(c) >= 3:
+            per_lang.setdefault(lang, []).append(_pack3(c))
+    langs_out, tris_out, ns_out = [], [], []
+    for lang in sorted(per_lang):
+        keys, ns = np.unique(np.concatenate(per_lang[lang]),
+                             return_counts=True)
+        langs_out.extend([lang] * len(keys))
+        tris_out.append(keys)
+        ns_out.append(ns)
     return pa.table({
-        "lang": pa.array(list(langs), pa.string()),
-        "tri": pa.array(list(tris), pa.int64()),
-        "n": pa.array(ns, pa.int64()),
+        "lang": pa.array(langs_out, pa.string()),
+        "tri": pa.array(np.concatenate(tris_out) if tris_out
+                        else np.array([], dtype=np.int64)),
+        "n": pa.array(np.concatenate(ns_out).astype(np.int64) if ns_out
+                      else np.array([], dtype=np.int64)),
     })
 
 
@@ -244,3 +244,63 @@ def perplexity_reference(text: str, model: _LangModel) -> float:
                if k < len(model.bi_keys) and model.bi_keys[k] == bi else 0.0)
         logs.append(math.log(cnt + 1.0) - math.log(tot + model.v))
     return float(np.exp(-np.mean(logs)))
+
+
+PPL_DROP = 0.10  # drop the worst (highest-perplexity) decile per lang
+
+
+def curate_by_perplexity(sf_dir: str, p: float = PPL_DROP) -> rd.Dataset:
+    """The CCNet filter step: keep documents whose perplexity is
+    STRICTLY below their language's (1−p) discrete percentile —
+    i.e. drop the worst-``p`` tail, with the threshold derived from
+    the corpus itself.
+
+    Scale shape mirrors ``curated_by_percentile``: the scored table is
+    narrow (doc_id, lang, ppl — ~24 B/row) and materialized once so
+    scoring runs a single time; perplexities are quantized to 4
+    decimals, so the per-batch (lang, ppl) histogram partials merge to
+    a bounded-cardinality aggregate (langs × distinct quantized
+    values) and the per-lang threshold falls out of a cumulative sum
+    on the driver. Zero sorts; the gate is a second pass over the
+    narrow table. Threshold rule = DuckDB ``quantile_disc`` (sorted
+    0-indexed position ``ceil(q·n) − 1``), pinned by the DuckDB-gate
+    test in tests/test_charlm.py."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    scored = charlm_perplexity(sf_dir).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        return (batch.select(["lang", "ppl"])
+                .group_by(["lang", "ppl"]).aggregate([("ppl", "count")])
+                .rename_columns(["lang", "ppl", "n"]))
+
+    hist = (
+        scored.map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "ppl"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas()  # (langs × distinct quantized ppl) — bounded
+    )
+    q = 1.0 - p
+    thresholds: dict[str, float] = {}
+    for lang, g in hist.groupby("lang"):
+        g = g.sort_values("ppl")
+        counts = g["n"].to_numpy()
+        total = int(counts.sum())
+        # quantile_disc rule in IEEE doubles (same deliberate choice,
+        # and caveat, as pipelines.curate.curated_by_percentile)
+        target = max(0, math.ceil(q * total) - 1)
+        cum = counts.cumsum()
+        idx = int((cum <= target).sum())
+        thresholds[lang] = float(g["ppl"].to_numpy()[idx])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = batch.to_pandas()
+        thr = df["lang"].map(thresholds).astype("float64")
+        return pa.Table.from_pandas(
+            df[(df["ppl"] < thr).to_numpy()], preserve_index=False
+        )
+
+    return scored.map_batches(gate, batch_format="pyarrow")

@@ -155,3 +155,6 @@ def _ensure_builtin() -> None:
                    num_cpus=1)(AudioFeatures)
     register_stage("media.frames", batch_size=64, concurrency=(1, 4),
                    num_cpus=1)(VideoFrameSampler)
+    from nidaba_ray.functions.scrub import scrub_pii_batch
+
+    register_stage("clean.pii")(scrub_pii_batch)

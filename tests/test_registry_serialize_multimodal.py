@@ -21,7 +21,7 @@ from nidaba_ray.stages.serialize import explode_spans, to_jsonl_rows
 def test_registry_lists_builtin():
     names = registry.list_stages()
     assert {"extract.candidates", "merge.threshold_vote",
-            "postprocess.spell", "output.jsonl"} <= set(names)
+            "postprocess.spell", "output.jsonl", "clean.pii"} <= set(names)
     assert registry.get_stage("extract.candidates").stateful
     assert not registry.get_stage("merge.threshold_vote").stateful
     with pytest.raises(KeyError):
