@@ -55,7 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.stages import quality
 
     return {
-        # ===== oracle-bearing (42) — every key below has an
+        # ===== oracle-bearing (43) — every key below has an
         # oracle_sql() entry and gets the full rows+schema+hash check
         # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -109,10 +109,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs_exact": dedup.ngram_jaccard_pairs_exact,
         "dup_clusters_distributed": dedup.dup_clusters_distributed,
         "doc_winnow": textops.doc_winnow,
-        # ===== rows-only (8) — non-SQL-expressible; each is pinned by
+        # --- Cavnar-Trenkle lang-ID, promoted round 4: profiles
+        #     inlined into the SQL as VALUES
+        "lang_id": textops.lang_id,
+        # ===== rows-only (7) — non-SQL-expressible; each is pinned by
         # a unit/property/golden/recall test named in its docstring
         "hll_distinct_users": win.hll_distinct_users,
-        "lang_id": textops.lang_id,
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         "embedding_near_dup_scalable": ann.embedding_near_dup_scalable,
         # --- hand-labelled realistic page shapes (rows check; every
@@ -178,8 +180,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
         "dup_clusters_distributed": dedup.dup_clusters_distributed_sql(),
         "doc_winnow": textops.WINNOW_SQL,
+        "lang_id": textops.lang_id_sql(),
         # no oracle (non-SQL-expressible → rows-only check):
-        #   hll_distinct_users, lang_id, ann_topk_ivf_partitioned,
+        #   hll_distinct_users, ann_topk_ivf_partitioned,
         #   embedding_near_dup_scalable, extract_golden_real,
         #   block_quality_scores, streaming_extract_stats, media_features
     }

@@ -280,7 +280,9 @@ class LangId:
                 if score > best:
                     best_lang, best = lang, score
             preds.append(best_lang)
-            confs.append(round(best, 4))
+            # round_like_sql, not round(): the driver oracle replays
+            # the classifier in SQL where ROUND is half-away
+            confs.append(round_like_sql(best, 4))
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -295,6 +297,58 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
         LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
     )
+
+
+def lang_id_sql() -> str:
+    """Driver oracle for :func:`lang_id`: the Cavnar-Trenkle profile
+    match replayed in SQL — the ~470-gram-per-language profiles are
+    inlined as a VALUES list (built from the SAME ``_lang_profiles``
+    so the two sides cannot drift), doc grams are the distinct padded-
+    token trigrams, score = |grams ∩ profile| / |grams|, and the
+    argmax tie-break (first language in sorted order) is the
+    ``ORDER BY score DESC, cand ASC`` row_number pick."""
+    vals = []
+    for lang in sorted(_lang_profiles()):
+        for g in sorted(_lang_profiles()[lang]):
+            vals.append(f"('{lang}', '{g.replace(chr(39), chr(39) * 2)}')")
+    return f"""
+WITH profile(lang, g) AS (VALUES {", ".join(vals)}),
+base AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+toks AS (
+  SELECT DISTINCT doc_id, tok FROM
+    (SELECT doc_id, unnest(t) AS tok FROM base) WHERE tok <> ''
+),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(p) - 1),
+                                 i -> substr(p, i, 3))) AS g
+    FROM (SELECT doc_id, ' ' || tok || ' ' AS p FROM toks)
+  )
+),
+ng AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT gr.doc_id, p.lang AS cand, count(*) AS h
+  FROM grams gr JOIN profile p ON gr.g = p.g
+  GROUP BY gr.doc_id, p.lang
+),
+scored AS (
+  SELECT d.doc_id, l.cand,
+         COALESCE(h.h, 0) * 1.0 / GREATEST(COALESCE(ng.n, 0), 1) AS score
+  FROM (SELECT doc_id FROM documents) d
+  CROSS JOIN (SELECT DISTINCT lang AS cand FROM profile) l
+  LEFT JOIN ng ON ng.doc_id = d.doc_id
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.cand = l.cand
+),
+best AS (
+  SELECT doc_id, cand AS pred_lang, ROUND(score, 4) AS confidence,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT doc.doc_id, doc.lang, b.pred_lang, b.confidence
+FROM documents doc JOIN best b ON b.doc_id = doc.doc_id AND b.rn = 1
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -1312,6 +1312,126 @@ from the privacy page.</p>
 {_FOOTER}</body></html>""",
         ["Budget approved after marathon session", _P1, _P2, _P3],
     ),
+    # 69. legal/terms-of-service page: numbered section headings and
+    # clause lists are ALL content (the whole main is the document);
+    # only the nav/footer chrome and the back-to-top link row drop.
+    _page(
+        "legal_tos",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><h1>Terms of Service</h1>
+<p>These terms govern your use of the service and form a binding
+agreement between you and the operator from the moment you first
+access any page.</p>
+<h2>1. Accounts</h2>
+<p>You are responsible for activity under your account and must keep
+your credentials confidential at all times, including on shared
+devices.</p>
+<ol>
+<li>You must provide accurate registration information.</li>
+<li>You may not transfer your account to another person.</li>
+</ol>
+<h2>2. Content</h2>
+<p>You retain ownership of material you submit, and you grant the
+operator a non-exclusive licence to store and display it as part of
+the service.</p>
+<div class="toolbar"><a href="#top">Back to top</a></div>
+</main>{_FOOTER}</body></html>""",
+        ["Terms of Service",
+         "These terms govern your use of the service and form a binding "
+         "agreement between you and the operator from the moment you "
+         "first access any page.",
+         "1. Accounts",
+         "You are responsible for activity under your account and must "
+         "keep your credentials confidential at all times, including on "
+         "shared devices.",
+         "You must provide accurate registration information.",
+         "You may not transfer your account to another person.",
+         "2. Content",
+         "You retain ownership of material you submit, and you grant "
+         "the operator a non-exclusive licence to store and display it "
+         "as part of the service."],
+    ),
+    # 70. 404 page with suggestions: the apology message is the page's
+    # only text content; the suggestion list is a link farm and the
+    # search form contributes nothing.
+    _page(
+        "error_404_suggestions",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><h1>Page not found</h1>
+<p>The page you were looking for has moved or never existed; check
+the address for typing mistakes or try one of the sections below.</p>
+<form role="search"><input name="q" placeholder="Search"></form>
+<ul class="suggestions">
+<li><a href="/news">Latest news</a></li>
+<li><a href="/archive">Article archive</a></li>
+<li><a href="/contact">Contact the desk</a></li>
+</ul>
+</main>{_FOOTER}</body></html>""",
+        ["Page not found",
+         "The page you were looking for has moved or never existed; "
+         "check the address for typing mistakes or try one of the "
+         "sections below."],
+    ),
+    # 71. product page with review cards: description and review
+    # bodies are content; the per-review reviewer lines are anchor-led
+    # (name + verified badge are links) and drop on link density, the
+    # buy box is links/buttons.
+    _page(
+        "product_reviews",
+        f"""<html><body><header><h1>Example Shop</h1>{_NAV}</header>
+<main><h1>Walnut desk organizer</h1>
+<p>A five-compartment organizer milled from solid walnut, sized for
+an A5 notebook, two pens, and a phone on a charging stand.</p>
+<div class="buy"><a href="/cart/add">Add to cart</a>
+<a href="/wishlist">Save</a></div>
+<section>
+<h2>Customer reviews</h2>
+<div class="review-card">
+<div class="reviewer"><a href="/u/jd88">JaneD88</a> ·
+<a href="/verified">Verified buyer</a> · March 2024</div>
+<p>The finish is better than the photos suggest, and the pen slots
+hold fountain pens without scratching the barrel.</p>
+</div>
+<div class="review-card">
+<div class="reviewer"><a href="/u/mk2">MKlein</a> ·
+<a href="/verified">Verified buyer</a> · April 2024</div>
+<p>Solid and heavy enough not to slide, though the phone stand angle
+is too upright for video calls.</p>
+</div>
+</section></main>{_FOOTER}</body></html>""",
+        ["Walnut desk organizer",
+         "A five-compartment organizer milled from solid walnut, sized "
+         "for an A5 notebook, two pens, and a phone on a charging stand.",
+         "Customer reviews",
+         "The finish is better than the photos suggest, and the pen "
+         "slots hold fountain pens without scratching the barrel.",
+         "Solid and heavy enough not to slide, though the phone stand "
+         "angle is too upright for video calls."],
+    ),
+    # 72. faceted e-commerce category page: the category description is
+    # the only content; the facet sidebar is chrome, and every product
+    # tile is an anchor-dominated name + price stub.
+    _page(
+        "faceted_category",
+        f"""<html><body><header><h1>Example Shop</h1>{_NAV}</header>
+<aside class="sidebar facets"><h3>Filter</h3><ul>
+<li><a href="?mat=walnut">Walnut (12)</a></li>
+<li><a href="?mat=oak">Oak (8)</a></li>
+<li><a href="?price=lt50">Under $50 (15)</a></li></ul></aside>
+<main><h1>Desk organizers</h1>
+<p>Hardwood organizers made in small batches; every piece is oiled
+twice and shipped assembled, with a ten-year warranty on joinery.</p>
+<div class="grid">
+<div class="tile"><a href="/p/1">Walnut desk organizer</a> $49</div>
+<div class="tile"><a href="/p/2">Oak pen tray</a> $19</div>
+<div class="tile"><a href="/p/3">Maple monitor stand</a> $79</div>
+</div>
+</main>{_FOOTER}</body></html>""",
+        ["Desk organizers",
+         "Hardwood organizers made in small batches; every piece is "
+         "oiled twice and shipped assembled, with a ten-year warranty "
+         "on joinery."],
+    ),
 ]
 
 
