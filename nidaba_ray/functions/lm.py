@@ -189,8 +189,13 @@ class CharLMScorer:
             for i in idxs:
                 c = _codes(texts[i])
                 if model is None or len(c) < 3:
-                    # no model / no trigram: uniform over the charset
-                    ppl[i] = float(model.v) if model is not None else 0.0
+                    # <3 chars: uniform bound over the charset. No model
+                    # for the language (it never appeared in the bounded
+                    # training sample): +inf — quality is un-attestable,
+                    # so the percentile gate drops such docs rather than
+                    # silently passing them (0.0 would read as 'perfect')
+                    ppl[i] = float(model.v) if model is not None else (
+                        float("inf"))
                     continue
                 keys.append(_pack3(c))
                 offsets.append(offsets[-1] + len(keys[-1]))
