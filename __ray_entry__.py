@@ -177,7 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "curation_stats": curate.CURATION_STATS_SQL,
         "minhash_dedup_pairs": dedup.minhash_pairs_sql(),
         "simhash_dup_pairs": dedup.SIMHASH_PAIRS_SQL,
-        "ngram_jaccard_pairs_exact": dedup.NGRAM_JACCARD_EXACT_SQL,
+        "ngram_jaccard_pairs_exact": dedup.ngram_jaccard_exact_sql(),
         "dup_clusters_distributed": dedup.dup_clusters_distributed_sql(),
         "doc_winnow": textops.WINNOW_SQL,
         "lang_id": textops.lang_id_sql(),

