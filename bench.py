@@ -83,6 +83,7 @@ TIMED_QUERIES = [
     "repetition_metrics",
     "charlm_perplexity",
     "remove_duplicate_spans",
+    "decontaminate_flags",
 ]
 
 
@@ -94,6 +95,18 @@ def _extra_timed() -> dict:
     from nidaba_ray.pipelines import curate
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
+
+    def decontaminate_flags(sf_dir: str):
+        """Benchmark decontamination with a deterministic stand-in
+        eval set (the first 8 corpus docs) — times the broadcast +
+        corpus-scan shape with realistic hit patterns."""
+        import pyarrow.parquet as pq
+
+        bench = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+            filters=[("doc_id", "<", 8)],
+        )["text"].to_pylist()
+        return dedup.decontaminate_flags(sf_dir, bench)
 
     def streaming_seen_dedup(sf_dir: str):
         """Streaming crawl shards through the sharded seen-index
@@ -138,6 +151,7 @@ def _extra_timed() -> dict:
         "repetition_metrics": textops.repetition_metrics,
         "charlm_perplexity": lm.charlm_perplexity,
         "remove_duplicate_spans": dedup.remove_duplicate_spans,
+        "decontaminate_flags": decontaminate_flags,
     }
 
 

@@ -1128,6 +1128,23 @@ def dedup_paragraphs(sf_dir: str, max_df: int = 1,
 
 
 # ---------------------------------------------------------------------------
+# Token n-gram fingerprints (shared by duplicate-span removal and
+# benchmark decontamination)
+# ---------------------------------------------------------------------------
+
+def _token_ngram_fps(tokens: list[str], n: int) -> np.ndarray:
+    """md5_64 per consecutive token n-gram, in position order
+    (< n tokens → no fingerprints)."""
+    if len(tokens) < n:
+        return np.array([], dtype=np.uint64)
+    return np.fromiter(
+        (_md5_64(" ".join(tokens[i:i + n]))
+         for i in range(len(tokens) - n + 1)),
+        dtype=np.uint64, count=len(tokens) - n + 1,
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-document duplicate-SPAN removal — exact substring dedup (the
 # public Lee et al. 2021 "Deduplicating Training Data Makes Language
 # Models Better" ExactSubstr recipe, re-expressed over token n-grams)
@@ -1158,13 +1175,7 @@ def remove_duplicate_spans(sf_dir: str, n: int = 8, max_df: int = 1,
     from ray.data.aggregate import Sum
 
     def gram_fps(tokens: list[str]) -> np.ndarray:
-        if len(tokens) < n:
-            return np.array([], dtype=np.uint64)
-        return np.fromiter(
-            (_md5_64(" ".join(tokens[i:i + n]))
-             for i in range(len(tokens) - n + 1)),
-            dtype=np.uint64, count=len(tokens) - n + 1,
-        )
+        return _token_ngram_fps(tokens, n)
 
     def fp_partials(batch: pa.Table) -> pa.Table:
         counts: Counter = Counter()
@@ -1226,3 +1237,77 @@ def remove_duplicate_spans(sf_dir: str, n: int = 8, max_df: int = 1,
         })
 
     return docs.map_batches(rewrite, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — flag training documents that collide
+# with a held-out evaluation set (the public GPT-3 appendix-C /
+# Dolma/Llama recipe: any shared token n-gram marks contamination)
+# ---------------------------------------------------------------------------
+
+def decontaminate_flags(sf_dir: str, benchmark_texts: list[str],
+                        n: int = 13, column: str = "text") -> rd.Dataset:
+    """(doc_id, n_hits, contaminated) per corpus document: ``n_hits``
+    = how many of the doc's token ``n``-grams appear anywhere in the
+    benchmark set, ``contaminated`` = n_hits > 0. Default n=13 is the
+    published GPT-3 convention.
+
+    Scale shape: an eval benchmark is small BY DEFINITION (thousands
+    of items, not billions), so its distinct n-gram fingerprint set is
+    broadcast once via ``ray.put`` and the corpus pass is a single
+    shuffle-free ``map_batches`` with one vectorized ``pc.is_in`` per
+    row — the same broadcast-small-side shape as the spell lexicons.
+    Fingerprints are md5_64 over the space-joined n-gram (md5-only
+    invariant); the pytest oracle replays the raw n-gram STRINGS in
+    DuckDB."""
+    fps: set[int] = set()
+    for t in benchmark_texts:
+        fps.update(_token_ngram_fps(t.split(" "), n).tolist())
+    bench_arr = pa.array(
+        np.sort(np.array(sorted(fps), dtype=np.uint64)).view(np.int64)
+    ) if fps else pa.array([], pa.int64())
+    bench_ref = ray.put(bench_arr)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, t in enumerate(batch[column].to_pylist()):
+            g = _token_ngram_fps(t.split(" "), n)
+            if len(g):
+                m = pc.is_in(pa.array(g.view(np.int64)), value_set=bench)
+                hits[i] = int(pc.sum(pc.cast(m, pa.int64())).as_py() or 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return _docs(sf_dir, ["doc_id", column]).map_batches(
+        flag, batch_format="pyarrow")
+
+
+def decontaminated_corpus(sf_dir: str, benchmark_texts: list[str],
+                          n: int = 13, column: str = "text") -> rd.Dataset:
+    """The filter composition: corpus documents with NO benchmark
+    n-gram collision (doc payloads never shuffle — the flag pass and
+    the gate fuse into one streaming map_batches chain)."""
+    fps: set[int] = set()
+    for t in benchmark_texts:
+        fps.update(_token_ngram_fps(t.split(" "), n).tolist())
+    bench_arr = pa.array(
+        np.sort(np.array(sorted(fps), dtype=np.uint64)).view(np.int64)
+    ) if fps else pa.array([], pa.int64())
+    bench_ref = ray.put(bench_arr)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        keep = np.ones(batch.num_rows, dtype=bool)
+        for i, t in enumerate(batch[column].to_pylist()):
+            g = _token_ngram_fps(t.split(" "), n)
+            if len(g):
+                m = pc.is_in(pa.array(g.view(np.int64)), value_set=bench)
+                keep[i] = not pc.any(m).as_py()
+        return batch.filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", column]).map_batches(
+        gate, batch_format="pyarrow")

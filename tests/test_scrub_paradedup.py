@@ -317,3 +317,101 @@ def test_remove_duplicate_spans_edge_cases(ray_session, tmp_path):
     assert list(out[out["doc_id"] == 1]["text"]) == ["prefix unique1 suffix1"]
     assert (out[out["doc_id"] >= 3]["text"] == "tiny doc").all()
     assert list(out["n_removed"]) == [10, 10, 0, 0]
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (GPT-3 appendix-C style n-gram collision)
+# ---------------------------------------------------------------------------
+
+DECON_ORACLE = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM read_parquet('{sf}/documents.parquet')),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - {n} + 2, 1)),
+                i -> array_to_string(t[i:i+{nm1}], ' '))) AS g
+  FROM base
+),
+bench(g) AS (SELECT unnest(list_transform(
+    range(1, greatest(len(bt) - {n} + 2, 1)),
+    i -> array_to_string(bt[i:i+{nm1}], ' ')))
+  FROM (SELECT unnest([{bench_texts}]) AS s),
+       (SELECT string_split(s, ' ') AS bt)
+),
+hits AS (
+  SELECT gr.doc_id, count(*) AS n_hits
+  FROM grams gr JOIN (SELECT DISTINCT g FROM bench) b USING (g)
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM read_parquet('{sf}/documents.parquet')) d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def test_decontaminate_matches_duckdb_oracle(ray_session, tmp_path):
+    from nidaba_ray.functions.dedup import (decontaminate_flags,
+                                            decontaminated_corpus)
+
+    # corpus: every 7th doc embeds a benchmark item verbatim
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet')"
+    ).fetch_arrow_table()
+    bench = [
+        "what is the capital city of the example republic the answer "
+        "is the harbor city on the northern coast",
+        "compute the sum of the first twelve positive integers and "
+        "explain each step of the calculation in words",
+    ]
+    texts = []
+    for i, t in zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()):
+        if i % 7 == 0:
+            texts.append(f"{t} {bench[i % 2]}")
+        else:
+            texts.append(t)
+    out = pa.table({"doc_id": docs["doc_id"],
+                    "text": pa.array(texts, pa.string())})
+    d = tmp_path / "decon"
+    d.mkdir()
+    pq.write_table(out, d / "documents.parquet")
+
+    n = 13
+    mine = (decontaminate_flags(str(d), bench, n=n).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    bench_sql = ", ".join("'" + b.replace("'", "''") + "'" for b in bench)
+    ora = duckdb.connect().execute(DECON_ORACLE.format(
+        sf=str(d), n=n, nm1=n - 1, bench_texts=bench_sql)).df()
+    assert mine.equals(ora)
+    # injected docs flagged, clean docs not (tokens are synthetic word
+    # soup — a verbatim 13-gram collision cannot occur by accident)
+    assert (mine[mine["doc_id"] % 7 == 0]["contaminated"]).all()
+    assert not (mine[mine["doc_id"] % 7 != 0]["contaminated"]).any()
+    clean = decontaminated_corpus(str(d), bench, n=n).to_pandas()
+    assert set(clean["doc_id"]) == set(
+        mine[~mine["contaminated"]]["doc_id"])
+
+
+def test_decontaminate_edge_cases(ray_session, tmp_path):
+    """Docs shorter than n are never flagged; an exact benchmark copy
+    is; an empty benchmark flags nothing."""
+    from nidaba_ray.functions.dedup import decontaminate_flags
+
+    bench = ["a b c d e f g h i j k l m"]  # 13 tokens = one 13-gram
+    docs = pa.table({
+        "doc_id": pa.array(range(3), pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h i j k l m",    # exact copy → flagged
+            "a b c d e f g h i j k l",      # 12 tokens → no 13-gram
+            "x " + "a b c d e f g h i j k l m" + " y",
+        ], pa.string()),
+    })
+    d = tmp_path / "deconedge"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = (decontaminate_flags(str(d), bench).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(out["contaminated"]) == [True, False, True]
+    empty = (decontaminate_flags(str(d), []).to_pandas())
+    assert not empty["contaminated"].any()
