@@ -1432,6 +1432,107 @@ twice and shipped assembled, with a ten-year warranty on joinery.</p>
          "oiled twice and shipped assembled, with a ten-year warranty "
          "on joinery."],
     ),
+    # 73. live blog: update bodies are content; the permalink
+    # timestamps are anchors (dropped on link density) and the
+    # "updates paused" status chip is a link-led stub.
+    _page(
+        "live_blog",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><h1>Storm response — live updates</h1>
+<div class="update"><a class="ts" href="#u3">14:32</a>
+<p>The harbor authority confirmed that both ferry routes will stay
+suspended until the wind drops below the safety threshold.</p></div>
+<div class="update"><a class="ts" href="#u2">13:05</a>
+<p>Crews reopened the east bridge approach after clearing a fallen
+crane boom; expect single-lane traffic through the evening.</p></div>
+<div class="update"><a class="ts" href="#u1">11:48</a>
+<p>The city opened two shelters at the main hall and the north school
+gym for residents of the flooded blocks.</p></div>
+<div class="status"><a href="#refresh">Updates paused — refresh</a></div>
+</main>{_FOOTER}</body></html>""",
+        ["Storm response — live updates",
+         "The harbor authority confirmed that both ferry routes will "
+         "stay suspended until the wind drops below the safety threshold.",
+         "Crews reopened the east bridge approach after clearing a "
+         "fallen crane boom; expect single-lane traffic through the "
+         "evening.",
+         "The city opened two shelters at the main hall and the north "
+         "school gym for residents of the flooded blocks."],
+    ),
+    # 74. wiki revision history: the intro line and the substantive
+    # edit-summary cells are content; the (cur|prev)/user/date cells
+    # are anchor-dominated grid furniture.
+    _page(
+        "wiki_edit_history",
+        f"""<html><body><header><h1>Example Wiki</h1>{_NAV}</header>
+<main><h1>Revision history of Harbor Bridge</h1>
+<p>Showing the three most recent revisions of the article, with the
+summary each editor left when saving the change.</p>
+<table class="history">
+<tr><td><a href="/d?cur=1">cur</a> <a href="/d?prev=1">prev</a>
+<a href="/w/12:01">12:01, 3 April 2024</a>
+<a href="/u/editor-a">EditorA</a></td>
+<td>corrected the opening-year citation and moved it to the
+infrastructure section of the article</td></tr>
+<tr><td><a href="/d?cur=2">cur</a> <a href="/d?prev=2">prev</a>
+<a href="/w/09:47">09:47, 2 April 2024</a>
+<a href="/u/editor-b">EditorB</a></td>
+<td>reverted the unsourced paragraph about the toll schedule pending
+a reliable reference</td></tr>
+</table></main>{_FOOTER}</body></html>""",
+        ["Revision history of Harbor Bridge",
+         "Showing the three most recent revisions of the article, with "
+         "the summary each editor left when saving the change.",
+         "corrected the opening-year citation and moved it to the "
+         "infrastructure section of the article",
+         "reverted the unsourced paragraph about the toll schedule "
+         "pending a reliable reference"],
+    ),
+    # 75. recipe page: JSON-LD recipe markup is skipped with its
+    # <script>, the star-rating chip is chrome (widget class), and the
+    # per-serving nutrition line is ordinary prose — kept.
+    _page(
+        "recipe_page",
+        f"""<html><body><header><h1>Example Kitchen</h1>{_NAV}</header>
+<main><article>
+<script type="application/ld+json">{{"@type":"Recipe",
+"name":"Harbor oat pancakes","recipeYield":"4"}}</script>
+<h1>Harbor oat pancakes</h1>
+<div class="rating-widget">★★★★★ 4.8 from 212 votes</div>
+<p>Thin oat pancakes that hold together without eggs; the batter
+rests while the pan heats, which keeps the edges from tearing.</p>
+<h2>Ingredients</h2>
+<ul>
+<li>Two cups of fine oat flour</li>
+<li>One spoon of baking powder and a pinch of salt</li>
+<li>Two cups of cold milk, added slowly</li>
+</ul>
+<h2>Method</h2>
+<ol>
+<li>Whisk the dry ingredients, then pour in the milk in three
+additions until the batter runs off the spoon in ribbons.</li>
+<li>Rest the batter ten minutes, then cook on a medium pan until the
+edges lift cleanly.</li>
+</ol>
+<p>Per serving: 320 kcal, 9 g protein, 11 g fat, and roughly 40 g of
+carbohydrate depending on the milk used.</p>
+</article></main>{_FOOTER}</body></html>""",
+        ["Harbor oat pancakes",
+         "Thin oat pancakes that hold together without eggs; the "
+         "batter rests while the pan heats, which keeps the edges from "
+         "tearing.",
+         "Ingredients",
+         "Two cups of fine oat flour",
+         "One spoon of baking powder and a pinch of salt",
+         "Two cups of cold milk, added slowly",
+         "Method",
+         "Whisk the dry ingredients, then pour in the milk in three "
+         "additions until the batter runs off the spoon in ribbons.",
+         "Rest the batter ten minutes, then cook on a medium pan until "
+         "the edges lift cleanly.",
+         "Per serving: 320 kcal, 9 g protein, 11 g fat, and roughly "
+         "40 g of carbohydrate depending on the milk used."],
+    ),
 ]
 
 
