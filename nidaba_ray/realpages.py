@@ -1533,6 +1533,101 @@ carbohydrate depending on the milk used.</p>
          "Per serving: 320 kcal, 9 g protein, 11 g fat, and roughly "
          "40 g of carbohydrate depending on the milk used."],
     ),
+    # 76. glossary page: definition-list terms and definitions are all
+    # content (dt/dd are block tags); the alphabet jump bar is a link
+    # farm.
+    _page(
+        "glossary_page",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><h1>Harbor glossary</h1>
+<nav class="jump"><a href="#a">A</a> <a href="#b">B</a>
+<a href="#d">D</a> <a href="#m">M</a></nav>
+<dl>
+<dt>Berth</dt>
+<dd>The designated place where a vessel ties up alongside a quay or
+pier to load and unload.</dd>
+<dt>Dredging</dt>
+<dd>Removing sediment from the channel bed so that vessels with a
+deeper draft can pass at low tide.</dd>
+<dt>Mooring</dt>
+<dd>The lines, anchors and fittings that hold a vessel in position
+when it is not under way.</dd>
+</dl></main>{_FOOTER}</body></html>""",
+        ["Harbor glossary",
+         "Berth",
+         "The designated place where a vessel ties up alongside a quay "
+         "or pier to load and unload.",
+         "Dredging",
+         "Removing sediment from the channel bed so that vessels with "
+         "a deeper draft can pass at low tide.",
+         "Mooring",
+         "The lines, anchors and fittings that hold a vessel in "
+         "position when it is not under way."],
+    ),
+    # 77. photo essay: captions under each figure are the page's text
+    # content alongside the standfirst; image credits are chrome-worded
+    # ("meta") and the images themselves contribute nothing.
+    _page(
+        "photo_essay",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article><h1>A day at the rebuilt harbor</h1>
+<p>Photographs from the first morning of ferry service after the
+two-year reconstruction of the terminal and the north quay.</p>
+<figure><img src="/ph/1.jpg" alt="">
+<figcaption>Deckhands secure the first arrival of the morning while
+commuters wait behind the new glass windbreak.</figcaption>
+<div class="photo-meta"><a href="/credits">© Example Media /
+J. Shooter</a></div></figure>
+<figure><img src="/ph/2.jpg" alt="">
+<figcaption>The rebuilt waiting hall keeps the original trusses,
+repainted in the harbor's traditional green.</figcaption>
+<div class="photo-meta"><a href="/credits">© Example Media /
+J. Shooter</a></div></figure>
+</article></main>{_FOOTER}</body></html>""",
+        ["A day at the rebuilt harbor",
+         "Photographs from the first morning of ferry service after "
+         "the two-year reconstruction of the terminal and the north "
+         "quay.",
+         "Deckhands secure the first arrival of the morning while "
+         "commuters wait behind the new glass windbreak.",
+         "The rebuilt waiting hall keeps the original trusses, "
+         "repainted in the harbor's traditional green."],
+    ),
+    # 78. API reference docs: prose, signatures in <pre>, and parameter
+    # dl entries are content; the version-switcher and endpoint nav are
+    # chrome.
+    _page(
+        "api_reference",
+        f"""<html><body><header><h1>Example API</h1>{_NAV}</header>
+<aside class="sidebar"><ul><li><a href="/v1/pages">GET /pages</a></li>
+<li><a href="/v1/jobs">POST /jobs</a></li></ul></aside>
+<main><h1>GET /v1/pages</h1>
+<div class="toolbar"><a href="/v1">v1</a> <a href="/v2">v2 (beta)</a></div>
+<p>Returns extracted pages in submission order; responses are paged
+and each page carries an opaque cursor for the next request.</p>
+<pre>GET /v1/pages?cursor=abc123&amp;limit=100
+Authorization: Bearer &lt;token&gt;</pre>
+<h2>Query parameters</h2>
+<dl>
+<dt>cursor</dt><dd>Opaque continuation token from the previous
+response; omit it on the first request.</dd>
+<dt>limit</dt><dd>Maximum number of records per page, between 1 and
+500; the default is 100.</dd>
+</dl></main>{_FOOTER}</body></html>""",
+        ["GET /v1/pages",
+         "Returns extracted pages in submission order; responses are "
+         "paged and each page carries an opaque cursor for the next "
+         "request.",
+         "GET /v1/pages?cursor=abc123&limit=100 Authorization: Bearer "
+         "<token>",
+         "Query parameters",
+         "cursor",
+         "Opaque continuation token from the previous response; omit "
+         "it on the first request.",
+         "limit",
+         "Maximum number of records per page, between 1 and 500; the "
+         "default is 100."],
+    ),
 ]
 
 
