@@ -3,10 +3,12 @@
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data ops); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query — keys without an oracle
-entry are non-SQL-expressible (LSH/SimHash near-dup, approximate ANN,
-language-ID, winnowing fingerprints) and get the weaker rows-only
-check.
+equivalent for every SQL-expressible query (43 of 50 — round 4
+promoted the LSH/SimHash near-dup family, winnowing and language-ID
+by replaying their candidate generation in SQL). The 7 keys without
+an oracle entry are genuinely non-SQL-expressible (sketches,
+approximate ANN, trained scorers, fixture/stream sources) and get the
+weaker rows-only check.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init`` / ``ray.shutdown`` here or anywhere in nidaba_ray.
