@@ -1134,3 +1134,50 @@ def ann_topk_pq(
             "cos_sim": pa.array(cos[order], pa.float64()),
         }
     )
+
+
+def embedding_near_dup_driver(sf_dir: str) -> pa.Table:
+    """Driver-surface point of :func:`embedding_near_dup_scalable` at
+    threshold 0.25. The synthetic embeddings are near-uniform random
+    (max same-bucket cosine ≈ 0.41 across the sf corpora), so the
+    production 0.95 default returns an empty — vacuously checked —
+    pair set; the permissive threshold makes the DuckDB oracle
+    exercise the bucket codes, the candidate self-join, the
+    verification joins and the quantized cosine on a NON-empty result.
+    Threshold semantics are otherwise identical (one parameter)."""
+    return embedding_near_dup_scalable(sf_dir, threshold=0.25)
+
+
+def embedding_near_dup_sql(threshold: float = 0.25, dim: int = 64) -> str:
+    """Driver oracle for :func:`embedding_near_dup_driver`: the seeded
+    hyperplane matrix is inlined as DOUBLE[] literals (repr round-trips
+    float64 exactly), bucket = the same sign-bit code, and the cosine
+    is quantized to 6 decimals on both sides before the threshold —
+    the ann_topk precedent (hash-green since round 1) for
+    numpy-vs-DuckDB cosine parity at 6 dp. ``dim`` matches the driver
+    corpora's embedding width (64 at every sf)."""
+    planes = _planes(dim)
+    plane_rows = []
+    for j in range(planes.shape[0]):
+        lit = "[" + ", ".join(repr(float(x)) for x in planes[j]) + "]"
+        plane_rows.append(f"({j}, {lit}::DOUBLE[])")
+    return f"""
+WITH planes(j, p) AS (VALUES {", ".join(plane_rows)}),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+buck AS (
+  SELECT vec_id,
+         SUM(CASE WHEN list_dot_product(e, p) > 0
+                  THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS bucket
+  FROM emb, planes GROUP BY vec_id
+),
+cands AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND(list_cosine_similarity(ea.e, eb.e), 6) AS cos_sim
+FROM cands c JOIN emb ea ON ea.vec_id = c.vec_a
+JOIN emb eb ON eb.vec_id = c.vec_b
+WHERE ROUND(list_cosine_similarity(ea.e, eb.e), 6) >= {threshold}
+ORDER BY vec_a, vec_b
+"""
