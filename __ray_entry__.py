@@ -3,10 +3,10 @@
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data ops); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query (44 of 50 — round 4
-promoted the LSH/SimHash near-dup family, winnowing, language-ID and
-the LSH embedding near-dup by replaying their candidate generation in
-SQL). The 6 keys without
+equivalent for every SQL-expressible query (45 of 50 — round 4
+promoted the LSH/SimHash near-dup family, winnowing, language-ID, the
+LSH embedding near-dup and the HLL sketch by replaying their candidate
+generation / register math in SQL). The 5 keys without
 an oracle entry are genuinely non-SQL-expressible (sketches,
 approximate ANN, trained scorers, fixture/stream sources) and get the
 weaker rows-only check.
@@ -58,7 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from nidaba_ray.stages import quality
 
     return {
-        # ===== oracle-bearing (44) — every key below has an
+        # ===== oracle-bearing (45) — every key below has an
         # oracle_sql() entry and gets the full rows+schema+hash check
         # --- relational operators over the TPC-H-ish tables (§2.4-2.7)
         "q1_pricing_summary": rel.q1_pricing_summary,
@@ -119,9 +119,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     threshold (the synthetic corpus has no 0.95-near-dups, so
         #     the production default would be a vacuous 0-row check)
         "embedding_near_dup_scalable": ann.embedding_near_dup_driver,
-        # ===== rows-only (6) — non-SQL-expressible; each is pinned by
-        # a unit/property/golden/recall test named in its docstring
+        # --- HLL distinct sketch, promoted round 4: the oracle replays
+        #     the md5-deterministic sketch itself in SQL
         "hll_distinct_users": win.hll_distinct_users,
+        # ===== rows-only (5) — non-SQL-expressible; each is pinned by
+        # a unit/property/golden/recall test named in its docstring
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         # --- hand-labelled realistic page shapes (rows check; every
         #     row's `match` flag must be true — pinned in pytest)
@@ -188,8 +190,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_winnow": textops.WINNOW_SQL,
         "lang_id": textops.lang_id_sql(),
         "embedding_near_dup_scalable": ann.embedding_near_dup_sql(),
+        "hll_distinct_users": win.hll_distinct_users_sql(),
         # no oracle (non-SQL-expressible → rows-only check):
-        #   hll_distinct_users, ann_topk_ivf_partitioned,
-        #   extract_golden_real, block_quality_scores,
-        #   streaming_extract_stats, media_features
+        #   ann_topk_ivf_partitioned, extract_golden_real,
+        #   block_quality_scores, streaming_extract_stats, media_features
     }

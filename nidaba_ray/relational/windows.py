@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-from nidaba_ray.functions.compat import round_like_sql
+from nidaba_ray.functions.compat import MD5_64_SQL, round_like_sql
 
 SESSION_GAP_SEC = 1800
 
@@ -279,8 +279,11 @@ def _hll_estimate(regs: np.ndarray) -> float:
 
 
 def hll_distinct_users(sf_dir: str) -> pa.Table:
-    """Approximate distinct user_id per event_type. Rows-only check:
-    approximation ≠ SQL exact; accuracy asserted in unit tests."""
+    """Approximate distinct user_id per event_type. Oracle-checked
+    since round 4: the sketch is md5-deterministic, so the ORACLE
+    REPLAYS THE SKETCH — registers, estimator, linear-counting branch
+    and all — rather than comparing against an exact COUNT(DISTINCT)
+    (accuracy vs exact stays asserted in unit tests)."""
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         regs = np.zeros(_M, dtype=np.uint8)
@@ -306,6 +309,52 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
         .to_pandas()
     )
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def hll_distinct_users_sql() -> str:
+    """Driver oracle for :func:`hll_distinct_users` — the HLL replay:
+    md5_64 per distinct (event_type, user_id), register index/rank via
+    bit ops (DuckDB ``bin()`` length = int.bit_length), per-register
+    MAX over a dense 0..m-1 grid, then the same alpha·m²/Σ2^-reg
+    estimator with the linear-counting small-range branch. Quantized
+    to an integer on both sides, which absorbs the ulp differences
+    between numpy pairwise sums and SQL sequential sums."""
+    return f"""
+WITH h AS (
+  SELECT event_type,
+         {MD5_64_SQL.format(e='CAST(user_id AS VARCHAR)')} AS h
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+),
+rr AS (
+  SELECT event_type, (h & {_M - 1})::BIGINT AS idx,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {64 - HLL_P + 1}
+              ELSE {64 - HLL_P + 1} - length(bin(h >> {HLL_P})) END AS rank
+  FROM h
+),
+regs AS (SELECT event_type, idx, MAX(rank) AS reg FROM rr GROUP BY 1, 2),
+grid AS (
+  SELECT et.event_type, g.i
+  FROM (SELECT DISTINCT event_type FROM events) et,
+       (SELECT unnest(range(0, {_M})) AS i) g
+),
+filled AS (
+  SELECT grid.event_type, COALESCE(regs.reg, 0) AS reg
+  FROM grid LEFT JOIN regs
+    ON regs.event_type = grid.event_type AND regs.idx = grid.i
+),
+est AS (
+  SELECT event_type,
+         CAST({_ALPHA!r} AS DOUBLE) * {_M}.0 * {_M}.0
+           / SUM(power(2.0, -reg)) AS raw,
+         SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS zeros
+  FROM filled GROUP BY event_type
+)
+SELECT event_type,
+       CAST(ROUND(CASE WHEN raw <= 2.5 * {_M} AND zeros > 0
+                       THEN {_M}.0 * ln({_M}.0 / zeros)
+                       ELSE raw END) AS BIGINT) AS approx_users
+FROM est ORDER BY event_type
+"""
 
 
 # ---------------------------------------------------------------------------
