@@ -67,3 +67,29 @@ def test_fixture_corpus_jsonld(ray_session):
     # every other fixture carries no JSON-LD
     assert set(out["url"]) == {"fixture://jsonld_scripts",
                                "fixture://recipe_page"}
+
+
+def test_pipeline_specs_with_new_stages(ray_session, tmp_path):
+    """The example YAML specs exercising clean.pii and extract.jsonld
+    compile and run end-to-end through the registry."""
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.stages import registry
+    from nidaba_ray.synth import pages_dataset_from_documents
+
+    spec = registry.load_spec("examples/jsonld_metadata.yaml")
+    out = registry.compile_pipeline(
+        rd.from_arrow(realpages.fixture_pages_table()), spec
+    ).to_pandas()
+    assert {"fixture://jsonld_scripts", "fixture://recipe_page"} == set(out["url"])
+
+    spec = registry.load_spec("examples/extract_clean.yaml")
+    pages = pages_dataset_from_documents("/root/testdata/sf0.001")
+    cleaned = registry.compile_pipeline(pages, spec).to_pandas()
+    orig = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    m = cleaned[cleaned["error"] == ""].merge(
+        orig, on="doc_id", suffixes=("_got", "_orig"))
+    # the synthetic corpus has no PII, so the scrub is an identity on
+    # the byte-identical extraction output
+    assert len(m) and (m["text_got"] == m["text_orig"]).all()
