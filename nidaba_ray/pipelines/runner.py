@@ -2,7 +2,7 @@
 analog (SURVEY.md §3.4), runnable under ``ray job submit``:
 
     ray job submit -- python -m nidaba_ray.pipelines.runner \
-        <pages_parquet> <out_dir> [n_buckets]
+        <pages_parquet> <out_dir> [n_buckets] [--spec spec.yaml]
 
 One run = read (pruned to unfinished buckets) → flagship extraction →
 bucketed parquet sink → per-bucket manifests (lineage + counters).
@@ -32,10 +32,21 @@ def run_job(
     out_dir: str,
     n_buckets: int = DEFAULT_BUCKETS,
     pipeline_config: dict | None = None,
+    spec: list[dict] | None = None,
 ) -> dict:
     """Returns a summary dict {processed_buckets, skipped_buckets,
-    n_rows, n_quarantined}."""
-    config = {"n_buckets": n_buckets, "pipeline": pipeline_config or {}}
+    n_rows, n_quarantined}.
+
+    ``spec`` runs an arbitrary registry pipeline (the ordered stage
+    list ``stages.registry.compile_pipeline`` takes) under the SAME
+    bucketed-manifest resume contract as the flagship: the spec is
+    part of the config hash (resuming with a different spec restarts),
+    and a spec whose stages rebuild their output tables (dropping the
+    ``bucket`` column) is re-bucketed from ``url`` before the
+    partitioned write — stages must preserve one of the two columns.
+    Default (spec=None) stays the flagship extraction."""
+    config = {"n_buckets": n_buckets, "pipeline": pipeline_config or {},
+              "spec": spec or []}
     config_hash = mf.config_fingerprint(config)
     done = frozenset(mf.done_buckets(out_dir, n_buckets, config_hash))
     data_dir = os.path.join(out_dir, "data")
@@ -90,7 +101,19 @@ def run_job(
             partial(mf.prune_done, done=done), batch_format="pyarrow"
         )
 
-    out = extract_pipeline(pages, **(pipeline_config or {}))
+    if spec is None:
+        out = extract_pipeline(pages, **(pipeline_config or {}))
+    else:
+        from nidaba_ray.stages.registry import compile_pipeline
+
+        out = compile_pipeline(pages, spec)
+        # stages that rebuild their tables drop the bucket column —
+        # recompute it from url (the authoritative scheme) so the
+        # partitioned write and the manifests stay bucket-aligned
+        out = out.map_batches(
+            partial(mf.add_bucket_column, n_buckets=n_buckets),
+            batch_format="pyarrow",
+        )
     # Co-locate each bucket before the partitioned write: without this,
     # every write task splits its block across ~all buckets → tasks ×
     # buckets tiny files (measured 8k files for 128 blocks × 64
@@ -105,8 +128,17 @@ def run_job(
     # Manifest pass: scan ONLY the tiny stat columns of what we just
     # wrote (columnar pruning — the payload columns never move), roll
     # up per bucket, then write each manifest atomically.
+    # Spec pipelines need not emit the flagship's stat columns — the
+    # manifest rollup adapts to whichever of error/n_kept exist.
+    import pyarrow.parquet as _pq
+
+    present = set(_pq.read_schema(
+        next(iter(sorted(
+            __import__("glob").glob(os.path.join(data_dir, "**", "*.parquet"),
+                                    recursive=True))))).names)
+    stat_cols = ["bucket"] + [c for c in ("error", "n_kept") if c in present]
     stats = (
-        rd.read_parquet(data_dir, columns=["bucket", "error", "n_kept"])
+        rd.read_parquet(data_dir, columns=stat_cols)
         .map_batches(_bucket_partials, batch_format="pyarrow")
         .to_pandas()
     )
@@ -140,12 +172,17 @@ def run_job(
 def _bucket_partials(batch: pa.Table) -> pa.Table:
     import pandas as pd
 
+    names = set(batch.column_names)
     df = pd.DataFrame(
         {
             "bucket": batch["bucket"].to_pandas(),
             "n_rows": 1,
-            "n_quarantined": pc.invert(pc.equal(batch["error"], "")).to_pandas().astype(int),
-            "n_spans_kept": batch["n_kept"].to_pandas(),
+            "n_quarantined": (
+                pc.invert(pc.equal(batch["error"], "")).to_pandas().astype(int)
+                if "error" in names else 0
+            ),
+            "n_spans_kept": (batch["n_kept"].to_pandas()
+                             if "n_kept" in names else 0),
         }
     )
     g = df.groupby("bucket", as_index=False).sum()
@@ -196,9 +233,16 @@ def main(argv: list[str]) -> None:
 
     if not ray.is_initialized():  # standalone script owns its session
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    spec = None
+    if "--spec" in argv:
+        i = argv.index("--spec")
+        from nidaba_ray.stages.registry import load_spec
+
+        spec = load_spec(argv[i + 1])
+        argv = argv[:i] + argv[i + 2:]
     input_path, out_dir = argv[0], argv[1]
     n_buckets = int(argv[2]) if len(argv) > 2 else DEFAULT_BUCKETS
-    summary = run_job(input_path, out_dir, n_buckets)
+    summary = run_job(input_path, out_dir, n_buckets, spec=spec)
     print(summary)
     ray.shutdown()
 

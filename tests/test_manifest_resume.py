@@ -242,3 +242,68 @@ def test_marker_mismatch_falls_back(tmp_path):
     open(os.path.join(in_dir, "bucket=1", "f.parquet"), "w").close()
     files = mf.prunable_bucket_dirs(in_dir, frozenset({0}), 8)
     assert files == [os.path.join(in_dir, "bucket=1", "f.parquet")]
+
+
+def test_runner_with_registry_spec_resumes(ray_session, tmp_path):
+    """run_job(spec=...) runs an arbitrary registry pipeline under the
+    same bucketed resume contract: a completed job no-op-resumes, the
+    spec participates in the config hash (a different spec restarts),
+    and a spec whose stages rebuild tables still partitions by the
+    recomputed url bucket."""
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.pipelines.runner import job_status, run_job
+    from nidaba_ray.stages.registry import load_spec
+    from nidaba_ray.synth import pages_table
+
+    pages = pages_table(n=120)  # + dup_frac tail → 126 rows
+    src = tmp_path / "pages.parquet"
+    pq.write_table(pages, src)
+    spec = load_spec("examples/extract_clean.yaml")
+
+    out = tmp_path / "job"
+    s1 = run_job(str(src), str(out), n_buckets=8, spec=spec)
+    assert s1["processed_buckets"] == 8 and s1["n_rows"] == pages.num_rows
+    assert job_status(str(out), 8)["complete"]
+    # no-op resume: nothing re-processed
+    s2 = run_job(str(src), str(out), n_buckets=8, spec=spec)
+    assert s2 == {"processed_buckets": 0, "skipped_buckets": 8,
+                  "n_rows": 0, "n_quarantined": 0,
+                  "pruned_input_buckets": 0}
+    # a DIFFERENT spec must not reuse the old manifests
+    spec2 = load_spec("examples/extract.yaml")
+    s3 = run_job(str(src), str(out) + "2", n_buckets=8, spec=spec2)
+    assert s3["processed_buckets"] == 8
+    from nidaba_ray.state.manifest import config_fingerprint
+    assert config_fingerprint({"n_buckets": 8, "pipeline": {}, "spec": spec}) \
+        != config_fingerprint({"n_buckets": 8, "pipeline": {}, "spec": spec2})
+
+
+def test_runner_spec_rebucket_from_url(ray_session, tmp_path):
+    """A spec stage that REBUILDS its output table (extract.jsonld
+    drops every input column incl. bucket) still writes a correctly
+    bucket-partitioned dataset — the runner re-buckets from url."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray import realpages
+    from nidaba_ray.pipelines.runner import run_job
+    from nidaba_ray.stages.registry import load_spec
+    from nidaba_ray.state.manifest import bucket_of
+
+    src_tbl = realpages.fixture_pages_table()
+    src = tmp_path / "fixture_pages.parquet"
+    pq.write_table(src_tbl, src)
+    out = tmp_path / "meta"
+    spec = load_spec("examples/jsonld_metadata.yaml")
+    s = run_job(str(src), str(out), n_buckets=4, spec=spec)
+    assert s["n_rows"] > 0
+    files = glob.glob(str(out / "data" / "bucket=*" / "*.parquet"))
+    assert files
+    got = pq.read_table(files)  # hive column re-injected
+    # every row's partition bucket equals the url's authoritative bucket
+    urls = got["url"].to_pylist()
+    want = bucket_of(urls, 4)
+    assert [int(b) for b in got["bucket"].to_pylist()] == [int(w) for w in want]
