@@ -7,7 +7,9 @@ same registry behind any ASGI server.
 
 Endpoints:
     GET  /health        → {"status": "ok"}
-    POST /jobs          → {"job_id": ...}; body JSON:
+    POST /jobs          → {"job_id": ...}; body JSON (optional
+    "pipeline": an ordered registry stage list runs instead of the
+    flagship, same resume contract as `runner.run_job(spec=…)`):
                           {"input": path, "out_dir": path,
                            "n_buckets": int (optional)}
     GET  /jobs          → {"jobs": [record, ...]}
@@ -48,6 +50,13 @@ class JobRegistry:
             raise ValueError("body must be a JSON object")
         if "input" not in spec or "out_dir" not in spec:
             raise ValueError("spec needs 'input' and 'out_dir'")
+        pipeline = spec.get("pipeline")
+        if pipeline is not None and (
+            not isinstance(pipeline, list)
+            or not all(isinstance(st, dict) and "stage" in st
+                       for st in pipeline)
+        ):
+            raise ValueError("'pipeline' must be a list of {stage: ...} steps")
         job_id = uuid.uuid4().hex[:12]
         with self._lock:
             self._jobs[job_id] = {
@@ -55,7 +64,8 @@ class JobRegistry:
                 "state": "queued",
                 "spec": {"input": spec["input"], "out_dir": spec["out_dir"],
                          "n_buckets": int(spec.get("n_buckets",
-                                                   runner.DEFAULT_BUCKETS))},
+                                                   runner.DEFAULT_BUCKETS)),
+                         "pipeline": pipeline},
                 "summary": None,
                 "error": None,
             }
@@ -90,7 +100,8 @@ class JobRegistry:
                 spec = rec["spec"]
             try:
                 summary = runner.run_job(
-                    spec["input"], spec["out_dir"], spec["n_buckets"]
+                    spec["input"], spec["out_dir"], spec["n_buckets"],
+                    spec=spec.get("pipeline"),
                 )
                 with self._lock:
                     self._jobs[job_id]["summary"] = summary

@@ -100,3 +100,36 @@ def test_non_dict_json_body_is_400(ray_session, server):
     assert code == 400
     code, r = _post(server + "/jobs", ["input", "out_dir"])
     assert code == 400
+
+
+def test_job_with_pipeline_body(ray_session, server, tmp_path):
+    """POST /jobs with a 'pipeline' stage list runs that registry
+    pipeline instead of the flagship; malformed pipelines are 400."""
+    src = tmp_path / "pages.parquet"
+    pq.write_table(synth.pages_table(n=60), src)
+    out = tmp_path / "out"
+    code, body = _post(f"{server}/jobs", {
+        "input": str(src), "out_dir": str(out), "n_buckets": 4,
+        "pipeline": [
+            {"stage": "extract.candidates", "batch_size": 64,
+             "concurrency": [1, 2]},
+            {"stage": "merge.threshold_vote"},
+            {"stage": "clean.pii"},
+        ],
+    })
+    assert code == 201
+    job_id = body["job_id"]
+    for _ in range(300):
+        code, rec = _get(f"{server}/jobs/{job_id}")
+        if rec["state"] in ("done", "error"):
+            break
+        time.sleep(0.2)
+    assert rec["state"] == "done", rec
+    assert rec["summary"]["processed_buckets"] == 4
+    assert rec["progress"]["complete"]
+    # malformed pipeline rejected up front
+    code, body = _post(f"{server}/jobs", {
+        "input": str(src), "out_dir": str(out) + "2",
+        "pipeline": [{"not_stage": "x"}],
+    })
+    assert code == 400
