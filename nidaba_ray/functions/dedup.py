@@ -1150,8 +1150,99 @@ def _token_ngram_fps(tokens: list[str], n: int) -> np.ndarray:
 # Models Better" ExactSubstr recipe, re-expressed over token n-grams)
 # ---------------------------------------------------------------------------
 
+def _cover_and_join(toks: list[str], hot: np.ndarray, n: int) -> tuple:
+    """Shared cover-mask kernel: hot window starts → kept text.
+    Returns (kept_text or None, n_removed)."""
+    if len(hot):
+        c = np.concatenate(([0], np.cumsum(hot)))
+        idx = np.arange(len(toks))
+        lo = np.maximum(idx - n + 1, 0)
+        hi = np.minimum(idx + 1, len(hot))
+        covered = (c[hi] - c[np.minimum(lo, hi)]) > 0
+    else:
+        covered = np.zeros(len(toks), dtype=bool)
+    kept = [tok for tok, cv in zip(toks, covered) if not cv]
+    if not kept:
+        return None, 0
+    return " ".join(kept), len(toks) - len(kept)
+
+
+def _covered_rewrite_shuffled(docs: rd.Dataset, frequent: rd.Dataset,
+                              n: int, column: str) -> rd.Dataset:
+    """The no-broadcast rewrite: gram OCCURRENCES (fp, doc_id, pos)
+    join the frequent-fp Dataset, hot starts pack into one binary
+    array per doc, and a left join carries them back to the payloads —
+    text bytes are read exactly twice and never shuffled; everything
+    that moves is fingerprint/position-sized."""
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        fps_col, ids_col, pos_col = [], [], []
+        for did, t in zip(batch["doc_id"].to_pylist(),
+                          batch[column].to_pylist()):
+            g = _token_ngram_fps(t.split(" "), n)
+            if len(g):
+                fps_col.append(g.view(np.int64))
+                ids_col.append(np.full(len(g), did, dtype=np.int64))
+                pos_col.append(np.arange(len(g), dtype=np.int64))
+        if fps_col:
+            return pa.table({
+                "fp": pa.array(np.concatenate(fps_col)),
+                "doc_id": pa.array(np.concatenate(ids_col)),
+                "pos": pa.array(np.concatenate(pos_col)),
+            })
+        return pa.table({"fp": pa.array([], pa.int64()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64())})
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow")
+    # occurrences × frequent: both sides hash-partition on fp; output
+    # is (hot start) rows only. Split-repartition guards the Ray 2.49
+    # empty-first-block join schema hazard (see _verify_jaccard_pairs).
+    nf = max(1, frequent.count())
+    hot = occ.join(
+        frequent.repartition(min(join_partitions(4), nf)),
+        "inner", join_partitions(8), on=("fp",),
+    ).select_columns(["doc_id", "pos"])
+
+    def pack_positions(g: pd.DataFrame) -> pd.DataFrame:
+        pos = np.sort(g["pos"].to_numpy(dtype=np.int64))
+        return pd.DataFrame({"doc_id": [int(g["doc_id"].iloc[0])],
+                             "hot_pos": [pos.tobytes()]})
+
+    packed = hot.groupby("doc_id").map_groups(
+        pack_positions, batch_format="pandas"
+    )
+    joined = docs.join(
+        packed, "left_outer", join_partitions(8), on=("doc_id",),
+    )
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        out_ids, out_texts, out_removed = [], [], []
+        for did, t, pk in zip(batch["doc_id"].to_pylist(),
+                              batch[column].to_pylist(),
+                              batch["hot_pos"].to_pylist()):
+            toks = t.split(" ")
+            n_windows = max(0, len(toks) - n + 1)
+            hot_mask = np.zeros(n_windows, dtype=bool)
+            if pk is not None and n_windows:
+                hot_mask[np.frombuffer(pk, dtype=np.int64)] = True
+            text, removed = _cover_and_join(toks, hot_mask, n)
+            if text is not None:
+                out_ids.append(did)
+                out_texts.append(text)
+                out_removed.append(removed)
+        return pa.table({
+            "doc_id": pa.array(out_ids, pa.int64()),
+            column: pa.array(out_texts, pa.string()),
+            "n_removed": pa.array(out_removed, pa.int64()),
+        })
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")
+
+
 def remove_duplicate_spans(sf_dir: str, n: int = 8, max_df: int = 1,
-                           column: str = "text") -> rd.Dataset:
+                           column: str = "text",
+                           max_broadcast: int = 2_000_000) -> rd.Dataset:
     """Remove every token that is covered by a token ``n``-gram
     occurring in more than ``max_df`` DISTINCT documents — the
     substring-level sibling of :func:`dedup_paragraphs` (a span
@@ -1161,14 +1252,20 @@ def remove_duplicate_spans(sf_dir: str, n: int = 8, max_df: int = 1,
 
     Scale shape mirrors the paragraph pass: (1) per-batch pre-counted
     ``(fp, n)`` partials over each doc's DISTINCT n-gram fingerprints
-    → one vocabulary-sized groupby-sum; the over-threshold survivors
-    are broadcast (boilerplate-sized by construction — an n-gram must
-    recur across documents to qualify); (2) a shuffle-free rewrite
-    pass marks covered token positions per row with one vectorized
-    ``pc.is_in`` and a sliding-window OR. Fingerprints are md5_64 over
-    the space-joined n-gram (repo md5-only invariant); the pytest
-    oracle replays the same semantics over the raw n-gram STRINGS in
-    DuckDB (equal sets absent an md5 collision — the Jaccard-oracle
+    → one vocabulary-sized groupby-sum; (2) when the over-threshold
+    survivors fit ``max_broadcast`` they are broadcast
+    (boilerplate-sized on ordinary corpora — an n-gram must recur
+    across documents to qualify) and the rewrite pass is shuffle-free:
+    one vectorized ``pc.is_in`` + a sliding-window OR per row. On a
+    HEAVILY mirrored corpus the frequent set can approach gram
+    cardinality and the broadcast precondition fails — the fallback
+    (:func:`_covered_rewrite_shuffled`, pinned output-equal) joins
+    gram OCCURRENCES against the frequent Dataset instead: the shuffle
+    carries (fp, doc_id, position) rows and packed position arrays,
+    never the text payloads. Fingerprints are md5_64 over the
+    space-joined n-gram (repo md5-only invariant); the pytest oracle
+    replays the same semantics over the raw n-gram STRINGS in DuckDB
+    (equal sets absent an md5 collision — the Jaccard-oracle
     argument)."""
     from collections import Counter
 
@@ -1195,7 +1292,9 @@ def remove_duplicate_spans(sf_dir: str, n: int = 8, max_df: int = 1,
     )
     frequent = df_counts.filter(
         expr=f"df > {int(max_df)}"
-    ).select_columns(["fp"])
+    ).select_columns(["fp"]).materialize()
+    if frequent.count() > max_broadcast:
+        return _covered_rewrite_shuffled(docs, frequent, n, column)
     chunks = [b["fp"] for b in frequent.iter_batches(batch_format="pyarrow")
               if b.num_rows]
     freq_arr = (pa.concat_arrays([c.combine_chunks() if

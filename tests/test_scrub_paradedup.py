@@ -415,3 +415,17 @@ def test_decontaminate_edge_cases(ray_session, tmp_path):
     assert list(out["contaminated"]) == [True, False, True]
     empty = (decontaminate_flags(str(d), []).to_pandas())
     assert not empty["contaminated"].any()
+
+
+def test_remove_duplicate_spans_shuffled_fallback_equal(ray_session, tmp_path):
+    """max_broadcast=0 forces the no-broadcast (occurrence-join)
+    rewrite; output must equal the broadcast path row for row."""
+    from nidaba_ray.functions.dedup import remove_duplicate_spans
+
+    sf, _, _ = _span_corpus(tmp_path)
+    a = (remove_duplicate_spans(sf, n=8).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    b = (remove_duplicate_spans(sf, n=8, max_broadcast=0).to_pandas()
+         .sort_values("doc_id").reset_index(drop=True))
+    assert a.equals(b)
+    assert (a["n_removed"] > 0).any()  # the pin is non-vacuous
