@@ -1194,10 +1194,20 @@ def _covered_rewrite_shuffled(docs: rd.Dataset, frequent: rd.Dataset,
                          "doc_id": pa.array([], pa.int64()),
                          "pos": pa.array([], pa.int64())})
 
-    occ = docs.map_batches(occurrences, batch_format="pyarrow")
     # occurrences × frequent: both sides hash-partition on fp; output
-    # is (hot start) rows only. Split-repartition guards the Ray 2.49
-    # empty-first-block join schema hazard (see _verify_jaccard_pairs).
+    # is (hot start) rows only. BOTH sides are split-repartitioned to
+    # ≤ their row counts first — a batch of only <n-token docs emits a
+    # 0-row block, and a 0-row FIRST block poisons the join's schema
+    # broadcast (the Ray 2.49 hazard _verify_jaccard_pairs documents).
+    occ = docs.map_batches(occurrences, batch_format="pyarrow").materialize()
+    n_occ = occ.count()
+    if n_occ == 0:
+        return docs.map_batches(  # no grams anywhere: identity + n_removed=0
+            lambda t: t.append_column(
+                "n_removed", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow",
+        )
+    occ = occ.repartition(min(join_partitions(8), n_occ))
     nf = max(1, frequent.count())
     hot = occ.join(
         frequent.repartition(min(join_partitions(4), nf)),

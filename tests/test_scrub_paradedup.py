@@ -429,3 +429,39 @@ def test_remove_duplicate_spans_shuffled_fallback_equal(ray_session, tmp_path):
          .sort_values("doc_id").reset_index(drop=True))
     assert a.equals(b)
     assert (a["n_removed"] > 0).any()  # the pin is non-vacuous
+
+
+def test_shuffled_fallback_short_doc_blocks(ray_session, tmp_path):
+    """Batches of only <n-token docs emit 0-row occurrence blocks —
+    the fallback must survive them (the empty-first-block join hazard)
+    and pass short docs through untouched."""
+    from nidaba_ray.functions.dedup import remove_duplicate_spans
+
+    span = "p q r s t u v w x"  # 9 tokens, shared by two docs
+    docs = pa.table({
+        "doc_id": pa.array(range(40), pa.int64()),
+        "text": pa.array(
+            ["tiny"] * 30  # short docs first → leading empty blocks
+            + [f"u{i} {span} v{i}" for i in range(8)]
+            + ["also short", "me too"], pa.string()),
+    })
+    d = tmp_path / "shortfirst"
+    d.mkdir()
+    pq.write_table(docs, d / "documents.parquet")
+    out = (remove_duplicate_spans(str(d), n=8, max_broadcast=0).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 40  # "tiny" docs are <n: never fingerprinted
+    mid = out[(out["doc_id"] >= 30) & (out["doc_id"] < 38)]
+    assert (mid["n_removed"] == 9).all()
+    assert list(mid["text"]) == [f"u{i} v{i}" for i in range(8)]
+    # all-short corpus: the n_occ == 0 early path is identity
+    d2 = tmp_path / "allshort"
+    d2.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a b", "a b"], pa.string()),
+    }), d2 / "documents.parquet")
+    out2 = (remove_duplicate_spans(str(d2), n=8, max_broadcast=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert list(out2["text"]) == ["a b", "a b"]
+    assert list(out2["n_removed"]) == [0, 0]
