@@ -122,12 +122,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- HLL distinct sketch, promoted round 4: the oracle replays
         #     the md5-deterministic sketch itself in SQL
         "hll_distinct_users": win.hll_distinct_users,
-        # ===== rows-only (5) — non-SQL-expressible; each is pinned by
+        # --- hand-labelled realistic page shapes, promoted round 5:
+        #     the 78 frozen expected-text md5s are inlined in the SQL
+        #     as a VALUES list (corpus-independent repo constants)
+        "extract_golden_real": realpages.extract_golden_real,
+        # ===== rows-only — non-SQL-expressible; each is pinned by
         # a unit/property/golden/recall test named in its docstring
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
-        # --- hand-labelled realistic page shapes (rows check; every
-        #     row's `match` flag must be true — pinned in pytest)
-        "extract_golden_real": realpages.extract_golden_real,
         # --- block-quality classifier served as an actor stage (rows
         #     check; accuracy pinned in tests/test_quality_model.py)
         "block_quality_scores": quality.block_quality_scores,
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, textops
     from nidaba_ray.pipelines import conformance, curate
     from nidaba_ray.relational import queries as rel
@@ -191,7 +193,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.lang_id_sql(),
         "embedding_near_dup_scalable": ann.embedding_near_dup_sql(),
         "hll_distinct_users": win.hll_distinct_users_sql(),
+        "extract_golden_real": realpages.golden_real_sql(),
         # no oracle (non-SQL-expressible → rows-only check):
-        #   ann_topk_ivf_partitioned, extract_golden_real,
+        #   ann_topk_ivf_partitioned,
         #   block_quality_scores, streaming_extract_stats, media_features
     }

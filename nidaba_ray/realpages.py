@@ -25,7 +25,8 @@ import pyarrow as pa
 
 from nidaba_ray.record import SPAN_SEP
 
-__all__ = ["FIXTURES", "fixture_pages_table", "extract_golden_real"]
+__all__ = ["FIXTURES", "fixture_pages_table", "extract_golden_real",
+           "golden_real_sql"]
 
 
 def _page(name: str, html: str, expected_blocks: list[str],
@@ -1649,32 +1650,58 @@ def fixture_pages_table() -> pa.Table:
 
 
 def extract_golden_real(sf_dir: str) -> pa.Table:
-    """queries() entry (rows check): run the fixture corpus through the
-    REAL distributed pipeline and compare against the hand labels.
+    """queries() entry (full DuckDB oracle since round 5): run the
+    fixture corpus through the REAL distributed pipeline and emit each
+    fixture's extracted-text md5 — ``golden_real_sql()`` inlines the
+    md5s of the FROZEN hand labels as a VALUES list (the corpus is
+    repo-constant, so the SQL is corpus-independent; the
+    ``lang_id_sql`` inlined-constants idiom), putting the flagship
+    extractor itself under the driver's rows+schema+hash check.
 
     ``sf_dir`` is unused (the corpus is in-repo by design — these pages
     exist precisely because no driver table has realistic markup); the
-    signature matches the driver contract. Returns one row per fixture
-    with the match flag — n_matched is asserted == n rows in pytest."""
+    signature matches the driver contract."""
+    import hashlib
+
     import ray.data as rd
 
     from nidaba_ray.pipelines.extract import extract_pipeline
 
     pages = rd.from_arrow(fixture_pages_table())
     out = extract_pipeline(pages).to_pandas()
-    expected = {f"fixture://{f['name']}": f["expected"] for f in FIXTURES}
     out = out.sort_values("url").reset_index(drop=True)
-    rows = {
-        "name": [u.split("://", 1)[1] for u in out["url"]],
-        "match": [
-            bool(t == expected[u]) for u, t in zip(out["url"], out["text"])
-        ],
-        "n_chars": [len(t) for t in out["text"]],
-    }
     return pa.table(
         {
-            "name": pa.array(rows["name"], pa.string()),
-            "match": pa.array(rows["match"], pa.bool_()),
-            "n_chars": pa.array(rows["n_chars"], pa.int64()),
+            "name": pa.array(
+                [u.split("://", 1)[1] for u in out["url"]], pa.string()
+            ),
+            "text_md5": pa.array(
+                [hashlib.md5(t.encode("utf-8")).hexdigest()
+                 for t in out["text"]],
+                pa.string(),
+            ),
+            "n_chars": pa.array([len(t) for t in out["text"]], pa.int64()),
         }
+    )
+
+
+def golden_real_sql() -> str:
+    """Driver oracle for :func:`extract_golden_real`: the 78 frozen
+    hand labels, reduced to (name, md5, n_chars) VALUES — built from
+    the SAME ``FIXTURES`` constants the pipeline is checked against,
+    so the two sides cannot drift (and any extractor change that flips
+    a label now fails the driver's hash check, not just pytest)."""
+    import hashlib
+
+    vals = ", ".join(
+        "('{}', '{}', {})".format(
+            f["name"],
+            hashlib.md5(f["expected"].encode("utf-8")).hexdigest(),
+            len(f["expected"]),
+        )
+        for f in sorted(FIXTURES, key=lambda f: f["name"])
+    )
+    return (
+        "SELECT name, text_md5, CAST(n_chars AS BIGINT) AS n_chars "
+        f"FROM (VALUES {vals}) AS t(name, text_md5, n_chars)"
     )

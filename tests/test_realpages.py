@@ -36,11 +36,18 @@ def test_fixture_names_unique():
 
 
 def test_extract_golden_real_through_ray(ray_session):
+    import hashlib
+
     from nidaba_ray.realpages import extract_golden_real
 
     t = extract_golden_real("/root/testdata/sf0.001").to_pandas()
     assert len(t) == len(FIXTURES)
-    assert t["match"].all(), list(t.loc[~t["match"], "name"])
+    expected = {
+        f["name"]: hashlib.md5(f["expected"].encode("utf-8")).hexdigest()
+        for f in FIXTURES
+    }
+    bad = [n for n, h in zip(t["name"], t["text_md5"]) if expected[n] != h]
+    assert not bad, bad
 
 
 def test_suppress_isolated_keeps_max_run():
