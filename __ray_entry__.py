@@ -126,12 +126,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     the 78 frozen expected-text md5s are inlined in the SQL
         #     as a VALUES list (corpus-independent repo constants)
         "extract_golden_real": realpages.extract_golden_real,
+        # --- block-quality classifier served as an actor stage,
+        #     promoted round 5: the logistic is replayed in SQL over
+        #     the synth corpus's known span geometry with the trained
+        #     weights inlined (accuracy pinned in test_quality_model)
+        "block_quality_scores": quality.block_quality_scores,
         # ===== rows-only — non-SQL-expressible; each is pinned by
         # a unit/property/golden/recall test named in its docstring
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
-        # --- block-quality classifier served as an actor stage (rows
-        #     check; accuracy pinned in tests/test_quality_model.py)
-        "block_quality_scores": quality.block_quality_scores,
         # --- streaming crawl-shard Datasource feeding the same
         #     pipeline (rows check; identity pinned in pytest)
         "streaming_extract_stats": crawl.streaming_extract_stats,
@@ -146,6 +148,7 @@ def oracle_sql() -> dict[str, str]:
     from nidaba_ray.pipelines import conformance, curate
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
+    from nidaba_ray.stages import quality
 
     return {
         "q1_pricing_summary": rel.Q1_SQL,
@@ -194,7 +197,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup_scalable": ann.embedding_near_dup_sql(),
         "hll_distinct_users": win.hll_distinct_users_sql(),
         "extract_golden_real": realpages.golden_real_sql(),
+        "block_quality_scores": quality.block_quality_sql(),
         # no oracle (non-SQL-expressible → rows-only check):
         #   ann_topk_ivf_partitioned,
-        #   block_quality_scores, streaming_extract_stats, media_features
+        #   streaming_extract_stats, media_features
     }

@@ -24,6 +24,7 @@ __all__ = [
     "default_weights",
     "QualityScorer",
     "block_quality_scores",
+    "block_quality_sql",
 ]
 
 def _weights_fingerprint() -> str:
@@ -159,8 +160,10 @@ class QualityScorer:
                   else default_weights(train_pages))
 
     def _prob(self, span: dict) -> float:
+        from nidaba_ray.functions.compat import round_like_sql
+
         f = np.append(span_features(span), 1.0)
-        return round(float(1.0 / (1.0 + np.exp(-(f @ self.w)))), 6)
+        return round_like_sql(float(1.0 / (1.0 + np.exp(-(f @ self.w)))), 6)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch["spans"].to_pylist()
@@ -250,9 +253,64 @@ def block_quality_scores(sf_dir: str) -> pa.Table:
         .sort_values("lang")
         .reset_index(drop=True)
     )
-    g["mean_prob"] = (g["prob_micro"] / g["n_blocks"] / 1_000_000).round(4)
+    from nidaba_ray.functions.compat import round_like_sql
+
+    g["mean_prob"] = round_like_sql(g["prob_micro"] / g["n_blocks"] / 1_000_000, 4)
     g = g.drop(columns=["prob_micro"]).astype(
         {"lang": "string", "n_docs": "int64", "n_blocks": "int64",
          "n_content": "int64"}
     )
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def block_quality_sql() -> str:
+    """Driver oracle for :func:`block_quality_scores` (promoted round
+    5): the logistic is REPLAYED in SQL over the synthetic corpus's
+    known span geometry. The generator's page layout is fixed
+    (synth.make_html: every kept content span is a ``<p>`` at depth 4
+    with link_density 0 and text_density == len; synth.make_pdf: kind
+    ``pdf`` at depth 0), so each span's feature vector — and therefore
+    its sigmoid score — is a pure function of its paragraph's char
+    length, which SQL reconstructs from ``documents.text`` with the
+    ``paragraphs_for`` word-chunk arithmetic (chunk = 20 + doc_id%5 *
+    10). Weights come from the SAME deterministic ``default_weights``
+    training the Ray side uses, inlined as round-trip float literals —
+    the two sides cannot drift. Per-span probs are quantized to 6
+    decimals on both sides before the integer micro-unit sums, so the
+    rollup is ulp-robust (the quantized-cosine precedent,
+    ann.embedding_near_dup_sql)."""
+    w = default_weights(200)
+    W = {k: repr(float(v)) for k, v in zip(
+        ["len", "ld", "td", "depth", "p", "li", "tdk", "pre", "div",
+         "head", "bias"], w)}
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w,
+         20 + (doc_id % 5) * 10 AS chunk,
+         (doc_id % 29 = 7) AS is_pdf
+  FROM documents WHERE doc_id % 97 <> 13
+),
+plen AS (
+  SELECT doc_id, lang, is_pdf,
+         unnest(list_transform(range(0, len(w), chunk),
+            i -> len(array_to_string(list_slice(w, i+1, i+chunk), ' ')))) AS L
+  FROM d
+),
+probs AS (
+  SELECT doc_id, lang,
+         ROUND(1.0 / (1.0 + EXP(-(
+           CASE WHEN is_pdf
+             THEN {W['len']}*LN(1.0+L) + {W['td']}*LN(1.0+L) + {W['bias']}
+             ELSE {W['len']}*LN(1.0+L) + {W['td']}*LN(1.0+L)
+                  + {W['depth']}*4.0 + {W['p']} + {W['bias']}
+           END))), 6) AS p
+  FROM plen
+)
+SELECT lang,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(COUNT(*) FILTER (WHERE p >= 0.5) AS BIGINT) AS n_content,
+       ROUND(CAST(SUM(CAST(ROUND(p*1000000.0, 0) AS BIGINT)) AS DOUBLE)
+             / COUNT(*) / 1000000.0, 4) AS mean_prob
+FROM probs GROUP BY lang ORDER BY lang
+"""
