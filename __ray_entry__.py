@@ -131,9 +131,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     the synth corpus's known span geometry with the trained
         #     weights inlined (accuracy pinned in test_quality_model)
         "block_quality_scores": quality.block_quality_scores,
+        # --- partitioned IVF, promoted round 5: the coarse quantizer
+        #     trains in FIXED-POINT (int64 grid, half-away rounding),
+        #     so the Lloyd iterations unroll exactly as SQL CTE stages
+        "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         # ===== rows-only — non-SQL-expressible; each is pinned by
         # a unit/property/golden/recall test named in its docstring
-        "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
         # --- streaming crawl-shard Datasource feeding the same
         #     pipeline (rows check; identity pinned in pytest)
         "streaming_extract_stats": crawl.streaming_extract_stats,
@@ -198,7 +201,7 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_users": win.hll_distinct_users_sql(),
         "extract_golden_real": realpages.golden_real_sql(),
         "block_quality_scores": quality.block_quality_sql(),
+        "ann_topk_ivf_partitioned": ann.ann_ivf_sql(),
         # no oracle (non-SQL-expressible → rows-only check):
-        #   ann_topk_ivf_partitioned,
         #   streaming_extract_stats, media_features
     }

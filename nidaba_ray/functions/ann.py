@@ -92,6 +92,94 @@ def _sqdist(m: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.maximum(m2[:, None] + c2[None, :] - 2.0 * cross, 0.0)
 
 
+# --- fixed-point coarse-quantizer arithmetic (round-4 verdict item 2:
+# integer training makes even the TRAINED IVF state SQL-replayable, so
+# ann_topk_ivf_partitioned carries a full DuckDB oracle) ---
+
+FIXED_SCALE = 1 << 20
+"""Quantization scale for the IVF coarse quantizer. A power of two on
+purpose: ``x * 2**20`` is EXACT in float64 for any float32 input (the
+mantissa is untouched, only the exponent moves), so numpy and DuckDB
+compute bit-identical products before the half-away round — there is
+no cross-engine double-rounding hazard at the quantization boundary."""
+
+
+def _fixed_quantize(m: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero round of ``m * FIXED_SCALE`` to int64 —
+    exactly DuckDB ``CAST(ROUND(x * 1048576.0, 0) AS BIGINT)``."""
+    v = np.asarray(m, dtype=np.float64) * float(FIXED_SCALE)
+    return np.trunc(v + np.copysign(0.5, v)).astype(np.int64)
+
+
+def _sqdist_fixed(mq: np.ndarray, cq: np.ndarray) -> np.ndarray:
+    """(B, K) EXACT integer squared L2 distances between quantized
+    rows. Bounds: |q| ≤ ~2·FIXED_SCALE for unit-scale embeddings, so
+    d² ≤ d·(4·FIXED_SCALE)² ≈ 2**50 at d=64 — comfortably int64; the
+    layout-invariance argument for float ``_sqdist`` is moot here
+    (integer addition is associative)."""
+    m2 = np.einsum("ij,ij->i", mq, mq)
+    c2 = np.einsum("ij,ij->i", cq, cq)
+    cross = mq @ cq.T
+    return m2[:, None] + c2[None, :] - 2 * cross
+
+
+def _div_round_half_away(s: np.ndarray, n: int) -> np.ndarray:
+    """Integer division rounding half away from zero — the centroid
+    update rule, replayed in SQL as
+    ``CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+      ELSE -((-2*s + n) // (2*n)) END`` (DuckDB ``//`` truncates
+    toward zero; both operands are made nonnegative first so
+    truncation == floor on both sides). Requires |s| < 2**62 / 2,
+    i.e. cluster populations up to ~2**41 vectors at FIXED_SCALE —
+    far beyond any real corpus."""
+    s = np.asarray(s, dtype=np.int64)
+    return np.sign(s) * ((2 * np.abs(s) + n) // (2 * n))
+
+
+def _train_centroids_fixed(ds: rd.Dataset, init_q: np.ndarray,
+                           n_iter: int) -> np.ndarray:
+    """Fixed-point Lloyd: same broadcast-partials shape as
+    :func:`_train_centroids`, but vectors and centroids live on the
+    FIXED_SCALE integer grid, assignment distances are exact int64,
+    ties go to the lower cluster id, and the centroid update is the
+    deterministic half-away integer division — every step is
+    arithmetic a SQL engine reproduces exactly (``ann_ivf_sql``
+    unrolls the iterations). Runs exactly ``n_iter`` iterations with
+    no early exit: the update is idempotent at a fixpoint, so the SQL
+    unroll and the Ray loop can't diverge on iteration count."""
+    centroids = np.asarray(init_q, dtype=np.int64)
+    for _ in range(n_iter):
+        c = centroids  # broadcast by closure (small)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            mq = _fixed_quantize(_embedding_matrix(batch["embedding"]))
+            assign = _sqdist_fixed(mq, c).argmin(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, mq)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(len(c)), pa.int32()),
+                    "sum_vec": pa.array(list(sums), pa.list_(pa.int64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+        agg = parts.groupby("cluster").agg(
+            n=("n", "sum"),
+            sum_vec=("sum_vec", lambda s: np.sum(np.stack(s.to_list()), axis=0)),
+        )
+        new = centroids.copy()
+        for cid, row in agg.iterrows():
+            if row["n"] > 0:
+                new[cid] = _div_round_half_away(
+                    np.asarray(row["sum_vec"], dtype=np.int64), int(row["n"])
+                )
+        centroids = new
+    return centroids
+
+
 # declared output schema for the near-dup family — collection sites
 # rebuild all-empty results against it (see util.ensure_columns)
 _NEAR_DUP_SCHEMA = pa.schema(
@@ -427,17 +515,19 @@ def ann_topk_ivf(
     )
     if len(init) < n_lists:
         init = ds.sort("vec_id").limit(n_lists).to_pandas()
-    centroids = _train_centroids(
-        ds, np.array(list(init["embedding"]), dtype=np.float64), train_iter
+    centroids = _train_centroids_fixed(
+        ds,
+        _fixed_quantize(np.array(list(init["embedding"]), dtype=np.float64)),
+        train_iter,
     )
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
-    cd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    cd = ((centroids - _fixed_quantize(q)[None, :]) ** 2).sum(axis=1)
     probed = np.sort(np.argsort(cd, kind="stable")[:n_probe])
 
     def probe(batch: pa.Table) -> pa.Table:
         m = _embedding_matrix(batch["embedding"])
-        d2 = _sqdist(m, centroids)
+        d2 = _sqdist_fixed(_fixed_quantize(m), centroids)
         assign = d2.argmin(axis=1)
         mask = np.isin(assign, probed)
         if not mask.any():
@@ -549,8 +639,10 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
     )
     if len(init) < n_lists:
         init = ds.sort("vec_id").limit(n_lists).to_pandas()
-    centroids = _train_centroids(
-        ds, np.array(list(init["embedding"]), dtype=np.float64), train_iter
+    centroids = _train_centroids_fixed(
+        ds,
+        _fixed_quantize(np.array(list(init["embedding"]), dtype=np.float64)),
+        train_iter,
     )
 
     books = None
@@ -560,7 +652,7 @@ def build_ivf_index(sf_dir: str, out_dir: str, n_lists: int = 16,
 
     def assign(batch: pa.Table) -> pa.Table:
         m = _embedding_matrix(batch["embedding"])
-        d2 = _sqdist(m, centroids)
+        d2 = _sqdist_fixed(_fixed_quantize(m), centroids)
         batch = batch.append_column(
             "list_id", pa.array(d2.argmin(axis=1).astype(np.int64))
         )
@@ -596,12 +688,13 @@ def _embeddings_fingerprint(sf_dir: str) -> str:
     import os
 
     st = os.stat(f"{sf_dir}/embeddings.parquet")
-    # ":a3" = assignment-algorithm version — bump when the quantizer
+    # ":a4" = assignment-algorithm version — bump when the quantizer
     # arithmetic changes (a2: broadcast-subtract → _sqdist expansion;
-    # a3: PQ codebooks seeded by md5-rank k-means++), so a cached
-    # index built by older code is rebuilt rather than served with
-    # subtly different list assignments / codes.
-    return f"{st.st_size}:{st.st_mtime_ns}:a3"
+    # a3: PQ codebooks seeded by md5-rank k-means++; a4: fixed-point
+    # coarse quantizer — SQL-replayable training), so a cached index
+    # built by older code is rebuilt rather than served with subtly
+    # different list assignments / codes.
+    return f"{st.st_size}:{st.st_mtime_ns}:a4"
 
 
 def _ivf_index_dir(sf_dir: str, n_lists: int) -> str:
@@ -705,7 +798,7 @@ def ann_topk_ivf_partitioned(
     centroids = np.load(os.path.join(idx, "centroids.npy"))
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
-    cd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    cd = ((centroids - _fixed_quantize(q)[None, :]) ** 2).sum(axis=1)
     probed = np.sort(np.argsort(cd, kind="stable")[:n_probe])
     files: list[str] = []
     for l in probed:
@@ -733,6 +826,92 @@ def ann_topk_ivf_partitioned(
                             ascending=[False, True]).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def ann_ivf_sql(k: int = 10, query_vec_id: int = 0, n_lists: int = 16,
+                n_probe: int = 4, train_iter: int = 4) -> str:
+    """Driver oracle for :func:`ann_topk_ivf_partitioned` (promoted
+    round 5): the ENTIRE fixed-point IVF — quantization, Lloyd
+    training, list assignment, probe selection, final exact-cosine
+    top-k — replayed in corpus-independent SQL. Training is possible
+    to replay because every step is integer arithmetic
+    (:func:`_train_centroids_fixed`): embeddings quantize to the
+    FIXED_SCALE grid with a half-away round that is bit-identical
+    across engines (power-of-two scale), distances are exact int64,
+    ties go to the lower cluster id (``row_number ... ORDER BY d2,
+    cluster``), and the centroid update is the half-away integer
+    division. The ``train_iter`` Lloyd iterations are UNROLLED as CTE
+    stages — exact because the Ray side runs exactly ``train_iter``
+    iterations with no early exit."""
+    qz = ("list_transform(CAST(embedding AS DOUBLE[]), "
+          f"v -> CAST(ROUND(v * {float(FIXED_SCALE)!r}, 0) AS BIGINT))")
+    parts = [f"""
+WITH x AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {qz} AS q
+  FROM embeddings
+),
+xp AS (
+  SELECT vec_id, unnest(q) AS xi, unnest(range(1, len(q) + 1)) AS pos
+  FROM x
+),
+c0 AS (SELECT vec_id AS cluster, pos, xi AS ci FROM xp
+       WHERE vec_id < {n_lists})"""]
+    for t in range(1, train_iter + 1):
+        parts.append(f""",
+d{t} AS (
+  SELECT xp.vec_id, c.cluster,
+         SUM((xp.xi - c.ci) * (xp.xi - c.ci)) AS d2
+  FROM xp JOIN c{t - 1} c USING (pos)
+  GROUP BY xp.vec_id, c.cluster
+),
+a{t} AS (
+  SELECT vec_id, cluster FROM d{t}
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) = 1
+),
+s{t} AS (
+  SELECT a.cluster, xp.pos, SUM(xp.xi) AS s, COUNT(*) AS n
+  FROM xp JOIN a{t} a USING (vec_id)
+  GROUP BY a.cluster, xp.pos
+),
+c{t} AS (
+  SELECT c.cluster, c.pos,
+         COALESCE(CASE WHEN s.s >= 0 THEN (2 * s.s + s.n) // (2 * s.n)
+                       ELSE -((-2 * s.s + s.n) // (2 * s.n)) END,
+                  c.ci) AS ci
+  FROM c{t - 1} c LEFT JOIN s{t} s
+    ON s.cluster = c.cluster AND s.pos = c.pos
+)""")
+    tf = train_iter
+    parts.append(f""",
+dF AS (
+  SELECT xp.vec_id, c.cluster,
+         SUM((xp.xi - c.ci) * (xp.xi - c.ci)) AS d2
+  FROM xp JOIN c{tf} c USING (pos)
+  GROUP BY xp.vec_id, c.cluster
+),
+aF AS (
+  SELECT vec_id, cluster FROM dF
+  QUALIFY row_number() OVER (PARTITION BY vec_id
+                             ORDER BY d2, cluster) = 1
+),
+qv AS (SELECT unnest(q) AS xi, unnest(range(1, len(q) + 1)) AS pos
+       FROM x WHERE vec_id = {query_vec_id}),
+cdist AS (
+  SELECT c.cluster, SUM((qv.xi - c.ci) * (qv.xi - c.ci)) AS d2
+  FROM qv JOIN c{tf} c USING (pos) GROUP BY c.cluster
+),
+probed AS (
+  SELECT cluster FROM cdist
+  QUALIFY row_number() OVER (ORDER BY d2, cluster) <= {n_probe}
+)
+SELECT x.vec_id,
+       ROUND(list_cosine_similarity(x.e,
+             (SELECT e FROM x WHERE vec_id = {query_vec_id})), 6) AS cos_sim
+FROM x JOIN aF USING (vec_id) JOIN probed USING (cluster)
+ORDER BY cos_sim DESC, vec_id
+LIMIT {k}""")
+    return "".join(parts)
 
 
 def ann_topk_ivfpq_partitioned(
@@ -764,7 +943,7 @@ def ann_topk_ivfpq_partitioned(
     books = np.load(os.path.join(idx, "pq_books.npy"))
     q = _query_vec(sf_dir, query_vec_id)
     qn = q / np.linalg.norm(q)
-    cd = ((centroids - q[None, :]) ** 2).sum(axis=1)
+    cd = ((centroids - _fixed_quantize(q)[None, :]) ** 2).sum(axis=1)
     probed = np.sort(np.argsort(cd, kind="stable")[:n_probe])
     files: list[str] = []
     for l in probed:
