@@ -1,14 +1,17 @@
 """Multimodal column stages — image / audio / video as opaque binary
 columns with typed metadata (driver instruction).
 
-IMAGES decode for real since round 4: payloads may be PNG or
-uncompressed BMP bytes, decoded by the repo's own from-scratch codec
-(:mod:`nidaba_ray.algorithms.png` — public-spec, zlib-only, same
-approach as the PDF parser), converted to grayscale with integer
-BT.601 luma. The FAKEIMG container remains as the synthetic source
-format. Audio/video *dsp* stays a deterministic stub (no ffmpeg in
-the sandbox); swapping it means replacing ``_decode_fake_*`` ONLY —
-every signature stays.
+IMAGES decode for real since round 4: payloads may be PNG, JPEG or
+uncompressed BMP bytes, decoded by the repo's own from-scratch codecs
+(:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` — public-spec, zlib-
+only, same approach as the PDF parser), converted to grayscale with
+integer BT.601 luma. AUDIO decodes for real since round 5: RIFF/WAVE
+payloads (8/16/24/32-bit PCM + IEEE float, incl. EXTENSIBLE) via
+:mod:`nidaba_ray.algorithms.wav`. The FAKE* containers remain as
+legacy synthetic source formats; only video *frame pixels* still ride
+the FAKEIMG container (no public-spec-from-scratch video codec is
+realistic in this sandbox — the frame-walk plumbing is the real
+part).
 
 Fake media container (produced by ``synth_media_batch``):
     b"FAKEIMG\\0" + uint16 width + uint16 height + width*height bytes
@@ -26,7 +29,7 @@ import pyarrow as pa
 
 __all__ = [
     "IMG_MAGIC", "AUD_MAGIC", "VID_MAGIC",
-    "synth_media_batch", "decode_image",
+    "synth_media_batch", "decode_image", "decode_audio",
     "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
     "MediaFeatureExtractor",
 ]
@@ -60,10 +63,18 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             metas.append({"width": w, "height": h, "frames": 1})
         elif k == "audio":
             n = 1000 + (i % 5) * 500
-            payloads.append(
-                AUD_MAGIC + struct.pack("<I", n)
-                + bytes((b + 128) % 256 for b in _bytes_for(f"aud{i}", n))
-            )
+            if i % 6 == 1:  # real RIFF/WAVE bytes (int16 PCM mono)
+                from nidaba_ray.algorithms.wav import encode_wav
+
+                pcm = np.frombuffer(_bytes_for(f"wav{i}", 2 * n),
+                                    dtype="<i2")
+                payloads.append(
+                    encode_wav(pcm, rate=8000 + (i % 3) * 4000))
+            else:  # legacy FAKEAUD container coverage
+                payloads.append(
+                    AUD_MAGIC + struct.pack("<I", n)
+                    + bytes((b + 128) % 256 for b in _bytes_for(f"aud{i}", n))
+                )
             metas.append({"width": 0, "height": 0, "frames": n})
         else:
             nf = 4 + i % 3
@@ -154,23 +165,42 @@ class ImageDecoder:
         )
 
 
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Format-dispatching audio decode → ((frames, ch) float64,
+    sample_rate). Real format first: RIFF/WAVE via the from-scratch
+    codec in algorithms/wav.py (8/16/24/32-bit PCM, IEEE float,
+    EXTENSIBLE); the FAKEAUD container remains for legacy synthetic
+    corpora (its int8 samples normalize onto the same [-1, 1) scale
+    so features are comparable across containers). ValueError on
+    anything malformed — the per-row quarantine path."""
+    from nidaba_ray.algorithms.wav import decode_wav, is_wav
+
+    if is_wav(payload):
+        return decode_wav(payload)
+    if payload[:8] != AUD_MAGIC:
+        raise ValueError("not a WAV or FAKEAUD payload")
+    (n,) = struct.unpack("<I", payload[8:12])
+    samples = np.frombuffer(payload[12:12 + n], dtype=np.uint8).astype(
+        np.float64
+    ) - 128.0
+    if len(samples) != n:
+        raise ValueError("truncated audio payload")
+    return samples[:, None] / 128.0, 0
+
+
 class AudioFeatures:
-    """Actor-pool stage: per-clip summary features (STUB dsp)."""
+    """Actor-pool stage: per-clip summary features over decoded
+    samples (REAL WAV/RIFF decode since round 5; FAKEAUD legacy)."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, n_samples, rms, errors = [], [], [], []
         for i, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
             ids.append(i)
             try:
-                if (p or b"")[:8] != AUD_MAGIC:
-                    raise ValueError("not a FAKEAUD payload")
-                (n,) = struct.unpack("<I", p[8:12])
-                samples = np.frombuffer(p[12 : 12 + n], dtype=np.uint8).astype(
-                    np.float64
-                ) - 128.0
-                if len(samples) != n:
-                    raise ValueError("truncated audio payload")
-                n_samples.append(n)
+                samples, _rate = decode_audio(p or b"")
+                if samples.size == 0:
+                    raise ValueError("empty audio stream")
+                n_samples.append(samples.shape[0])
                 rms.append(float(np.sqrt((samples**2).mean())))
                 errors.append("")
             except Exception as e:
