@@ -59,7 +59,19 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
         k = ("image", "audio", "video")[i % 3]
         if k == "image":
             w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
-            payloads.append(_fake_img(f"img{i}", w, h))
+            px = np.frombuffer(_bytes_for(f"img{i}", w * h),
+                               np.uint8).reshape(h, w)
+            wire = (i // 3) % 3  # rotate the on-wire format: real
+            if wire == 1:        # codecs carry a third of the corpus
+                from nidaba_ray.algorithms.png import encode_png
+
+                payloads.append(encode_png(px))
+            elif wire == 2:
+                from nidaba_ray.algorithms.jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(px, quality=92))
+            else:
+                payloads.append(_fake_img(f"img{i}", w, h))
             metas.append({"width": w, "height": h, "frames": 1})
         elif k == "audio":
             n = 1000 + (i % 5) * 500
@@ -109,14 +121,18 @@ def _decode_fake_img(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Format-dispatching image decode → (h, w) grayscale uint8.
 
-    Real formats first: PNG (signature sniff) and BMP ("BM") via the
-    from-scratch public-spec codec in algorithms/png.py; the FAKEIMG
-    container remains for synthetic corpora. ValueError on anything
-    malformed — the actor stages' per-row quarantine path."""
+    Real formats first: PNG (signature sniff), baseline JPEG (SOI
+    sniff) and BMP ("BM") via the from-scratch public-spec codecs in
+    algorithms/png.py and algorithms/jpeg.py; the FAKEIMG container
+    remains for synthetic corpora. ValueError on anything malformed —
+    the actor stages' per-row quarantine path."""
+    from nidaba_ray.algorithms.jpeg import decode_jpeg, is_jpeg
     from nidaba_ray.algorithms.png import PNG_SIG, decode_bmp, decode_png, to_gray
 
     if payload[:8] == PNG_SIG:
         return to_gray(decode_png(payload))
+    if is_jpeg(payload):
+        return to_gray(decode_jpeg(payload))
     if payload[:2] == b"BM":
         return to_gray(decode_bmp(payload))
     return _decode_fake_img(payload)
