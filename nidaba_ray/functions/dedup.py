@@ -236,14 +236,16 @@ def minhash_candidates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 
 
 def _verify_jaccard_pairs(
-    uniq: rd.Dataset, sf_dir: str, threshold: float
+    uniq: rd.Dataset, sf_dir: str, threshold: float,
+    docs: rd.Dataset | None = None,
 ) -> pa.Table:
     """EXACT n-gram Jaccard verification of a distinct candidate-pair
     Dataset: two hash joins of the pair list against the corpus, with
     the (pairs-sized) candidate id set broadcast as a pre-filter so
     only candidate documents are shuffled — the driver holds ids only,
     never texts (the 10^12-scale shape). Shared by the MinHash-LSH and
-    prefix-filter paths."""
+    prefix-filter paths; ``docs`` overrides the corpus source (the
+    cross-crawl prober passes new-crawl ∪ candidate-filtered prior)."""
     n_pairs = uniq.count()
     if n_pairs == 0:
         return _PAIRS_SCHEMA.empty_table()
@@ -283,7 +285,7 @@ def _verify_jaccard_pairs(
     # empty blocks). All of this is pairs-sized — the repartition is
     # cheap by the same argument that lets ids sit on the driver.
     cand_docs = (
-        _docs(sf_dir, ["doc_id", "text"])
+        (docs if docs is not None else _docs(sf_dir, ["doc_id", "text"]))
         .map_batches(only_candidates, batch_format="pyarrow")
         .repartition(min(join_partitions(4), max(1, len(ids))))
         .materialize()  # pairs-sized; joined twice below
