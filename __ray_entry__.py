@@ -3,13 +3,15 @@
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data ops); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query (45 of 50 — round 4
-promoted the LSH/SimHash near-dup family, winnowing, language-ID, the
-LSH embedding near-dup and the HLL sketch by replaying their candidate
-generation / register math in SQL). The 5 keys without
-an oracle entry are genuinely non-SQL-expressible (sketches,
-approximate ANN, trained scorers, fixture/stream sources) and get the
-weaker rows-only check.
+equivalent for every SQL-expressible query (49 of 50 — round 5
+promoted the flagship fixture goldens, the block-quality logistic,
+the fixed-point-trained partitioned IVF and the streaming-source
+stats by inlining frozen constants / unrolling the integer training
+in SQL; round 4 promoted the near-dup family, winnowing, language-ID,
+embedding near-dup and the HLL sketch). The one key without an oracle
+entry (``media_features``) is genuinely non-SQL-expressible — its
+features read real decoder output and baseline JPEG decode is lossy —
+and gets the weaker rows-only check plus reference-vector pytest pins.
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init`` / ``ray.shutdown`` here or anywhere in nidaba_ray.
@@ -135,12 +137,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     trains in FIXED-POINT (int64 grid, half-away rounding),
         #     so the Lloyd iterations unroll exactly as SQL CTE stages
         "ann_topk_ivf_partitioned": ann.ann_topk_ivf_partitioned,
-        # ===== rows-only — non-SQL-expressible; each is pinned by
-        # a unit/property/golden/recall test named in its docstring
         # --- streaming crawl-shard Datasource feeding the same
-        #     pipeline (rows check; identity pinned in pytest)
+        #     pipeline, promoted round 5: the oracle replays the
+        #     deterministic SOURCE generator (never the extractor) —
+        #     expected tokens are the seeded randint draws
         "streaming_extract_stats": crawl.streaming_extract_stats,
-        # --- multimodal feature pipeline (stub decoders, real plumbing)
+        # ===== rows-only (1) — genuinely non-SQL-expressible: the
+        # media features read real PNG/JPEG/WAV decoder output, and
+        # baseline JPEG decode is lossy (no SQL replay exists); rows +
+        # roundtrip/reference-vector pytest pins instead
         "media_features": media.media_features,
     }
 
@@ -151,6 +156,7 @@ def oracle_sql() -> dict[str, str]:
     from nidaba_ray.pipelines import conformance, curate
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
+    from nidaba_ray.sources import crawl
     from nidaba_ray.stages import quality
 
     return {
@@ -202,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_golden_real": realpages.golden_real_sql(),
         "block_quality_scores": quality.block_quality_sql(),
         "ann_topk_ivf_partitioned": ann.ann_ivf_sql(),
+        "streaming_extract_stats": crawl.streaming_stats_sql(),
         # no oracle (non-SQL-expressible → rows-only check):
-        #   streaming_extract_stats, media_features
+        #   media_features (lossy JPEG decode has no SQL replay)
     }

@@ -25,7 +25,8 @@ from ray.data.datasource import Datasource, ReadTask
 
 from nidaba_ray import synth
 
-__all__ = ["SyntheticCrawlDatasource", "read_crawl", "streaming_extract_stats"]
+__all__ = ["SyntheticCrawlDatasource", "read_crawl",
+           "streaming_extract_stats", "streaming_stats_sql"]
 
 CHUNK_ROWS = 128  # records yielded per iterator step (backpressure unit)
 _LANGS = ["en", "de", "es", "fr", "zh"]
@@ -148,3 +149,43 @@ def streaming_extract_stats(sf_dir: str) -> pa.Table:
                  "n_quarantined": "int64", "total_tokens": "int64"})
     )
     return pa.Table.from_pandas(g, preserve_index=False)
+
+
+def streaming_stats_sql() -> str:
+    """Driver oracle for :func:`streaming_extract_stats` (promoted
+    round 5): the expected per-shard rollup, inlined as a VALUES list
+    built by replaying ONLY the deterministic source generator — never
+    the extraction code, so the check is not circular. Extraction is
+    byte-identity on the synthesized text (the flagship contract), so
+    each ok doc's expected ``n_tokens`` is its word count, which IS
+    the generator's first ``randint(12, 160)`` draw (the text is that
+    many vocab choices joined by spaces); quarantined docs are exactly
+    the invalid-payload ids (``synth.payload_kind``). Any extractor or
+    tokenizer regression through the streaming path now fails the
+    driver's rows+schema+hash check, not just pytest."""
+    import random
+
+    n_shards, pps = 8, 64
+    agg: dict[int, list[int]] = {}
+    for doc_id in range(n_shards * pps):
+        rng = random.Random(f"crawl-{synth.SEED}-{doc_id}")
+        n_tok = rng.randint(12, 160)  # == len(text.split(" "))
+        bad = synth.payload_kind(doc_id) == "invalid"
+        row = agg.setdefault(doc_id // pps, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 0 if bad else 1
+        row[2] += 1 if bad else 0
+        row[3] += 0 if bad else n_tok
+    vals = ", ".join(
+        f"({s}, {a[0]}, {a[1]}, {a[2]}, {a[3]})"
+        for s, a in sorted(agg.items())
+    )
+    return (
+        "SELECT CAST(shard AS BIGINT) AS shard, "
+        "CAST(n_pages AS BIGINT) AS n_pages, "
+        "CAST(n_ok AS BIGINT) AS n_ok, "
+        "CAST(n_quarantined AS BIGINT) AS n_quarantined, "
+        "CAST(total_tokens AS BIGINT) AS total_tokens "
+        f"FROM (VALUES {vals}) AS t(shard, n_pages, n_ok, "
+        "n_quarantined, total_tokens)"
+    )
