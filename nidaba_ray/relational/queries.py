@@ -16,8 +16,6 @@ which pre-aggregate (SURVEY.md §4.2).
 
 from __future__ import annotations
 
-import json
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -334,12 +332,16 @@ def events_hourly(sf_dir: str) -> pa.Table:
     loop."""
 
     def partial(batch: pa.Table) -> pa.Table:
+        from nidaba_ray.functions.scalar import json_field_column
+
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        k = np.fromiter((json.loads(p)["k"] for p in batch["props"].to_pylist()),
-                        dtype=np.int64, count=batch.num_rows)
+        # one shared JSON-field kernel (functions/scalar.py) — no
+        # pyarrow JSON kernel exists in 16.x, so the per-row decode
+        # lives in exactly one place
+        k = pc.cast(json_field_column(batch["props"], "k"), pa.int64())
         df = pa.table({"event_type": batch["event_type"], "hour": hour,
                        "value": batch["value"],
-                       "k": pa.array(k)}).to_pandas()
+                       "k": k}).to_pandas()
         g = df.groupby(["event_type", "hour"], as_index=False).agg(
             n_events=("value", "size"), sum_value=("value", "sum"), sum_k=("k", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
