@@ -7,11 +7,12 @@ uncompressed BMP bytes, decoded by the repo's own from-scratch codecs
 only, same approach as the PDF parser), converted to grayscale with
 integer BT.601 luma. AUDIO decodes for real since round 5: RIFF/WAVE
 payloads (8/16/24/32-bit PCM + IEEE float, incl. EXTENSIBLE) via
-:mod:`nidaba_ray.algorithms.wav`. The FAKE* containers remain as
-legacy synthetic source formats; only video *frame pixels* still ride
-the FAKEIMG container (no public-spec-from-scratch video codec is
-realistic in this sandbox — the frame-walk plumbing is the real
-part).
+:mod:`nidaba_ray.algorithms.wav`. VIDEO decodes for real since round
+5 as well: AVI/RIFF containers with Motion-JPEG (``00dc`` = baseline
+JPEG per frame) or uncompressed DIB frames via
+:mod:`nidaba_ray.algorithms.avi` — the frame walk is lazy, so
+samplers pay the JPEG IDCT only for the frames they keep. The FAKE*
+containers remain as legacy synthetic source formats.
 
 Fake media container (produced by ``synth_media_batch``):
     b"FAKEIMG\\0" + uint16 width + uint16 height + width*height bytes
@@ -30,6 +31,7 @@ import pyarrow as pa
 __all__ = [
     "IMG_MAGIC", "AUD_MAGIC", "VID_MAGIC",
     "synth_media_batch", "decode_image", "decode_audio",
+    "iter_video_frames",
     "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
     "MediaFeatureExtractor",
 ]
@@ -90,8 +92,22 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             metas.append({"width": 0, "height": 0, "frames": n})
         else:
             nf = 4 + i % 3
-            frames = b"".join(_fake_img(f"vid{i}f{f}", 16, 16) for f in range(nf))
-            payloads.append(VID_MAGIC + struct.pack("<H", nf) + frames)
+            wire = (i // 3) % 3  # rotate: legacy / AVI-MJPG / AVI-DIB
+            if wire:
+                from nidaba_ray.algorithms.avi import encode_avi
+
+                px = np.stack([
+                    np.frombuffer(_bytes_for(f"vid{i}f{f}", 16 * 16),
+                                  np.uint8).reshape(16, 16)
+                    for f in range(nf)
+                ])
+                codec = "MJPG" if wire == 1 else "DIB "
+                payloads.append(encode_avi(px, fps=12, codec=codec,
+                                           quality=92))
+            else:
+                frames = b"".join(
+                    _fake_img(f"vid{i}f{f}", 16, 16) for f in range(nf))
+                payloads.append(VID_MAGIC + struct.pack("<H", nf) + frames)
             metas.append({"width": 16, "height": 16, "frames": nf})
         kinds.append(k)
     meta_type = pa.struct([("width", pa.int32()), ("height", pa.int32()),
@@ -233,9 +249,49 @@ class AudioFeatures:
         )
 
 
+def iter_video_frames(payload: bytes):
+    """Format-dispatching LAZY video frame walk → yields
+    ``(frame_idx, decode_thunk)`` where ``decode_thunk()`` returns the
+    (h, w) grayscale uint8 frame.
+
+    Real format first: AVI/RIFF (Motion-JPEG or uncompressed DIB
+    frames) via the from-scratch codec in algorithms/avi.py; the
+    FAKEVID container remains for legacy synthetic corpora. Laziness
+    is the point — a sampler keeping every k-th frame never pays the
+    JPEG IDCT for the other k−1. ValueError on malformed input — the
+    per-row quarantine path."""
+    from nidaba_ray.algorithms.avi import decode_frame, is_avi, parse_avi
+
+    if is_avi(payload):
+        info, raws = parse_avi(payload)
+        for idx, raw in enumerate(raws):
+            yield idx, (lambda raw=raw: decode_frame(raw, info))
+        return
+    if payload[:8] != VID_MAGIC:
+        raise ValueError("not an AVI or FAKEVID payload")
+    (nf,) = struct.unpack("<H", payload[8:10])
+    off = 10
+    for f in range(nf):
+        if off + 12 > len(payload):
+            raise ValueError("truncated FAKEVID frame table")
+        w, h = struct.unpack("<HH", payload[off + 8 : off + 12])
+        size = 12 + w * h
+        chunk = payload[off : off + size]
+        yield f, (lambda chunk=chunk: _decode_fake_img(chunk))
+        off += size
+
+
+def _is_video_payload(p: bytes) -> bool:
+    from nidaba_ray.algorithms.avi import is_avi
+
+    return p[:8] == VID_MAGIC or is_avi(p)
+
+
 class VideoFrameSampler:
     """Actor-pool stage: sample every k-th frame, emit one row per
-    sampled frame (flat_map-shaped output from map_batches)."""
+    sampled frame (flat_map-shaped output from map_batches). Frames
+    decode through iter_video_frames, so unsampled AVI/MJPG frames
+    skip the JPEG decode entirely."""
 
     def __init__(self, every: int = 2) -> None:
         self.every = every
@@ -243,19 +299,13 @@ class VideoFrameSampler:
     def __call__(self, batch: pa.Table) -> pa.Table:
         mid, frame_idx, frame_mean = [], [], []
         for i, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
-            if (p or b"")[:8] != VID_MAGIC:
+            if not _is_video_payload(p or b""):
                 continue  # non-video rows pass through silently
-            (nf,) = struct.unpack("<H", p[8:10])
-            off = 10
-            for f in range(nf):
-                w, h = struct.unpack("<HH", p[off + 8 : off + 12])
-                size = 12 + w * h
+            for f, thunk in iter_video_frames(p):
                 if f % self.every == 0:
-                    img = _decode_fake_img(p[off : off + size])
                     mid.append(i)
                     frame_idx.append(f)
-                    frame_mean.append(float(img.mean()))
-                off += size
+                    frame_mean.append(float(thunk().mean()))
         return pa.table(
             {
                 "media_id": pa.array(mid, pa.int64()),
@@ -293,16 +343,10 @@ class MediaFeatureExtractor:
         for i, p in zip(sub["media_id"].to_pylist(), sub["payload"].to_pylist()):
             ids.append(i)
             try:
-                if (p or b"")[:8] != VID_MAGIC:
-                    raise ValueError("not a FAKEVID payload")
-                (nf,) = struct.unpack("<H", p[8:10])
-                off, total = 10, 0.0
-                for f in range(nf):
-                    w, h = struct.unpack("<HH", p[off + 8 : off + 12])
-                    size = 12 + w * h
+                total = 0.0
+                for f, thunk in iter_video_frames(p or b""):
                     if f % self.every == 0:
-                        total += float(_decode_fake_img(p[off : off + size]).mean())
-                    off += size
+                        total += float(thunk().mean())
                 errs.append(0)
                 feats.append(self._micro(total))
             except Exception:
