@@ -8,6 +8,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from nidaba_ray.algorithms.avi import (decode_avi, decode_frame,
                                        encode_avi, is_avi, parse_avi)
@@ -48,6 +50,19 @@ def test_mjpg_roundtrip_bounded():
     assert dec.shape == fr.shape
     err = np.abs(dec.astype(np.int64) - fr.astype(np.int64))
     assert err.max() <= 12 and err.mean() < 3.0
+
+
+@given(st.integers(1, 6), st.integers(1, 21), st.integers(1, 21),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_dib_roundtrip_property(n, h, w, seed):
+    """Any (n, h, w) uint8 stack survives a DIB encode/decode exactly,
+    across every row-stride padding class (w mod 4)."""
+    fr = np.random.RandomState(seed).randint(
+        0, 256, (n, h, w)).astype(np.uint8)
+    dec, fps = decode_avi(encode_avi(fr, fps=25, codec="DIB "))
+    assert fps == pytest.approx(25.0, abs=0.05)
+    np.testing.assert_array_equal(dec, fr)
 
 
 def test_encode_deterministic():
