@@ -1,18 +1,19 @@
 """Multimodal column stages — image / audio / video as opaque binary
 columns with typed metadata (driver instruction).
 
-IMAGES decode for real since round 4: payloads may be PNG, JPEG or
-uncompressed BMP bytes, decoded by the repo's own from-scratch codecs
-(:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` — public-spec, zlib-
-only, same approach as the PDF parser), converted to grayscale with
-integer BT.601 luma. AUDIO decodes for real since round 5: RIFF/WAVE
-payloads (8/16/24/32-bit PCM + IEEE float, incl. EXTENSIBLE) via
-:mod:`nidaba_ray.algorithms.wav`. VIDEO decodes for real since round
-5 as well: AVI/RIFF containers with Motion-JPEG (``00dc`` = baseline
-JPEG per frame) or uncompressed DIB frames via
-:mod:`nidaba_ray.algorithms.avi` — the frame walk is lazy, so
-samplers pay the JPEG IDCT only for the frames they keep. The FAKE*
-containers remain as legacy synthetic source formats.
+IMAGES decode for real since round 4: payloads may be PNG, JPEG, GIF
+or uncompressed BMP bytes, decoded by the repo's own from-scratch
+codecs (:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` / ``.gif`` —
+public-spec, zlib-only, same approach as the PDF parser), converted
+to grayscale with integer BT.601 luma. AUDIO decodes for real since
+round 5: RIFF/WAVE payloads (8/16/24/32-bit PCM + IEEE float, incl.
+EXTENSIBLE) via :mod:`nidaba_ray.algorithms.wav`. VIDEO decodes for
+real since round 5 as well: AVI/RIFF containers with Motion-JPEG
+(``00dc`` = baseline JPEG per frame) or uncompressed DIB frames via
+:mod:`nidaba_ray.algorithms.avi`, and animated GIF via ``.gif`` —
+the frame walk is lazy, so samplers pay the JPEG IDCT / LZW only for
+the frames they keep. The FAKE* containers remain as legacy
+synthetic source formats.
 
 Fake media container (produced by ``synth_media_batch``):
     b"FAKEIMG\\0" + uint16 width + uint16 height + width*height bytes
@@ -63,8 +64,8 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
             px = np.frombuffer(_bytes_for(f"img{i}", w * h),
                                np.uint8).reshape(h, w)
-            wire = (i // 3) % 3  # rotate the on-wire format: real
-            if wire == 1:        # codecs carry a third of the corpus
+            wire = (i // 3) % 4  # rotate the on-wire format: real
+            if wire == 1:        # codecs carry 3/4 of the corpus
                 from nidaba_ray.algorithms.png import encode_png
 
                 payloads.append(encode_png(px))
@@ -72,6 +73,10 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
                 from nidaba_ray.algorithms.jpeg import encode_jpeg
 
                 payloads.append(encode_jpeg(px, quality=92))
+            elif wire == 3:
+                from nidaba_ray.algorithms.gif import encode_gif
+
+                payloads.append(encode_gif(px))
             else:
                 payloads.append(_fake_img(f"img{i}", w, h))
             metas.append({"width": w, "height": h, "frames": 1})
@@ -92,18 +97,23 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             metas.append({"width": 0, "height": 0, "frames": n})
         else:
             nf = 4 + i % 3
-            wire = (i // 3) % 3  # rotate: legacy / AVI-MJPG / AVI-DIB
+            wire = (i // 3) % 4  # legacy / AVI-MJPG / AVI-DIB / GIF
             if wire:
-                from nidaba_ray.algorithms.avi import encode_avi
-
                 px = np.stack([
                     np.frombuffer(_bytes_for(f"vid{i}f{f}", 16 * 16),
                                   np.uint8).reshape(16, 16)
                     for f in range(nf)
                 ])
-                codec = "MJPG" if wire == 1 else "DIB "
-                payloads.append(encode_avi(px, fps=12, codec=codec,
-                                           quality=92))
+                if wire == 3:  # animated GIF as the video container
+                    from nidaba_ray.algorithms.gif import encode_gif
+
+                    payloads.append(encode_gif(px, delay_cs=8))
+                else:
+                    from nidaba_ray.algorithms.avi import encode_avi
+
+                    codec = "MJPG" if wire == 1 else "DIB "
+                    payloads.append(encode_avi(px, fps=12, codec=codec,
+                                               quality=92))
             else:
                 frames = b"".join(
                     _fake_img(f"vid{i}f{f}", 16, 16) for f in range(nf))
@@ -138,10 +148,12 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Format-dispatching image decode → (h, w) grayscale uint8.
 
     Real formats first: PNG (signature sniff), baseline JPEG (SOI
-    sniff) and BMP ("BM") via the from-scratch public-spec codecs in
-    algorithms/png.py and algorithms/jpeg.py; the FAKEIMG container
+    sniff), GIF ("GIF8", first frame) and BMP ("BM") via the
+    from-scratch public-spec codecs in algorithms/png.py,
+    algorithms/jpeg.py and algorithms/gif.py; the FAKEIMG container
     remains for synthetic corpora. ValueError on anything malformed —
     the actor stages' per-row quarantine path."""
+    from nidaba_ray.algorithms.gif import decode_gif, is_gif
     from nidaba_ray.algorithms.jpeg import decode_jpeg, is_jpeg
     from nidaba_ray.algorithms.png import PNG_SIG, decode_bmp, decode_png, to_gray
 
@@ -149,6 +161,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return to_gray(decode_png(payload))
     if is_jpeg(payload):
         return to_gray(decode_jpeg(payload))
+    if is_gif(payload):
+        return to_gray(decode_gif(payload)[0])
     if payload[:2] == b"BM":
         return to_gray(decode_bmp(payload))
     return _decode_fake_img(payload)
@@ -254,18 +268,27 @@ def iter_video_frames(payload: bytes):
     ``(frame_idx, decode_thunk)`` where ``decode_thunk()`` returns the
     (h, w) grayscale uint8 frame.
 
-    Real format first: AVI/RIFF (Motion-JPEG or uncompressed DIB
-    frames) via the from-scratch codec in algorithms/avi.py; the
-    FAKEVID container remains for legacy synthetic corpora. Laziness
-    is the point — a sampler keeping every k-th frame never pays the
-    JPEG IDCT for the other k−1. ValueError on malformed input — the
-    per-row quarantine path."""
+    Real formats first: AVI/RIFF (Motion-JPEG or uncompressed DIB
+    frames) via the from-scratch codec in algorithms/avi.py, and
+    animated GIF via algorithms/gif.py (full-cover opaque frames —
+    everything our encoder writes — stay truly lazy; dependent frames
+    advance a memoized canvas); the FAKEVID container remains for
+    legacy synthetic corpora. Laziness is the point — a sampler
+    keeping every k-th frame never pays the JPEG IDCT / LZW for the
+    other k−1. ValueError on malformed input — the per-row quarantine
+    path."""
     from nidaba_ray.algorithms.avi import decode_frame, is_avi, parse_avi
+    from nidaba_ray.algorithms.gif import gif_frames, is_gif
+    from nidaba_ray.algorithms.png import to_gray
 
     if is_avi(payload):
         info, raws = parse_avi(payload)
         for idx, raw in enumerate(raws):
             yield idx, (lambda raw=raw: decode_frame(raw, info))
+        return
+    if is_gif(payload):
+        for idx, thunk in gif_frames(payload):
+            yield idx, (lambda thunk=thunk: to_gray(thunk()))
         return
     if payload[:8] != VID_MAGIC:
         raise ValueError("not an AVI or FAKEVID payload")
@@ -283,8 +306,16 @@ def iter_video_frames(payload: bytes):
 
 def _is_video_payload(p: bytes) -> bool:
     from nidaba_ray.algorithms.avi import is_avi
+    from nidaba_ray.algorithms.gif import gif_n_frames, is_gif
 
-    return p[:8] == VID_MAGIC or is_avi(p)
+    if p[:8] == VID_MAGIC or is_avi(p):
+        return True
+    if is_gif(p):  # animated GIF is video; a still GIF is an image
+        try:
+            return gif_n_frames(p) > 1
+        except ValueError:
+            return False
+    return False
 
 
 class VideoFrameSampler:
