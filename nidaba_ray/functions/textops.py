@@ -604,3 +604,151 @@ def repetition_metrics(sf_dir: str) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher document filter (Rae et al. 2021 §A1.1) — the composed
+# keep/reject gate the repetition metrics above feed into
+# ---------------------------------------------------------------------------
+
+# the eight "required stopwords" from the published rule set; a doc
+# must contain at least two DISTINCT members
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                    "with")
+
+# (name, lo, hi) document-level bounds; None = unbounded on that side
+GOPHER_RULES = {
+    "word_count": (50, 100_000),
+    "mean_word_len": (3.0, 10.0),
+    "symbol_word_ratio": (None, 0.1),     # '#' or '...' per word
+    "bullet_line_frac": (None, 0.9),      # lines starting '-' or '•'
+    "ellipsis_line_frac": (None, 0.3),    # lines ending '...'
+    "alpha_word_frac": (0.8, None),       # words with ≥1 [A-Za-z]
+    "min_stopwords": (2, None),           # distinct GOPHER_STOPWORDS
+}
+
+# repetition thresholds over the §A1.1 signals _doc_repetition emits
+GOPHER_REPETITION_MAX = {
+    "dup_line_frac": 0.30,
+    "top2gram_char_frac": 0.20,
+    "top3gram_char_frac": 0.18,
+    "top4gram_char_frac": 0.16,
+    "dup5gram_char_frac": 0.15,
+}
+
+
+def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
+    """Per-doc Gopher quality gate: one boolean per published rule
+    plus the composed ``keep``. Everything except the repetition
+    signals is vectorized pandas string kernels; repetition reuses
+    the row-local ``_doc_repetition`` counter (the same accepted
+    shape as :func:`repetition_metrics`). All fractions feeding a
+    threshold are rounded to 6 dp first (the repo's quantized-
+    decision invariant), so flags are bit-stable across platforms.
+
+    Single map_batches pass, no shuffle — at 100 TB this is a pure
+    streaming filter whose output is one fixed-width row per doc."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        n = len(s)
+        words = s.str.split()
+        n_words = words.str.len().fillna(0).astype("int64")
+        nz = n_words.replace(0, 1).astype("float64")  # guard /0
+        n_chars = s.str.replace(r"\s+", "", regex=True).str.len()
+        mean_word_len = np.round(n_chars / nz, 6)
+        symbol_ratio = np.round(
+            (s.str.count("#") + s.str.count(r"\.\.\.")) / nz, 6)
+        n_lines = (s.str.count("\n") + 1).astype("float64")
+        bullet_frac = np.round(
+            s.str.count(r"(?m)^[\-•]") / n_lines, 6)
+        ellipsis_frac = np.round(
+            s.str.count(r"(?m)\.\.\.$") / n_lines, 6)
+        alpha_frac = np.round(
+            s.str.count(r"[^\s]*[A-Za-z][^\s]*") / nz, 6)
+        n_stop = sum(
+            s.str.contains(rf"(?<![^\s]){w}(?![^\s])", regex=True)
+            .astype("int64")
+            for w in GOPHER_STOPWORDS)
+
+        rep = np.array([_doc_repetition(t) for t in s], dtype=np.float64) \
+            if n else np.zeros((0, 5))
+        rep = np.round(rep, 6)
+        rep_names = list(GOPHER_REPETITION_MAX)
+        f_rep = np.ones(n, dtype=bool)
+        for j, name in enumerate(rep_names):
+            f_rep &= rep[:, j] <= GOPHER_REPETITION_MAX[name]
+
+        lo, hi = GOPHER_RULES["word_count"]
+        f_words = (n_words >= lo) & (n_words <= hi)
+        lo, hi = GOPHER_RULES["mean_word_len"]
+        f_mwl = (mean_word_len >= lo) & (mean_word_len <= hi)
+        f_sym = symbol_ratio <= GOPHER_RULES["symbol_word_ratio"][1]
+        f_bullet = ((bullet_frac <= GOPHER_RULES["bullet_line_frac"][1])
+                    & (ellipsis_frac
+                       <= GOPHER_RULES["ellipsis_line_frac"][1]))
+        f_alpha = alpha_frac >= GOPHER_RULES["alpha_word_frac"][0]
+        f_stop = n_stop >= GOPHER_RULES["min_stopwords"][0]
+        keep = (f_words & f_mwl & f_sym & f_bullet & f_alpha & f_stop
+                & f_rep)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_words": pa.array(n_words),
+            "f_word_count": pa.array(np.asarray(f_words)),
+            "f_mean_word_len": pa.array(np.asarray(f_mwl)),
+            "f_symbol_ratio": pa.array(np.asarray(f_sym)),
+            "f_bullet_ellipsis": pa.array(np.asarray(f_bullet)),
+            "f_alpha_words": pa.array(np.asarray(f_alpha)),
+            "f_stopwords": pa.array(np.asarray(f_stop)),
+            "f_repetition": pa.array(f_rep),
+            "keep": pa.array(np.asarray(keep)),
+        })
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+# DuckDB replay of the six document-level rules (the repetition flag
+# has no reasonable SQL form — tests pin it via hand-built docs and
+# the repetition-metrics parity suite). Tokenization matches
+# str.split(): whitespace runs, no empty tokens.
+GOPHER_FLAGS_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
+                         x -> x <> '')) AS n_words,
+         LEN(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_chars,
+         LEN(REGEXP_EXTRACT_ALL(text, '#'))
+           + LEN(REGEXP_EXTRACT_ALL(text, '\.\.\.')) AS n_sym,
+         LEN(STRING_SPLIT(text, chr(10))) AS n_lines,
+         LEN(LIST_FILTER(STRING_SPLIT(text, chr(10)),
+                         x -> REGEXP_MATCHES(x, '^[-•]')))
+           AS n_bullet,
+         LEN(LIST_FILTER(STRING_SPLIT(text, chr(10)),
+                         x -> REGEXP_MATCHES(x, '\.\.\.$')))
+           AS n_ellipsis,
+         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
+                         x -> REGEXP_MATCHES(x, '[A-Za-z]')))
+           AS n_alpha,
+         (SELECT COUNT(*) FROM (VALUES ('the'), ('be'), ('to'),
+                                ('of'), ('and'), ('that'), ('have'),
+                                ('with')) sw(w)
+          WHERE REGEXP_MATCHES(text, '(^|\s)' || w || '(\s|$)'))
+           AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       n_words,
+       n_words BETWEEN 50 AND 100000 AS f_word_count,
+       ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_words, 1), 6)
+         BETWEEN 3.0 AND 10.0 AS f_mean_word_len,
+       ROUND(CAST(n_sym AS DOUBLE) / GREATEST(n_words, 1), 6) <= 0.1
+         AS f_symbol_ratio,
+       ROUND(CAST(n_bullet AS DOUBLE) / n_lines, 6) <= 0.9
+         AND ROUND(CAST(n_ellipsis AS DOUBLE) / n_lines, 6) <= 0.3
+         AS f_bullet_ellipsis,
+       ROUND(CAST(n_alpha AS DOUBLE) / GREATEST(n_words, 1), 6) >= 0.8
+         AS f_alpha_words,
+       n_stop >= 2 AS f_stopwords
+FROM t
+"""

@@ -1,0 +1,112 @@
+"""Full Gopher document filter (Rae et al. 2021 §A1.1) — DuckDB
+parity for the six SQL-replayable rules, hand-built boundary docs for
+every rule, and the composed keep gate."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from nidaba_ray.functions.textops import (
+    GOPHER_FLAGS_SQL,
+    GOPHER_REPETITION_MAX,
+    _doc_repetition,
+    gopher_quality_flags,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_SQL_FLAGS = ["f_word_count", "f_mean_word_len", "f_symbol_ratio",
+              "f_bullet_ellipsis", "f_alpha_words", "f_stopwords"]
+
+
+def _flags_for(texts):
+    """Run the pipeline over crafted docs via a tiny parquet table."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                      "text": pa.array(texts, pa.string())})
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(batch, os.path.join(d, "documents.parquet"))
+        return gopher_quality_flags(d).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+
+
+GOOD = ("the cat sat on the mat and it was that good to have "
+        "a warm day with sunshine outside near the old stone wall "
+        "while birds kept singing their small bright songs over the "
+        "quiet green field and nobody wanted to leave before dusk "
+        "because everything felt calm and slow and entirely pleasant")
+
+
+def test_good_doc_keeps(ray_session):
+    out = _flags_for([GOOD])
+    row = out.iloc[0]
+    assert bool(row["keep"]), row
+    for f in _SQL_FLAGS + ["f_repetition"]:
+        assert bool(row[f]), f
+
+
+@pytest.mark.parametrize("text,flag", [
+    ("short doc with the and of", "f_word_count"),        # < 50 words
+    (" ".join(["a"] * 60) + " the of", "f_mean_word_len"),  # mwl < 3
+    (" ".join(["supercalifragilistic"] * 60) + " the of",
+     "f_mean_word_len"),                                   # mwl > 10
+    (GOOD + " " + " ".join(["#"] * 20), "f_symbol_ratio"),
+    ("\n".join(["- " + w for w in GOOD.split()]), "f_bullet_ellipsis"),
+    ("\n".join([w + "..." for w in GOOD.split()]), "f_bullet_ellipsis"),
+    (GOOD + " " + " ".join(["123"] * 60), "f_alpha_words"),
+    (" ".join(f"w{i}" for i in range(60)), "f_stopwords"),
+])
+def test_each_rule_rejects(ray_session, text, flag):
+    out = _flags_for([text])
+    row = out.iloc[0]
+    assert not bool(row[flag]), (flag, row)
+    assert not bool(row["keep"])
+
+
+def test_repetition_gate(ray_session):
+    # one line repeated everywhere → dup_line_frac = 1 > 0.30
+    spam = "\n".join(["the cat and the dog have fun with all of it"] * 40)
+    out = _flags_for([spam])
+    assert not bool(out.iloc[0]["f_repetition"])
+    assert not bool(out.iloc[0]["keep"])
+    # reference counter agrees with the flag decision
+    rep = np.round(_doc_repetition(spam), 6)
+    names = list(GOPHER_REPETITION_MAX)
+    assert any(rep[i] > GOPHER_REPETITION_MAX[names[i]]
+               for i in range(len(names)))
+
+
+def test_sql_parity_on_corpus(ray_session):
+    ours = gopher_quality_flags(SF).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    theirs = con.execute(GOPHER_FLAGS_SQL).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(ours) == len(theirs) > 0
+    assert ours["doc_id"].tolist() == theirs["doc_id"].tolist()
+    assert ours["n_words"].tolist() == theirs["n_words"].tolist()
+    for f in _SQL_FLAGS:
+        mism = (ours[f].astype(bool) != theirs[f].astype(bool)).sum()
+        assert mism == 0, f"{f}: {mism} mismatches"
+
+
+def test_keep_is_conjunction(ray_session):
+    out = gopher_quality_flags(SF).to_pandas()
+    flags = out[_SQL_FLAGS + ["f_repetition"]].astype(bool)
+    assert (out["keep"].astype(bool) == flags.all(axis=1)).all()
+
+
+def test_deterministic(ray_session):
+    a = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
+    b = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
