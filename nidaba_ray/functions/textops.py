@@ -637,75 +637,84 @@ GOPHER_REPETITION_MAX = {
 }
 
 
+def _gopher_signals(s) -> dict[str, np.ndarray]:
+    """All rule booleans for a pandas Series of texts. Everything
+    except the repetition signals is vectorized pandas string
+    kernels; repetition reuses the row-local ``_doc_repetition``
+    counter (the same accepted shape as :func:`repetition_metrics`).
+    All fractions feeding a threshold are rounded to 6 dp first (the
+    repo's quantized-decision invariant), so flags are bit-stable
+    across platforms."""
+    n = len(s)
+    words = s.str.split()
+    n_words = words.str.len().fillna(0).astype("int64")
+    nz = n_words.replace(0, 1).astype("float64")  # guard /0
+    n_chars = s.str.replace(r"\s+", "", regex=True).str.len()
+    mean_word_len = np.round(n_chars / nz, 6)
+    symbol_ratio = np.round(
+        (s.str.count("#") + s.str.count(r"\.\.\.")) / nz, 6)
+    n_lines = (s.str.count("\n") + 1).astype("float64")
+    bullet_frac = np.round(s.str.count(r"(?m)^[\-•]") / n_lines, 6)
+    ellipsis_frac = np.round(s.str.count(r"(?m)\.\.\.$") / n_lines, 6)
+    alpha_frac = np.round(s.str.count(r"[^\s]*[A-Za-z][^\s]*") / nz, 6)
+    n_stop = sum(
+        s.str.contains(rf"(?<![^\s]){w}(?![^\s])", regex=True)
+        .astype("int64")
+        for w in GOPHER_STOPWORDS)
+
+    rep = np.array([_doc_repetition(t) for t in s], dtype=np.float64) \
+        if n else np.zeros((0, 5))
+    rep = np.round(rep, 6)
+    f_rep = np.ones(n, dtype=bool)
+    for j, name in enumerate(GOPHER_REPETITION_MAX):
+        f_rep &= rep[:, j] <= GOPHER_REPETITION_MAX[name]
+
+    lo, hi = GOPHER_RULES["word_count"]
+    f_words = (n_words >= lo) & (n_words <= hi)
+    lo, hi = GOPHER_RULES["mean_word_len"]
+    f_mwl = (mean_word_len >= lo) & (mean_word_len <= hi)
+    f_sym = symbol_ratio <= GOPHER_RULES["symbol_word_ratio"][1]
+    f_bullet = ((bullet_frac <= GOPHER_RULES["bullet_line_frac"][1])
+                & (ellipsis_frac
+                   <= GOPHER_RULES["ellipsis_line_frac"][1]))
+    f_alpha = alpha_frac >= GOPHER_RULES["alpha_word_frac"][0]
+    f_stop = n_stop >= GOPHER_RULES["min_stopwords"][0]
+    keep = (f_words & f_mwl & f_sym & f_bullet & f_alpha & f_stop
+            & f_rep)
+    return {
+        "n_words": np.asarray(n_words),
+        "f_word_count": np.asarray(f_words),
+        "f_mean_word_len": np.asarray(f_mwl),
+        "f_symbol_ratio": np.asarray(f_sym),
+        "f_bullet_ellipsis": np.asarray(f_bullet),
+        "f_alpha_words": np.asarray(f_alpha),
+        "f_stopwords": np.asarray(f_stop),
+        "f_repetition": f_rep,
+        "keep": np.asarray(keep),
+    }
+
+
 def gopher_quality_flags(sf_dir: str) -> rd.Dataset:
     """Per-doc Gopher quality gate: one boolean per published rule
-    plus the composed ``keep``. Everything except the repetition
-    signals is vectorized pandas string kernels; repetition reuses
-    the row-local ``_doc_repetition`` counter (the same accepted
-    shape as :func:`repetition_metrics`). All fractions feeding a
-    threshold are rounded to 6 dp first (the repo's quantized-
-    decision invariant), so flags are bit-stable across platforms.
-
-    Single map_batches pass, no shuffle — at 100 TB this is a pure
-    streaming filter whose output is one fixed-width row per doc."""
+    plus the composed ``keep``. Single map_batches pass, no shuffle —
+    at 100 TB this is a pure streaming annotator whose output is one
+    fixed-width row per doc."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        s = batch["text"].to_pandas()
-        n = len(s)
-        words = s.str.split()
-        n_words = words.str.len().fillna(0).astype("int64")
-        nz = n_words.replace(0, 1).astype("float64")  # guard /0
-        n_chars = s.str.replace(r"\s+", "", regex=True).str.len()
-        mean_word_len = np.round(n_chars / nz, 6)
-        symbol_ratio = np.round(
-            (s.str.count("#") + s.str.count(r"\.\.\.")) / nz, 6)
-        n_lines = (s.str.count("\n") + 1).astype("float64")
-        bullet_frac = np.round(
-            s.str.count(r"(?m)^[\-•]") / n_lines, 6)
-        ellipsis_frac = np.round(
-            s.str.count(r"(?m)\.\.\.$") / n_lines, 6)
-        alpha_frac = np.round(
-            s.str.count(r"[^\s]*[A-Za-z][^\s]*") / nz, 6)
-        n_stop = sum(
-            s.str.contains(rf"(?<![^\s]){w}(?![^\s])", regex=True)
-            .astype("int64")
-            for w in GOPHER_STOPWORDS)
-
-        rep = np.array([_doc_repetition(t) for t in s], dtype=np.float64) \
-            if n else np.zeros((0, 5))
-        rep = np.round(rep, 6)
-        rep_names = list(GOPHER_REPETITION_MAX)
-        f_rep = np.ones(n, dtype=bool)
-        for j, name in enumerate(rep_names):
-            f_rep &= rep[:, j] <= GOPHER_REPETITION_MAX[name]
-
-        lo, hi = GOPHER_RULES["word_count"]
-        f_words = (n_words >= lo) & (n_words <= hi)
-        lo, hi = GOPHER_RULES["mean_word_len"]
-        f_mwl = (mean_word_len >= lo) & (mean_word_len <= hi)
-        f_sym = symbol_ratio <= GOPHER_RULES["symbol_word_ratio"][1]
-        f_bullet = ((bullet_frac <= GOPHER_RULES["bullet_line_frac"][1])
-                    & (ellipsis_frac
-                       <= GOPHER_RULES["ellipsis_line_frac"][1]))
-        f_alpha = alpha_frac >= GOPHER_RULES["alpha_word_frac"][0]
-        f_stop = n_stop >= GOPHER_RULES["min_stopwords"][0]
-        keep = (f_words & f_mwl & f_sym & f_bullet & f_alpha & f_stop
-                & f_rep)
-        return pa.table({
-            "doc_id": batch["doc_id"],
-            "n_words": pa.array(n_words),
-            "f_word_count": pa.array(np.asarray(f_words)),
-            "f_mean_word_len": pa.array(np.asarray(f_mwl)),
-            "f_symbol_ratio": pa.array(np.asarray(f_sym)),
-            "f_bullet_ellipsis": pa.array(np.asarray(f_bullet)),
-            "f_alpha_words": pa.array(np.asarray(f_alpha)),
-            "f_stopwords": pa.array(np.asarray(f_stop)),
-            "f_repetition": pa.array(f_rep),
-            "keep": pa.array(np.asarray(keep)),
-        })
+        sig = _gopher_signals(batch["text"].to_pandas())
+        return pa.table({"doc_id": batch["doc_id"],
+                         **{k: pa.array(v) for k, v in sig.items()}})
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+def gopher_filter_batch(batch: pa.Table) -> pa.Table:
+    """Registry cleaning stage (``clean.gopher``): drop documents
+    failing the composed Gopher gate, pass surviving rows through
+    with all their columns."""
+    keep = _gopher_signals(batch["text"].to_pandas())["keep"]
+    return batch.filter(pa.array(keep))
 
 
 # DuckDB replay of the six document-level rules (the repetition flag

@@ -105,6 +105,26 @@ def test_keep_is_conjunction(ray_session):
     assert (out["keep"].astype(bool) == flags.all(axis=1)).all()
 
 
+def test_clean_gopher_registry_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    assert "clean.gopher" in registry.list_stages()
+    spam = "\n".join(["the cat and the dog have fun with all of it"] * 40)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([GOOD, spam], pa.string()),
+                  "extra": pa.array(["a", "b"], pa.string())})
+    pq.write_table(t, str(tmp_path / "p.parquet"))
+    out = registry.compile_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        [{"stage": "clean.gopher"}]).to_pandas()
+    # rejected doc dropped; survivor passes through with all columns
+    assert out["doc_id"].tolist() == [1]
+    assert out["extra"].tolist() == ["a"]
+
+
 def test_deterministic(ray_session):
     a = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
     b = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
