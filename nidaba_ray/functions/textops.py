@@ -717,6 +717,103 @@ def gopher_filter_batch(batch: pa.Table) -> pa.Table:
     return batch.filter(pa.array(keep))
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning rules (Raffel et al. 2020 §2.2) — line-level rewrite +
+# document gate, byte-replayable in DuckDB
+# ---------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_LINES = 3  # the "≥3 sentences" page rule, counted over KEPT
+#                   lines (sentence == retained terminal-punct line)
+
+
+def _c4_clean(s) -> tuple["pd.Series", np.ndarray]:
+    """(rewritten text, doc keep mask) for a pandas Series of texts.
+
+    Line rules (a line survives iff ALL hold): ends in terminal
+    punctuation (``. ! ? "``), has ≥ 5 whitespace words, does not
+    contain "javascript" (case-insensitive). Document rules on the
+    ORIGINAL text: no "lorem ipsum" (case-insensitive), no ``{``;
+    plus ≥ 3 surviving lines. Line predicates run vectorized over the
+    flattened line table (one pandas str kernel per rule, regrouped
+    by np.repeat doc indices) — no per-row Python loop."""
+    import itertools
+
+    split = s.str.split("\n")
+    lengths = split.str.len().fillna(0).astype(int).to_numpy()
+    flat = pd.Series(list(itertools.chain.from_iterable(split)),
+                     dtype="object")
+    doc_idx = np.repeat(np.arange(len(s)), lengths)
+    if len(flat):
+        keep_line = (
+            flat.str.contains(r'[.!?"]$', regex=True)
+            & (flat.str.split().str.len().fillna(0)
+               >= C4_MIN_WORDS_PER_LINE)
+            & ~flat.str.contains("javascript", case=False, regex=False)
+        ).to_numpy()
+    else:
+        keep_line = np.zeros(0, dtype=bool)
+    kept = pd.Series(flat[keep_line].to_numpy(),
+                     index=doc_idx[keep_line])
+    joined = kept.groupby(level=0).agg("\n".join) if len(kept) else \
+        pd.Series(dtype="object")
+    new_text = joined.reindex(range(len(s)), fill_value="")
+    new_text.index = s.index
+    n_kept = np.bincount(doc_idx[keep_line], minlength=len(s)) \
+        if len(s) else np.zeros(0, dtype=np.int64)
+    keep_doc = ((n_kept >= C4_MIN_LINES)
+                & ~s.str.contains("lorem ipsum", case=False,
+                                  regex=False).to_numpy()
+                & ~s.str.contains("{", regex=False).to_numpy())
+    return new_text, keep_doc
+
+
+def c4_filtered(sf_dir: str) -> rd.Dataset:
+    """C4-cleaned corpus: (doc_id, text) for surviving documents,
+    text rewritten to its retained lines. One streaming map_batches
+    pass, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        new_text, keep = _c4_clean(batch["text"].to_pandas())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(new_text, pa.string()),
+        }).filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def c4_filter_batch(batch: pa.Table) -> pa.Table:
+    """Registry cleaning stage (``clean.c4``): rewrite ``text`` to
+    its retained lines, drop rejected documents, and pass every other
+    column through untouched."""
+    new_text, keep = _c4_clean(batch["text"].to_pandas())
+    i = batch.schema.get_field_index("text")
+    return batch.set_column(i, "text", pa.array(new_text, pa.string())) \
+        .filter(pa.array(keep))
+
+
+# DuckDB replay — byte parity with c4_filtered (same predicates, same
+# chr(10) join) checked in tests/test_gopher.py
+C4_FILTERED_SQL = r"""
+WITH kept AS (
+  SELECT doc_id, text,
+         LIST_FILTER(STRING_SPLIT(text, chr(10)),
+           x -> REGEXP_MATCHES(x, '[.!?"]$')
+                AND LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(x, '\s+'),
+                                    y -> y <> '')) >= 5
+                AND NOT CONTAINS(LOWER(x), 'javascript')) AS lines
+  FROM documents
+)
+SELECT doc_id, ARRAY_TO_STRING(lines, chr(10)) AS text
+FROM kept
+WHERE LEN(lines) >= 3
+  AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
+  AND NOT CONTAINS(text, '{')
+"""
+
+
 # DuckDB replay of the six document-level rules (the repetition flag
 # has no reasonable SQL form — tests pin it via hand-built docs and
 # the repetition-metrics parity suite). Tokenization matches

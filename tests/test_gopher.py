@@ -125,6 +125,144 @@ def test_clean_gopher_registry_stage(ray_session, tmp_path):
     assert out["extra"].tolist() == ["a"]
 
 
+# --------------------------------------------------------------- C4
+
+
+def test_c4_line_rules(ray_session):
+    from nidaba_ray.functions.textops import _c4_clean
+
+    doc = "\n".join([
+        "This line survives because it is long enough.",   # keep
+        "Too short to keep.",                              # <5 words
+        "No terminal punctuation so this one goes",        # no punct
+        "Enable JavaScript to view this content please.",  # javascript
+        'He said "use five or more words here."',          # keep (")
+        "Another perfectly normal sentence ends right here.",  # keep
+    ])
+    new_text, keep = _c4_clean(pd.Series([doc]))
+    assert keep[0]
+    assert new_text.iloc[0].split("\n") == [
+        "This line survives because it is long enough.",
+        'He said "use five or more words here."',
+        "Another perfectly normal sentence ends right here.",
+    ]
+
+
+def test_c4_doc_rules(ray_session):
+    from nidaba_ray.functions.textops import _c4_clean
+
+    two_lines = ("One surviving sentence is right here.\n"
+                 "And a second surviving sentence follows.")
+    lorem = "\n".join(["A fine sentence stays right here today."] * 4
+                      ) + "\nLorem Ipsum dolor sit amet."
+    braces = "\n".join(["A fine sentence stays right here today."] * 4
+                       ) + "\nfunction() { return; }"
+    _, keep = _c4_clean(pd.Series([two_lines, lorem, braces]))
+    assert keep.tolist() == [False, False, False]
+
+
+def test_c4_sql_parity(ray_session, tmp_path):
+    # the synthetic corpus has no terminal punctuation (everything is
+    # filtered — checked below), so byte parity runs over a crafted
+    # mixed corpus with survivors, partial rewrites and rejects
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.textops import C4_FILTERED_SQL, c4_filtered
+
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(120):
+        lines = []
+        for j in range(int(rng.integers(1, 9))):
+            w = [f"word{k}" for k in range(int(rng.integers(2, 9)))]
+            tail = ["nothing", ".", "!", '?"', " and JavaScript.",
+                    ""][int(rng.integers(0, 6))]
+            lines.append(" ".join(w) + tail)
+        if i % 17 == 0:
+            lines.append("this page has lorem ipsum inside it.")
+        if i % 23 == 0:
+            lines.append("var x = { a: 1 };")
+        texts.append("\n".join(lines))
+    t = pa.table({"doc_id": pa.array(range(120), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    ours = c4_filtered(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = con.execute(C4_FILTERED_SQL).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert len(theirs) > 10  # the crafted corpus has real survivors
+    assert ours["doc_id"].tolist() == theirs["doc_id"].tolist()
+    assert ours["text"].tolist() == theirs["text"].tolist()  # bytes
+
+    # and the real corpus: both sides agree it is entirely rejected
+    con2 = duckdb.connect()
+    con2.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')")
+    assert len(con2.execute(C4_FILTERED_SQL).fetchdf()) == 0
+    assert c4_filtered(SF).count() == 0
+
+
+def test_clean_c4_registry_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    assert "clean.c4" in registry.list_stages()
+    good = "\n".join(["A fine sentence stays right here today."] * 4)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([good, "short"], pa.string()),
+                  "extra": pa.array(["a", "b"], pa.string())})
+    pq.write_table(t, str(tmp_path / "p.parquet"))
+    out = registry.compile_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        [{"stage": "clean.c4"}]).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["extra"].tolist() == ["a"]
+    assert out["text"].iloc[0] == good
+
+
+def test_training_data_clean_spec(ray_session, tmp_path):
+    """The composed WET-style cleaning spec (C4 → Gopher → PII)
+    compiles and runs end-to-end through the registry over a raw
+    line-structured corpus."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    keepable = "\n".join([
+        "The harbor opened early and the fishermen hauled their nets.",
+        "A warm wind moved across the water while gulls circled above.",
+        "Merchants stacked crates of salted fish beside the old pier.",
+        "Children watched the boats return with their morning catch.",
+        "By noon the market was loud with bargaining and laughter.",
+        "An old captain told stories that nobody quite believed.",
+        "Evening light settled over the rooftops of the small town.",
+        "Everyone agreed the season had been generous to have here.",
+    ])
+    spam = "\n".join(["the cat and the dog have fun with all of it."] * 40)
+    short = "Too few surviving lines to pass here."
+    pq.write_table(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array([keepable, spam, short], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    spec = registry.load_spec("examples/training_data_clean.yaml")
+    ds = rd.read_parquet(str(tmp_path / "documents.parquet"))
+    out = registry.compile_pipeline(ds, spec).to_pandas()
+    # the prose doc survives every gate byte-identically; the spam doc
+    # dies at the Gopher repetition rule; the short doc at the C4
+    # three-line page gate
+    assert out["doc_id"].tolist() == [1]
+    assert out["text"].iloc[0] == keepable
+
+
 def test_deterministic(ray_session):
     a = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
     b = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
