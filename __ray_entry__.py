@@ -50,6 +50,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pinned; exercised by the IVF build)
       * event_value_quantiles_sketch (error-bound-pinned scale variant
         of the oracle-checked exact quantiles)
+      * gopher_quality_flags      (full Rae-2021 gate; 6 document
+        rules DuckDB-parity-tested in tests/test_gopher.py, the
+        repetition flag pinned on crafted docs)
+      * c4_filtered / clean.c4    (line-rule rewrite, byte-exact
+        DuckDB parity over a survivor-bearing corpus; the synthetic
+        corpus itself has no terminal punctuation so the driver-side
+        result would be empty — pytest covers both facts)
+      * clean.gopher / clean.c4 / training_data_clean.yaml (registry
+        cleaning stages + composed WET-style spec, runner-tested)
     """
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, textops
