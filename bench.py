@@ -89,6 +89,11 @@ TIMED_QUERIES = [
     # artifact, prewarmed like the IVF index; compare against
     # minhash_dedup_pairs to see cost scale with the NEW crawl)
     "incremental_crossdedup",
+    # round-5 session-2 additions, appended LAST so every earlier
+    # entry keeps its warm-worker context (the r4→r5 forensics lesson:
+    # inserting entries mid-list shifts the timings that follow)
+    "gopher_quality_flags",
+    "c4_filtered",
 ]
 
 
@@ -168,6 +173,12 @@ def _extra_timed() -> dict:
         "remove_duplicate_spans": dedup.remove_duplicate_spans,
         "decontaminate_flags": decontaminate_flags,
         "incremental_crossdedup": incremental_crossdedup,
+        # round-5 session-2 cleaning family (DuckDB parity in
+        # tests/test_gopher.py; c4_filtered keeps 0 rows on the
+        # punctuation-free synthetic corpus — the timing covers the
+        # full scan + line-rule kernel regardless)
+        "gopher_quality_flags": textops.gopher_quality_flags,
+        "c4_filtered": textops.c4_filtered,
     }
 
 

@@ -131,6 +131,14 @@ def _lzw_encode(indices: np.ndarray, min_code: int) -> bytes:
             acc >>= 8
             nbits -= 8
 
+    # tobytes() below serializes one byte per symbol — a wider dtype
+    # (e.g. the int16 numpy promotes uint8 % 256 to) would silently
+    # interleave zero bytes, so pin the dtype here
+    indices = np.ascontiguousarray(indices)
+    if indices.dtype != np.uint8:
+        if indices.size and (indices.min() < 0 or indices.max() > 255):
+            raise ValueError("LZW symbols must fit in a byte")
+        indices = indices.astype(np.uint8)
     table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
     next_code = eoi + 1
     width = min_code + 1

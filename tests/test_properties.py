@@ -583,3 +583,35 @@ def test_pdf_odd_hex_digit_corruption_is_total():
     b2 = bytearray(base)
     b2[idx + 6] = 0x20  # a digit becomes a space → odd count remains
     assert isinstance(extract_pdf_blocks(bytes(b2)), list)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.binary(min_size=1, max_size=400),
+       st.integers(min_value=2, max_value=8))
+def test_gif_lzw_roundtrip(data, min_code):
+    """GIF LZW decode ∘ encode is the identity for every alphabet
+    width the spec allows (symbols clamped into the code space)."""
+    from nidaba_ray.algorithms.gif import _lzw_decode, _lzw_encode
+
+    arr = (np.frombuffer(data, dtype=np.uint8)
+           % (1 << min_code)).astype(np.uint8)
+    enc = _lzw_encode(arr, min_code)
+    out = _lzw_decode(enc, min_code, len(arr))
+    assert np.array_equal(out, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.booleans(), st.integers(min_value=0, max_value=2**32 - 1))
+def test_gif_gray_roundtrip_property(w, h, interlace, seed):
+    """Full-file GIF roundtrip across arbitrary shapes and both
+    interlace modes (the grayscale identity palette makes every
+    channel the original index)."""
+    from nidaba_ray.algorithms.gif import decode_gif, encode_gif
+
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=(h, w), dtype=np.uint8)
+    frames = decode_gif(encode_gif(img, interlace=interlace))
+    assert frames.shape == (1, h, w, 3)
+    assert np.array_equal(frames[0, :, :, 0], img)
