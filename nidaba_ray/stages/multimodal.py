@@ -236,28 +236,52 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
 
 class AudioFeatures:
     """Actor-pool stage: per-clip summary features over decoded
-    samples (REAL WAV/RIFF decode since round 5; FAKEAUD legacy)."""
+    samples (REAL WAV/RIFF decode since round 5; FAKEAUD legacy).
+
+    Features per clip, all numpy-vectorized over the mono mixdown:
+    RMS level, zero-crossing rate (sign changes / sample steps), and
+    spectral centroid (magnitude-weighted mean rfft frequency — in Hz
+    when the container carries a sample rate, in normalized bin units
+    for the rate-less FAKEAUD legacy container). Reported floats are
+    rounded to 6 dp so downstream comparisons are bit-stable."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, n_samples, rms, errors = [], [], [], []
+        ids, n_samples, rms, zcr, cent, errors = [], [], [], [], [], []
         for i, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
             ids.append(i)
             try:
-                samples, _rate = decode_audio(p or b"")
+                samples, rate = decode_audio(p or b"")
                 if samples.size == 0:
                     raise ValueError("empty audio stream")
                 n_samples.append(samples.shape[0])
-                rms.append(float(np.sqrt((samples**2).mean())))
+                rms.append(round(float(np.sqrt((samples**2).mean())), 6))
+                mono = samples.mean(axis=1)
+                sign = np.signbit(mono)
+                zcr.append(round(
+                    float(np.count_nonzero(sign[1:] != sign[:-1]))
+                    / max(len(mono) - 1, 1), 6))
+                spec = np.abs(np.fft.rfft(mono))
+                freqs = (np.fft.rfftfreq(len(mono), d=1.0 / rate)
+                         if rate > 0 else
+                         np.arange(len(spec), dtype=np.float64))
+                denom = float(spec.sum())
+                cent.append(round(
+                    float((freqs * spec).sum() / denom), 6)
+                    if denom > 0 else 0.0)
                 errors.append("")
             except Exception as e:
                 n_samples.append(0)
                 rms.append(0.0)
+                zcr.append(0.0)
+                cent.append(0.0)
                 errors.append(f"{type(e).__name__}: {e}")
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),
                 "n_samples": pa.array(n_samples, pa.int64()),
                 "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+                "spectral_centroid": pa.array(cent, pa.float64()),
                 "error": pa.array(errors, pa.string()),
             }
         )

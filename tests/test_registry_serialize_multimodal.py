@@ -3,6 +3,7 @@ multimodal stages, stats op."""
 
 import json
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
@@ -101,6 +102,29 @@ def test_audio_features():
     t = synth_media_batch([1, 4, 7])  # audio ids (i%3==1)
     out = AudioFeatures()(t).to_pylist()
     assert all(r["error"] == "" and r["n_samples"] > 0 and r["rms"] > 0 for r in out)
+    assert all(0.0 <= r["zero_crossing_rate"] <= 1.0 for r in out)
+    assert all(r["spectral_centroid"] > 0 for r in out)
+
+
+def test_audio_dsp_features_sine_and_dc():
+    from nidaba_ray.algorithms.wav import encode_wav
+
+    rate, f0, n = 8000, 440.0, 8000
+    tgrid = np.arange(n) / rate
+    sine = (np.sin(2 * np.pi * f0 * tgrid) * 30000).astype("<i2")
+    dc = np.full(n, 12000, dtype="<i2")
+    t = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "payload": pa.array([encode_wav(sine, rate=rate),
+                             encode_wav(dc, rate=rate)], pa.binary()),
+    })
+    out = {r["media_id"]: r for r in AudioFeatures()(t).to_pylist()}
+    # a pure tone: centroid ≈ f0 (Hz), ZCR ≈ 2·f0/rate
+    assert abs(out[1]["spectral_centroid"] - f0) < 5.0
+    assert abs(out[1]["zero_crossing_rate"] - 2 * f0 / rate) < 0.002
+    # DC: no crossings, all energy at the zero bin
+    assert out[2]["zero_crossing_rate"] == 0.0
+    assert out[2]["spectral_centroid"] < 1.0
 
 
 def test_video_frame_sampler():
