@@ -1629,6 +1629,80 @@ response; omit it on the first request.</dd>
          "Maximum number of records per page, between 1 and 500; the "
          "default is 100."],
     ),
+    # 79. paginated article: the pager strip ("Prev 1 2 3 Next") is
+    # pure links — link-density chrome; page paragraphs are content.
+    _page(
+        "paginated_article",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article><p>{_P1}</p><p>{_P2}</p></article>
+<div class="pager"><a href="/story?p=1">‹ Prev</a>
+<a href="/story?p=1">1</a> <a href="/story?p=2">2</a>
+<a href="/story?p=3">3</a> <a href="/story?p=3">Next ›</a></div>
+</main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        [_P1, _P2],
+    ),
+    # 80. essay with endnotes: the footnote list inside the article is
+    # prose content; the back-to-top strip below it is chrome.
+    _page(
+        "footnoted_essay",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article><p>{_P1}</p><p>{_P2}</p>
+<h2>Notes</h2>
+<ol class="footnotes">
+<li>The borrowing estimate follows the treasury model published in
+the spring planning report and assumes level interest rates.</li>
+<li>Attendance figures were compiled from the clerk's minutes of the
+four public sessions held this quarter.</li>
+</ol></article>
+<div class="backtotop"><a href="#top">Back to top</a> <a
+href="/print">Print</a> <a href="/share">Share</a></div>
+</main>{_FOOTER}</body></html>""",
+        [_P1, _P2,
+         "Notes",
+         "The borrowing estimate follows the treasury model published "
+         "in the spring planning report and assumes level interest "
+         "rates.",
+         "Attendance figures were compiled from the clerk's minutes "
+         "of the four public sessions held this quarter."],
+    ),
+    # 81. sitemap page: one intro paragraph is the only content; the
+    # exhaustive link columns are all chrome by link density.
+    _page(
+        "sitemap_page",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><h1>Site map</h1>
+<p>Every section of this site is listed below; use the search box if
+you cannot find a page, or contact the desk for older archives.</p>
+<div class="cols">
+<ul><li><a href="/news/local">Local news</a></li>
+<li><a href="/news/region">Regional news</a></li>
+<li><a href="/news/world">World desk</a></li></ul>
+<ul><li><a href="/sports/results">Results</a></li>
+<li><a href="/sports/tables">League tables</a></li>
+<li><a href="/sports/fixtures">Fixtures</a></li></ul>
+<ul><li><a href="/arts/reviews">Reviews</a></li>
+<li><a href="/arts/listings">Listings</a></li>
+<li><a href="/arts/podcast">Podcast</a></li></ul>
+</div></main>{_FOOTER}</body></html>""",
+        ["Site map",
+         "Every section of this site is listed below; use the search "
+         "box if you cannot find a page, or contact the desk for "
+         "older archives."],
+    ),
+    # 82. accessibility chrome: skip-link and ARIA landmark wrappers
+    # around ordinary content — the skip strip and landmark nav are
+    # chrome, the article inside role=main is content.
+    _page(
+        "aria_landmarks",
+        f"""<html><body>
+<a class="skip" href="#main">Skip to main content</a>
+<div role="banner"><h1>Example Media</h1>{_NAV}</div>
+<div role="navigation" aria-label="Breadcrumb"><a href="/">Home</a> ›
+<a href="/news">News</a> › <a href="/news/city">City</a></div>
+<div role="main" id="main"><article><p>{_P1}</p><p>{_P3}</p></article></div>
+<div role="contentinfo">{_FOOTER}</div></body></html>""",
+        [_P1, _P3],
+    ),
 ]
 
 
