@@ -727,6 +727,19 @@ C4_MIN_LINES = 3  # the "≥3 sentences" page rule, counted over KEPT
 #                   lines (sentence == retained terminal-punct line)
 
 
+def _flat_lines(s) -> tuple["pd.Series", np.ndarray]:
+    """Flatten a Series of texts into one Series of lines plus the
+    np.repeat doc-index array — the shared vectorization layout the
+    line-rule families (C4, FineWeb) run their str kernels over."""
+    import itertools
+
+    split = s.str.split("\n")
+    lengths = split.str.len().fillna(0).astype(int).to_numpy()
+    flat = pd.Series(list(itertools.chain.from_iterable(split)),
+                     dtype="object")
+    return flat, np.repeat(np.arange(len(s)), lengths)
+
+
 def _c4_clean(s) -> tuple["pd.Series", np.ndarray]:
     """(rewritten text, doc keep mask) for a pandas Series of texts.
 
@@ -737,13 +750,7 @@ def _c4_clean(s) -> tuple["pd.Series", np.ndarray]:
     plus ≥ 3 surviving lines. Line predicates run vectorized over the
     flattened line table (one pandas str kernel per rule, regrouped
     by np.repeat doc indices) — no per-row Python loop."""
-    import itertools
-
-    split = s.str.split("\n")
-    lengths = split.str.len().fillna(0).astype(int).to_numpy()
-    flat = pd.Series(list(itertools.chain.from_iterable(split)),
-                     dtype="object")
-    doc_idx = np.repeat(np.arange(len(s)), lengths)
+    flat, doc_idx = _flat_lines(s)
     if len(flat):
         keep_line = (
             flat.str.contains(r'[.!?"]$', regex=True)
@@ -792,6 +799,116 @@ def c4_filter_batch(batch: pa.Table) -> pa.Table:
     i = batch.schema.get_field_index("text")
     return batch.set_column(i, "text", pa.array(new_text, pa.string())) \
         .filter(pa.array(keep))
+
+
+# ---------------------------------------------------------------------------
+# FineWeb custom filters (Penedo et al. 2024) — the three published
+# C4-inspired document gates with their published thresholds
+# ---------------------------------------------------------------------------
+
+FINEWEB_MIN_PUNCT_LINE_FRAC = 0.12   # remove if ≤ 0.12 end in punct
+FINEWEB_MAX_DUP_LINE_CHAR_FRAC = 0.1  # remove if ≥ 0.1 duplicated
+FINEWEB_MAX_SHORT_LINE_FRAC = 0.67    # remove if ≥ 0.67 under 30 chars
+FINEWEB_SHORT_LINE_CHARS = 30
+
+
+def _fineweb_signals(s) -> dict[str, np.ndarray]:
+    """Per-doc FineWeb rule booleans for a pandas Series of texts:
+
+    - ``f_punct_lines``: fraction of lines ending in C4 terminal
+      punctuation must EXCEED 0.12,
+    - ``f_dup_line_chars``: characters inside repeats of an earlier
+      identical line, over total line characters, must stay UNDER 0.1,
+    - ``f_short_lines``: fraction of lines shorter than 30 characters
+      must stay UNDER 0.67,
+    and ``keep`` = the conjunction. Everything runs vectorized over
+    the flattened line table; fractions round to 6 dp before every
+    threshold (the quantized-decision invariant)."""
+    flat, doc_idx = _flat_lines(s)
+    n = len(s)
+    n_lines = np.bincount(doc_idx, minlength=n).astype(np.float64) \
+        if len(flat) else np.zeros(n)
+    n_lines_nz = np.maximum(n_lines, 1.0)
+    if len(flat):
+        punct = flat.str.contains(r'[.!?"]$', regex=True).to_numpy()
+        line_len = flat.str.len().to_numpy()
+        short = line_len < FINEWEB_SHORT_LINE_CHARS
+        dup = pd.DataFrame({"d": doc_idx, "l": flat}).duplicated(
+            ["d", "l"]).to_numpy()
+        punct_frac = np.bincount(doc_idx, punct, minlength=n) / n_lines_nz
+        short_frac = np.bincount(doc_idx, short, minlength=n) / n_lines_nz
+        dup_chars = np.bincount(doc_idx, line_len * dup, minlength=n)
+        tot_chars = np.maximum(
+            np.bincount(doc_idx, line_len, minlength=n), 1.0)
+        dup_frac = dup_chars / tot_chars
+    else:
+        punct_frac = short_frac = dup_frac = np.zeros(n)
+    f_punct = np.round(punct_frac, 6) > FINEWEB_MIN_PUNCT_LINE_FRAC
+    f_dup = np.round(dup_frac, 6) < FINEWEB_MAX_DUP_LINE_CHAR_FRAC
+    f_short = np.round(short_frac, 6) < FINEWEB_MAX_SHORT_LINE_FRAC
+    return {
+        "f_punct_lines": f_punct,
+        "f_dup_line_chars": f_dup,
+        "f_short_lines": f_short,
+        "keep": f_punct & f_dup & f_short,
+    }
+
+
+def fineweb_quality_flags(sf_dir: str) -> rd.Dataset:
+    """Per-doc FineWeb gate flags + composed ``keep``. One streaming
+    map_batches pass, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sig = _fineweb_signals(batch["text"].to_pandas())
+        return pa.table({"doc_id": batch["doc_id"],
+                         **{k: pa.array(v) for k, v in sig.items()}})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def fineweb_filter_batch(batch: pa.Table) -> pa.Table:
+    """Registry cleaning stage (``clean.fineweb``): drop documents
+    failing any of the three published gates, pass survivors through
+    with all their columns."""
+    keep = _fineweb_signals(batch["text"].to_pandas())["keep"]
+    return batch.filter(pa.array(keep))
+
+
+# DuckDB replay of all three FineWeb rules (parity-tested in
+# tests/test_gopher.py). "Duplicated line characters" counts every
+# occurrence after the first of an identical line within the doc,
+# char-weighted, over total line characters — the same definition the
+# python kernel uses.
+FINEWEB_FLAGS_SQL = r"""
+WITH l AS (
+  SELECT doc_id,
+         UNNEST(STRING_SPLIT(text, chr(10))) AS line
+  FROM documents
+),
+g AS (
+  SELECT doc_id, line, COUNT(*) AS c, LEN(line) AS len1
+  FROM l GROUP BY doc_id, line
+),
+d AS (
+  SELECT doc_id,
+         SUM(c) AS n_lines,
+         SUM(c * CASE WHEN REGEXP_MATCHES(line, '[.!?"]$')
+                      THEN 1 ELSE 0 END) AS n_punct,
+         SUM(c * CASE WHEN len1 < 30 THEN 1 ELSE 0 END) AS n_short,
+         SUM((c - 1) * len1) AS dup_chars,
+         SUM(c * len1) AS tot_chars
+  FROM g GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(CAST(n_punct AS DOUBLE) / GREATEST(n_lines, 1), 6) > 0.12
+         AS f_punct_lines,
+       ROUND(CAST(dup_chars AS DOUBLE) / GREATEST(tot_chars, 1), 6)
+         < 0.1 AS f_dup_line_chars,
+       ROUND(CAST(n_short AS DOUBLE) / GREATEST(n_lines, 1), 6) < 0.67
+         AS f_short_lines
+FROM d
+"""
 
 
 # DuckDB replay — byte parity with c4_filtered (same predicates, same

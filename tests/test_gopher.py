@@ -263,6 +263,89 @@ def test_training_data_clean_spec(ray_session, tmp_path):
     assert out["text"].iloc[0] == keepable
 
 
+# ---------------------------------------------------------- FineWeb
+
+
+def test_fineweb_each_rule():
+    from nidaba_ray.functions.textops import _fineweb_signals
+
+    long_punct = ("This is a long enough sentence that ends in a "
+                  "period and stays.")
+    ok = "\n".join([long_punct + f" Variant {i}." for i in range(10)])
+    no_punct = "\n".join([f"line {i} with no terminal punctuation at "
+                          "all and plenty of words" for i in range(10)])
+    dup = "\n".join([long_punct] * 9 + ["One unique closing line "
+                                        "stays right here today."])
+    short = "\n".join([f"tiny {i}." for i in range(9)] + [long_punct])
+    sig = _fineweb_signals(pd.Series([ok, no_punct, dup, short]))
+    assert sig["keep"].tolist() == [True, False, False, False]
+    assert not sig["f_punct_lines"][1]
+    assert not sig["f_dup_line_chars"][2]
+    assert not sig["f_short_lines"][3]
+
+
+def test_fineweb_sql_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.textops import (
+        FINEWEB_FLAGS_SQL,
+        fineweb_quality_flags,
+    )
+
+    rng = np.random.default_rng(5)
+    texts = []
+    for i in range(150):
+        lines = []
+        for j in range(int(rng.integers(1, 10))):
+            w = [f"w{k}" for k in range(int(rng.integers(1, 14)))]
+            tail = [".", "!", "", "", '?"'][int(rng.integers(0, 5))]
+            line = " ".join(w) + tail
+            lines.append(line)
+            if rng.integers(0, 3) == 0:
+                lines.append(line)  # force duplicated lines
+        texts.append("\n".join(lines))
+    t = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    ours = fineweb_quality_flags(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = con.execute(FINEWEB_FLAGS_SQL).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert ours["doc_id"].tolist() == theirs["doc_id"].tolist()
+    for f in ["f_punct_lines", "f_dup_line_chars", "f_short_lines"]:
+        mism = (ours[f].astype(bool) != theirs[f].astype(bool)).sum()
+        assert mism == 0, f"{f}: {mism} mismatches"
+        assert 0 < ours[f].astype(bool).sum() < len(ours), f  # mixed
+    assert (ours["keep"].astype(bool)
+            == ours[["f_punct_lines", "f_dup_line_chars",
+                     "f_short_lines"]].astype(bool).all(axis=1)).all()
+
+
+def test_clean_fineweb_registry_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    assert "clean.fineweb" in registry.list_stages()
+    good = "\n".join([f"A good long sentence number {i} that ends "
+                      "with a period right here." for i in range(6)])
+    bad = "\n".join(["no punct here at all"] * 6)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([good, bad], pa.string()),
+                  "extra": pa.array(["a", "b"], pa.string())})
+    pq.write_table(t, str(tmp_path / "p.parquet"))
+    out = registry.compile_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        [{"stage": "clean.fineweb"}]).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["extra"].tolist() == ["a"]
+
+
 def test_deterministic(ray_session):
     a = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
     b = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
