@@ -59,6 +59,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         result would be empty — pytest covers both facts)
       * clean.gopher / clean.c4 / training_data_clean.yaml (registry
         cleaning stages + composed WET-style spec, runner-tested)
+      * fineweb_quality_flags / clean.fineweb (the three published
+        FineWeb gates; full DuckDB parity in tests/test_gopher.py)
+      * mixture_sample / stratified_sample (deterministic md5-keyed
+        training-mixture construction; DuckDB parity + layout
+        invariance in tests/test_sampling.py)
     """
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, textops

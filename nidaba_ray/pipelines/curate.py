@@ -223,3 +223,112 @@ SELECT doc_id, t.lang, n_tokens
 FROM t JOIN thr ON t.lang = thr.lang
 WHERE n_tokens > q
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mixture sampling (training-data mixture construction)
+# ---------------------------------------------------------------------------
+
+# language → inclusion rate; binary-exact fractions so the float →
+# uint64 threshold quantization is bit-identical in numpy and DuckDB
+MIXTURE_RATES: dict[str, float] = {
+    "en": 1.0, "fr": 0.5, "es": 0.5, "de": 0.25, "zh": 0.125,
+}
+
+
+def _mix_thresholds(rates: dict[str, float]) -> dict[str, int]:
+    """Rate → md5_64 threshold. min() keeps rate=1.0 inside UBIGINT;
+    the excluded top key is 1 in 2^64 — and both sides exclude it, so
+    parity is exact."""
+    return {l: min(int(round(r * 2**64)), 2**64 - 1)
+            for l, r in rates.items()}
+
+
+def mixture_sample(sf_dir: str, rates: dict[str, float] | None = None
+                   ) -> rd.Dataset:
+    """Language-mixture sampling: keep a doc iff
+    ``md5_64("mix:" + doc_id) < threshold[lang]`` (0 for unlisted
+    languages). Like sample_lineitem, the kept SET is a pure function
+    of the key — identical on 4 CPUs, 32 CPUs or a 256-node cluster,
+    across reruns and repartitions — which is what a reproducible
+    training mixture needs. Shuffle-free; SQL-replayable
+    (MIXTURE_SQL)."""
+    thr = _mix_thresholds(MIXTURE_RATES if rates is None else rates)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pa.array([
+            int.from_bytes(
+                hashlib.md5(f"mix:{d}".encode()).digest()[:8], "big")
+            < thr.get(l, 0)
+            for d, l in zip(batch["doc_id"].to_pylist(),
+                            batch["lang"].to_pylist())
+        ])
+        return batch.filter(keep)
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def mixture_sql(rates: dict[str, float] | None = None) -> str:
+    thr = _mix_thresholds(MIXTURE_RATES if rates is None else rates)
+    cases = " ".join(
+        f"WHEN '{l}' THEN {t}::UBIGINT" for l, t in sorted(thr.items()))
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+      < (CASE lang {cases} ELSE 0::UBIGINT END)
+"""
+
+
+STRATIFIED_K = 40
+
+
+def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> rd.Dataset:
+    """Per-language deterministic k-doc sample: the k smallest
+    ``md5_64("strat:" + doc_id)`` keys within each language, ties (a
+    2^-64 event) broken by doc_id.
+
+    Scale shape: a per-batch top-k COMBINER runs inside map_batches
+    (each batch forwards at most k rows per language it saw), then a
+    per-language ``map_groups`` merge picks the global k — the corpus
+    itself never shuffles, only ≤ k·n_langs·n_batches combiner rows
+    do. Same set at any parallelism; SQL-replayable
+    (stratified_sql)."""
+
+    def key64(doc_ids: list[int]) -> list[int]:
+        return [int.from_bytes(
+            hashlib.md5(f"strat:{d}".encode()).digest()[:8], "big")
+            for d in doc_ids]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["doc_id", "lang"]).to_pandas()
+        df["k64"] = pd.array(key64(df["doc_id"].tolist()),
+                             dtype="UInt64")
+        df = (df.sort_values(["k64", "doc_id"])
+                .groupby("lang", as_index=False).head(k))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["k64", "doc_id"]).head(k)
+        return g[["lang", "doc_id"]]
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(final, batch_format="pandas")
+    )
+
+
+def stratified_sql(k: int = STRATIFIED_K) -> str:
+    return f"""
+SELECT lang, doc_id FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id) AS rn
+  FROM documents) WHERE rn <= {k}
+"""
