@@ -1703,6 +1703,115 @@ you cannot find a page, or contact the desk for older archives.</p>
 <div role="contentinfo">{_FOOTER}</div></body></html>""",
         [_P1, _P3],
     ),
+    # 83. newsletter web view: "view in browser" strip and the
+    # unsubscribe/preferences footer are chrome; the letter body is
+    # content.
+    _page(
+        "newsletter_webview",
+        f"""<html><body>
+<div class="preheader"><a href="/web">View this email in your
+browser</a> <a href="/forward">Forward to a friend</a></div>
+<div class="email-body"><h1>This week at the harbor</h1>
+<p>{_P1}</p><p>{_P2}</p></div>
+<div class="email-footer"><a href="/unsubscribe">Unsubscribe</a>
+<a href="/prefs">Update preferences</a> <a href="/archive">Past
+issues</a></div></body></html>""",
+        ["This week at the harbor", _P1, _P2],
+    ),
+    # 84. job posting: description prose and the details list are
+    # content; the apply strip and similar-jobs rail are chrome.
+    _page(
+        "job_posting",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article><h1>Harbor operations coordinator</h1>
+<p>The port authority seeks a coordinator to schedule berths,
+liaise with ferry operators and keep the daily movement log
+accurate through the busy summer season.</p>
+<dl class="details">
+<dt>Location</dt><dd>Harbortown, on site at the terminal office
+with one remote day each week.</dd>
+<dt>Salary</dt><dd>From 42,000 to 48,000 a year depending on
+experience, reviewed annually.</dd>
+</dl>
+<div class="apply"><a href="/apply/712">Apply now</a>
+<a href="/save/712">Save job</a> <a href="/share/712">Share</a></div>
+</article></main>
+<aside class="similar"><h3>Similar jobs</h3><ul>
+<li><a href="/j/1">Deck scheduler</a></li>
+<li><a href="/j/2">Terminal clerk</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Harbor operations coordinator",
+         "The port authority seeks a coordinator to schedule berths, "
+         "liaise with ferry operators and keep the daily movement log "
+         "accurate through the busy summer season.",
+         "Location",
+         "Harbortown, on site at the terminal office with one remote "
+         "day each week.",
+         "Salary",
+         "From 42,000 to 48,000 a year depending on experience, "
+         "reviewed annually."],
+    ),
+    # 85. press release: headline, body and the "About" boilerplate
+    # are content; the media-contact link strip is chrome.
+    _page(
+        "press_release",
+        f"""<html><body><header><h1>Example Corp Newsroom</h1>{_NAV}</header>
+<main><article><h1>Example Corp opens rebuilt ferry terminal</h1>
+<p>HARBORTOWN — Example Corp today announced the opening of the
+rebuilt passenger terminal, completing a two-year project that
+doubles waiting capacity and restores year-round service.</p>
+<p>{_P2}</p>
+<h2>About Example Corp</h2>
+<p>Example Corp operates regional ferry routes and port services
+and has served the harbor communities for over forty years.</p>
+<div class="media-contact"><a href="mailto:press@example.com">
+press@example.com</a> <a href="tel:+15550100">+1 555 0100</a>
+<a href="/press-kit">Press kit</a></div>
+</article></main>{_FOOTER}</body></html>""",
+        ["Example Corp opens rebuilt ferry terminal",
+         "HARBORTOWN — Example Corp today announced the opening of "
+         "the rebuilt passenger terminal, completing a two-year "
+         "project that doubles waiting capacity and restores "
+         "year-round service.",
+         _P2,
+         "About Example Corp",
+         "Example Corp operates regional ferry routes and port "
+         "services and has served the harbor communities for over "
+         "forty years."],
+    ),
+    # 86. academic abstract landing page: title and abstract are
+    # content; the publication-metadata dl is classed "meta" and
+    # drops under the same chrome-class convention as fixture 25's
+    # post-meta strip (pub metadata is furniture, like a byline);
+    # download/cite buttons and the related-papers rail are chrome.
+    _page(
+        "academic_abstract",
+        f"""<html><body><header><h1>Example Press</h1>{_NAV}</header>
+<main><article><h1>Tidal scheduling of mixed-draft ferry fleets</h1>
+<h2>Abstract</h2>
+<p>We model berth assignment under tidal draft constraints and show
+that a two-phase greedy schedule stays within four percent of the
+optimal makespan on a season of real harbor movement logs.</p>
+<dl class="meta">
+<dt>Published</dt><dd>Journal of Port Operations, volume 18, pages
+211 to 230, spring issue.</dd>
+<dt>DOI</dt><dd>The digital object identifier for this record is
+10.1000/jpo.2024.18211 and resolves to this page.</dd>
+</dl>
+<div class="actions"><a href="/pdf/18211">Download PDF</a>
+<a href="/cite/18211">Cite</a> <a href="/alert">Alert me</a></div>
+</article></main>
+<aside class="related"><h3>Related</h3><ul>
+<li><a href="/p/1">Berth windows under spring tides</a></li>
+<li><a href="/p/2">Queueing at small harbors</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Tidal scheduling of mixed-draft ferry fleets",
+         "Abstract",
+         "We model berth assignment under tidal draft constraints "
+         "and show that a two-phase greedy schedule stays within "
+         "four percent of the optimal makespan on a season of real "
+         "harbor movement logs."],
+    ),
 ]
 
 
