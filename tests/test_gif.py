@@ -184,6 +184,24 @@ def test_gif_frames_lazy(monkeypatch):
     assert np.array_equal(kept[1][:, :, 0], frames[3])
 
 
+def test_gif_frames_dependent_out_of_order_replays():
+    # sampling a dependent stream's thunks in REVERSE order forces
+    # the replay-from-start branch; results must still match the
+    # eager compositor exactly
+    f1 = _img_block(0, 0, 2, 2, _lzw_encode(np.array([0, 1, 2, 3],
+                                                     np.uint8), 2))
+    gce = b"\x21\xF9\x04" + struct.pack("<BHB", 0x01, 0, 3) + b"\x00"
+    f2 = _img_block(0, 0, 2, 2, _lzw_encode(np.array([3, 3, 3, 2],
+                                                     np.uint8), 2))
+    f3 = _img_block(0, 0, 2, 2, _lzw_encode(np.array([1, 1, 0, 0],
+                                                     np.uint8), 2))
+    gif = _lsd(2, 2) + _PAL4 + f1 + gce + f2 + gce + f3 + b"\x3B"
+    want = decode_gif(gif)
+    thunks = dict(gif_frames(gif))
+    for i in reversed(range(len(want))):
+        assert np.array_equal(thunks[i](), want[i]), i
+
+
 def test_gif_frames_dependent_stream_memoized():
     # a transparent sub-frame forces the composited (stateful) path;
     # in-order thunks must replay the animation exactly

@@ -128,10 +128,13 @@ def test_audio_dsp_features_sine_and_dc():
 
 
 def test_video_frame_sampler():
-    t = synth_media_batch([2, 5, 8])  # video ids (i%3==2)
+    # video ids (i%3==2) across all four wire formats:
+    # 2=FAKEVID, 5=AVI-MJPG, 8=AVI-DIB, 11=animated GIF
+    t = synth_media_batch([2, 5, 8, 11])
     out = VideoFrameSampler(every=2)(t).to_pylist()
     assert len(out) > 0
     assert all(r["frame_idx"] % 2 == 0 for r in out)
+    assert {r["media_id"] for r in out} == {2, 5, 8, 11}
 
 
 def test_media_determinism():
