@@ -139,7 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     the md5-deterministic sketch itself in SQL
         "hll_distinct_users": win.hll_distinct_users,
         # --- hand-labelled realistic page shapes, promoted round 5:
-        #     the 78 frozen expected-text md5s are inlined in the SQL
+        #     all frozen expected-text md5s (len(FIXTURES)) inline in the SQL
         #     as a VALUES list (corpus-independent repo constants)
         "extract_golden_real": realpages.extract_golden_real,
         # --- block-quality classifier served as an actor stage,

@@ -364,10 +364,12 @@ def gif_frames(payload: bytes):
     ``(frame_idx, thunk)`` where ``thunk()`` → (H, W, 3) uint8 RGB.
 
     Frames that are provably canvas-independent (full-cover, opaque —
-    everything our encoder writes) decode only when their thunk runs.
-    Dependent frames advance a shared memoized canvas up to their
-    index on first touch, so each LZW stream still decodes at most
-    once even under out-of-order sampling."""
+    everything our encoder writes) decode only when their thunk runs,
+    in any order. Dependent frames advance a shared memoized canvas:
+    IN-ORDER sampling decodes each LZW stream at most once;
+    out-of-order access to a dependent stream replays the compositor
+    from frame 0 (correct, but O(n) re-decodes per backward jump —
+    samplers should touch thunks in index order)."""
     g = _parse(payload)
     state = {"canvas": None, "next": 0}
 
@@ -400,10 +402,64 @@ def gif_frames(payload: bytes):
             yield idx, (lambda idx=idx: advance_to(idx))
 
 
-def gif_n_frames(payload: bytes) -> int:
-    """Frame count from the block walk alone — no LZW decode (the
-    cheap video-vs-still sniff the multimodal dispatch needs)."""
-    return len(_parse(payload).frames)
+def _skip_subblocks(data: bytes, pos: int) -> int:
+    """Position after a sub-block chain, copying nothing."""
+    n = len(data)
+    while True:
+        if pos >= n:
+            raise ValueError("GIF truncated sub-block chain")
+        size = data[pos]
+        pos += 1
+        if size == 0:
+            return pos
+        if pos + size > n:
+            raise ValueError("GIF truncated sub-block")
+        pos += size
+
+
+def gif_n_frames(payload: bytes, limit: int | None = None) -> int:
+    """Frame count from a copy-free block walk — no LZW decode, no
+    sub-block byte copies, and an early exit at ``limit`` (the cheap
+    video-vs-still sniff only needs to know whether a second image
+    descriptor exists)."""
+    if not is_gif(payload):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("GIF truncated header")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    count = 0
+    n = len(payload)
+    while True:
+        if pos >= n:
+            raise ValueError("GIF missing trailer")
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            if pos >= n:
+                raise ValueError("GIF truncated extension")
+            pos = _skip_subblocks(payload, pos + 1)
+            continue
+        if block == 0x2C:
+            if pos + 9 > n:
+                raise ValueError("GIF truncated image descriptor")
+            ipacked = payload[pos + 8]
+            pos += 9
+            if ipacked & 0x80:
+                pos += 3 * (2 << (ipacked & 0x07))
+            if pos >= n:
+                raise ValueError("GIF truncated LZW header")
+            pos = _skip_subblocks(payload, pos + 1)
+            count += 1
+            if limit is not None and count >= limit:
+                return count
+            continue
+        raise ValueError(f"GIF unknown block 0x{block:02x}")
+    return count
 
 
 # ----------------------------------------------------------- encode

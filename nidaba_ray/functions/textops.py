@@ -637,6 +637,18 @@ GOPHER_REPETITION_MAX = {
 }
 
 
+# ONE whitespace definition for every rule that tokenizes, shared
+# verbatim by the python kernels and the DuckDB replays. Explicit
+# ASCII class, because the two regex engines disagree about `\s`:
+# python str.split() and `(?u)\s` split Unicode whitespace (NBSP,
+# U+2009, …) while DuckDB's RE2 `\s` is [\t\n\f\r ] — a web doc with
+# an &nbsp; would tokenize differently on the two sides and break
+# oracle parity (review find, round 5).
+_WS = " \\t\\n\\f\\r"
+WS_RUN = f"[{_WS}]+"
+NON_WS = f"[^{_WS}]"
+
+
 def _gopher_signals(s) -> dict[str, np.ndarray]:
     """All rule booleans for a pandas Series of texts. Everything
     except the repetition signals is vectorized pandas string
@@ -644,21 +656,22 @@ def _gopher_signals(s) -> dict[str, np.ndarray]:
     counter (the same accepted shape as :func:`repetition_metrics`).
     All fractions feeding a threshold are rounded to 6 dp first (the
     repo's quantized-decision invariant), so flags are bit-stable
-    across platforms."""
+    across platforms. Tokenization is the shared ASCII ``WS_RUN``
+    class on both the python and SQL sides."""
     n = len(s)
-    words = s.str.split()
-    n_words = words.str.len().fillna(0).astype("int64")
+    n_words = s.str.count(f"{NON_WS}+").astype("int64")
     nz = n_words.replace(0, 1).astype("float64")  # guard /0
-    n_chars = s.str.replace(r"\s+", "", regex=True).str.len()
+    n_chars = s.str.replace(WS_RUN, "", regex=True).str.len()
     mean_word_len = np.round(n_chars / nz, 6)
     symbol_ratio = np.round(
         (s.str.count("#") + s.str.count(r"\.\.\.")) / nz, 6)
     n_lines = (s.str.count("\n") + 1).astype("float64")
     bullet_frac = np.round(s.str.count(r"(?m)^[\-•]") / n_lines, 6)
     ellipsis_frac = np.round(s.str.count(r"(?m)\.\.\.$") / n_lines, 6)
-    alpha_frac = np.round(s.str.count(r"[^\s]*[A-Za-z][^\s]*") / nz, 6)
+    alpha_frac = np.round(
+        s.str.count(f"{NON_WS}*[A-Za-z]{NON_WS}*") / nz, 6)
     n_stop = sum(
-        s.str.contains(rf"(?<![^\s]){w}(?![^\s])", regex=True)
+        s.str.contains(rf"(?<!{NON_WS}){w}(?!{NON_WS})", regex=True)
         .astype("int64")
         for w in GOPHER_STOPWORDS)
 
@@ -754,7 +767,7 @@ def _c4_clean(s) -> tuple["pd.Series", np.ndarray]:
     if len(flat):
         keep_line = (
             flat.str.contains(r'[.!?"]$', regex=True)
-            & (flat.str.split().str.len().fillna(0)
+            & (flat.str.count(f"{NON_WS}+")  # shared ASCII ws class
                >= C4_MIN_WORDS_PER_LINE)
             & ~flat.str.contains("javascript", case=False, regex=False)
         ).to_numpy()
@@ -912,14 +925,16 @@ FROM d
 
 
 # DuckDB replay — byte parity with c4_filtered (same predicates, same
-# chr(10) join) checked in tests/test_gopher.py
-C4_FILTERED_SQL = r"""
+# chr(10) join, same explicit ASCII whitespace class) checked in
+# tests/test_gopher.py
+C4_FILTERED_SQL = rf"""
 WITH kept AS (
   SELECT doc_id, text,
          LIST_FILTER(STRING_SPLIT(text, chr(10)),
            x -> REGEXP_MATCHES(x, '[.!?"]$')
-                AND LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(x, '\s+'),
-                                    y -> y <> '')) >= 5
+                AND LEN(LIST_FILTER(
+                        REGEXP_SPLIT_TO_ARRAY(x, '{WS_RUN}'),
+                        y -> y <> '')) >= 5
                 AND NOT CONTAINS(LOWER(x), 'javascript')) AS lines
   FROM documents
 )
@@ -927,20 +942,22 @@ SELECT doc_id, ARRAY_TO_STRING(lines, chr(10)) AS text
 FROM kept
 WHERE LEN(lines) >= 3
   AND NOT CONTAINS(LOWER(text), 'lorem ipsum')
-  AND NOT CONTAINS(text, '{')
+  AND NOT CONTAINS(text, '{{')
 """
 
 
 # DuckDB replay of the six document-level rules (the repetition flag
 # has no reasonable SQL form — tests pin it via hand-built docs and
-# the repetition-metrics parity suite). Tokenization matches
-# str.split(): whitespace runs, no empty tokens.
-GOPHER_FLAGS_SQL = r"""
+# the repetition-metrics parity suite). Tokenization uses the SAME
+# explicit ASCII whitespace class as the python kernel (WS_RUN) —
+# RE2's `\s` and python's Unicode `\s` disagree on NBSP etc., so
+# neither shorthand may appear on either side.
+GOPHER_FLAGS_SQL = rf"""
 WITH t AS (
   SELECT doc_id,
-         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
+         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '{WS_RUN}'),
                          x -> x <> '')) AS n_words,
-         LEN(REGEXP_REPLACE(text, '\s+', '', 'g')) AS n_chars,
+         LEN(REGEXP_REPLACE(text, '{WS_RUN}', '', 'g')) AS n_chars,
          LEN(REGEXP_EXTRACT_ALL(text, '#'))
            + LEN(REGEXP_EXTRACT_ALL(text, '\.\.\.')) AS n_sym,
          LEN(STRING_SPLIT(text, chr(10))) AS n_lines,
@@ -950,13 +967,14 @@ WITH t AS (
          LEN(LIST_FILTER(STRING_SPLIT(text, chr(10)),
                          x -> REGEXP_MATCHES(x, '\.\.\.$')))
            AS n_ellipsis,
-         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '\s+'),
+         LEN(LIST_FILTER(REGEXP_SPLIT_TO_ARRAY(text, '{WS_RUN}'),
                          x -> REGEXP_MATCHES(x, '[A-Za-z]')))
            AS n_alpha,
          (SELECT COUNT(*) FROM (VALUES ('the'), ('be'), ('to'),
                                 ('of'), ('and'), ('that'), ('have'),
                                 ('with')) sw(w)
-          WHERE REGEXP_MATCHES(text, '(^|\s)' || w || '(\s|$)'))
+          WHERE REGEXP_MATCHES(text, '(^|[{_WS}])' || w
+                                     || '([{_WS}]|$)'))
            AS n_stop
   FROM documents
 )

@@ -284,16 +284,17 @@ WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
 STRATIFIED_K = 40
 
 
-def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> rd.Dataset:
-    """Per-language deterministic k-doc sample: the k smallest
-    ``md5_64("strat:" + doc_id)`` keys within each language, ties (a
-    2^-64 event) broken by doc_id.
+def stratified_over(ds: rd.Dataset, k: int = STRATIFIED_K) -> rd.Dataset:
+    """Per-language deterministic k-doc sample over ANY (doc_id, lang)
+    Dataset: the k smallest ``md5_64("strat:" + doc_id)`` keys within
+    each language, ties (a 2^-64 event) broken by doc_id.
 
     Scale shape: a per-batch top-k COMBINER runs inside map_batches
     (each batch forwards at most k rows per language it saw), then a
     per-language ``map_groups`` merge picks the global k — the corpus
     itself never shuffles, only ≤ k·n_langs·n_batches combiner rows
-    do. Same set at any parallelism; SQL-replayable
+    do. Same set at any parallelism and block layout (pinned over a
+    13-block repartition in tests/test_sampling.py); SQL-replayable
     (stratified_sql)."""
 
     def key64(doc_ids: list[int]) -> list[int]:
@@ -313,13 +314,16 @@ def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> rd.Dataset:
         g = g.sort_values(["k64", "doc_id"]).head(k)
         return g[["lang", "doc_id"]]
 
-    return (
+    return (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("lang")
+              .map_groups(final, batch_format="pandas"))
+
+
+def stratified_sample(sf_dir: str, k: int = STRATIFIED_K) -> rd.Dataset:
+    """:func:`stratified_over` applied to the documents table."""
+    return stratified_over(
         rd.read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "lang"])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby("lang")
-        .map_groups(final, batch_format="pandas")
-    )
+                        columns=["doc_id", "lang"]), k)
 
 
 def stratified_sql(k: int = STRATIFIED_K) -> str:

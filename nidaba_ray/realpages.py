@@ -1869,7 +1869,7 @@ def extract_golden_real(sf_dir: str) -> pa.Table:
 
 
 def golden_real_sql() -> str:
-    """Driver oracle for :func:`extract_golden_real`: the 78 frozen
+    """Driver oracle for :func:`extract_golden_real`: every frozen
     hand labels, reduced to (name, md5, n_chars) VALUES — built from
     the SAME ``FIXTURES`` constants the pipeline is checked against,
     so the two sides cannot drift (and any extractor change that flips

@@ -335,8 +335,8 @@ def _is_video_payload(p: bytes) -> bool:
     if p[:8] == VID_MAGIC or is_avi(p):
         return True
     if is_gif(p):  # animated GIF is video; a still GIF is an image
-        try:
-            return gif_n_frames(p) > 1
+        try:  # copy-free walk, early exit at the 2nd descriptor
+            return gif_n_frames(p, limit=2) > 1
         except ValueError:
             return False
     return False
@@ -356,11 +356,22 @@ class VideoFrameSampler:
         for i, p in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
             if not _is_video_payload(p or b""):
                 continue  # non-video rows pass through silently
-            for f, thunk in iter_video_frames(p):
-                if f % self.every == 0:
-                    mid.append(i)
-                    frame_idx.append(f)
-                    frame_mean.append(float(thunk().mean()))
+            try:
+                rows = []
+                for f, thunk in iter_video_frames(p):
+                    if f % self.every == 0:
+                        rows.append((f, float(thunk().mean())))
+            except Exception:
+                # per-row quarantine: a container that sniffs as
+                # video but carries corrupt frame data (e.g. a
+                # truncated LZW stream behind intact GIF block
+                # framing) skips THIS row — it must not kill the
+                # whole map task (review find, round 5)
+                continue
+            for f, m in rows:
+                mid.append(i)
+                frame_idx.append(f)
+                frame_mean.append(m)
         return pa.table(
             {
                 "media_id": pa.array(mid, pa.int64()),

@@ -216,6 +216,38 @@ def test_gif_frames_dependent_stream_memoized():
     assert np.array_equal(np.stack(got), want)
 
 
+def test_gif_n_frames_copy_free_walk():
+    from nidaba_ray.algorithms.gif import gif_n_frames
+
+    frames = np.zeros((5, 4, 4), np.uint8)
+    gif = encode_gif(frames)
+    assert gif_n_frames(gif) == 5
+    assert gif_n_frames(gif, limit=2) == 2  # early exit
+    assert gif_n_frames(encode_gif(frames[0])) == 1
+    with pytest.raises(ValueError):
+        gif_n_frames(b"GIF89a\x00")  # truncated header
+
+
+def test_video_sampler_quarantines_corrupt_lzw(ray_session):
+    # intact GIF block framing (sniffs as 2-frame video) but the LZW
+    # data is garbage — the sampler must skip the row, not crash
+    import pyarrow as pa
+
+    from nidaba_ray.stages.multimodal import (
+        VideoFrameSampler,
+        _is_video_payload,
+    )
+
+    good = encode_gif(np.zeros((3, 4, 4), np.uint8))
+    f = _img_block(0, 0, 2, 2, b"\xff\xff")  # bad LZW bytes
+    bad = _lsd(2, 2) + _PAL4 + f + f + b"\x3B"
+    assert _is_video_payload(bad)
+    t = pa.table({"media_id": pa.array([1, 2], pa.int64()),
+                  "payload": pa.array([bad, good], pa.binary())})
+    out = VideoFrameSampler(every=1)(t).to_pylist()
+    assert {r["media_id"] for r in out} == {2}  # bad row skipped
+
+
 def test_decode_image_dispatch():
     from nidaba_ray.stages.multimodal import decode_image
 

@@ -125,6 +125,45 @@ def test_clean_gopher_registry_stage(ray_session, tmp_path):
     assert out["extra"].tolist() == ["a"]
 
 
+def test_unicode_whitespace_parity(ray_session, tmp_path):
+    """NBSP/Unicode-space docs must tokenize identically on both
+    sides (review find: python str.split() splits Unicode whitespace,
+    DuckDB's RE2 \\s does not — the shared explicit ASCII class is
+    the contract)."""
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.textops import (
+        C4_FILTERED_SQL,
+        c4_filtered,
+        gopher_quality_flags,
+    )
+
+    nbsp_doc = ("the cat sat on the mat and it was that "
+                "good to have a warm day " * 8)
+    nbsp_lines = "\n".join(
+        ["five words joined by nbsp here stay strong."] * 5)
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array([nbsp_doc, nbsp_lines], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    ours = gopher_quality_flags(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    theirs = con.execute(GOPHER_FLAGS_SQL).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert ours["n_words"].tolist() == theirs["n_words"].tolist()
+    for f in _SQL_FLAGS:
+        assert (ours[f].astype(bool).tolist()
+                == theirs[f].astype(bool).tolist()), f
+    ours_c4 = c4_filtered(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    theirs_c4 = con.execute(C4_FILTERED_SQL).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert ours_c4["doc_id"].tolist() == theirs_c4["doc_id"].tolist()
+    assert ours_c4["text"].tolist() == theirs_c4["text"].tolist()
+
+
 # --------------------------------------------------------------- C4
 
 

@@ -65,36 +65,15 @@ def test_stratified_sample_sql_parity(ray_session):
 def test_stratified_small_k_and_layout_invariance(ray_session):
     import ray.data as rd
 
+    from nidaba_ray.pipelines.curate import stratified_over
+
     a = stratified_sample(SF, k=7).to_pandas().sort_values(
         ["lang", "doc_id"]).reset_index(drop=True)
     assert (a.groupby("lang").size() == 7).all()
     # same set when the input arrives in many small blocks — the
-    # combiner-then-merge shape must be layout-invariant
+    # PRODUCTION combiner-then-merge must be layout-invariant
     ds = rd.read_parquet(f"{SF}/documents.parquet",
                          columns=["doc_id", "lang"]).repartition(13)
-    import hashlib
-
-    import pyarrow as pa
-
-    from nidaba_ray.pipelines.curate import STRATIFIED_K  # noqa: F401
-
-    def key64(doc_ids):
-        return [int.from_bytes(
-            hashlib.md5(f"strat:{d}".encode()).digest()[:8], "big")
-            for d in doc_ids]
-
-    def partial(batch: pa.Table) -> pa.Table:
-        df = batch.select(["doc_id", "lang"]).to_pandas()
-        df["k64"] = pd.array(key64(df["doc_id"].tolist()), dtype="UInt64")
-        df = (df.sort_values(["k64", "doc_id"])
-                .groupby("lang", as_index=False).head(7))
-        return pa.Table.from_pandas(df, preserve_index=False)
-
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["k64", "doc_id"]).head(7)[["lang", "doc_id"]]
-
-    b = (ds.map_batches(partial, batch_format="pyarrow", batch_size=97)
-           .groupby("lang").map_groups(final, batch_format="pandas")
-           .to_pandas().sort_values(["lang", "doc_id"])
-           .reset_index(drop=True))
+    b = (stratified_over(ds, k=7).to_pandas()
+         .sort_values(["lang", "doc_id"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(a, b)
