@@ -337,15 +337,20 @@ def _composite(canvas: np.ndarray, fr: _Frame) -> None:
         view[opaque] = rgb[opaque]
 
 
-def decode_gif(payload: bytes) -> np.ndarray:
+def decode_gif(payload: bytes, max_frames: int | None = None
+               ) -> np.ndarray:
     """Decode + composite → (n_frames, H, W, 3) uint8 RGB, the frames
-    a renderer would actually display. ValueError on malformed input
-    (the multimodal stages' per-row quarantine path)."""
+    a renderer would actually display. ``max_frames`` stops after
+    that many composited frames — the still-image path passes 1 so an
+    animated GIF misfiled as an image pays exactly one LZW decode.
+    ValueError on malformed input (the multimodal stages' per-row
+    quarantine path)."""
     g = _parse(payload)
+    frames = g.frames if max_frames is None else g.frames[:max_frames]
     canvas = np.empty((g.h, g.w, 3), dtype=np.uint8)
     canvas[:] = _background_rgb(g)
-    out = np.empty((len(g.frames), g.h, g.w, 3), dtype=np.uint8)
-    for i, fr in enumerate(g.frames):
+    out = np.empty((len(frames), g.h, g.w, 3), dtype=np.uint8)
+    for i, fr in enumerate(frames):
         before = None
         if fr.disposal == 3:
             before = canvas.copy()

@@ -161,8 +161,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return to_gray(decode_png(payload))
     if is_jpeg(payload):
         return to_gray(decode_jpeg(payload))
-    if is_gif(payload):
-        return to_gray(decode_gif(payload)[0])
+    if is_gif(payload):  # first frame only — one LZW decode
+        return to_gray(decode_gif(payload, max_frames=1)[0])
     if payload[:2] == b"BM":
         return to_gray(decode_bmp(payload))
     return _decode_fake_img(payload)

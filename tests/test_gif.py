@@ -216,6 +216,25 @@ def test_gif_frames_dependent_stream_memoized():
     assert np.array_equal(np.stack(got), want)
 
 
+def test_decode_image_animated_gif_single_decode(monkeypatch):
+    # the still-image path over an animated GIF composites only the
+    # first frame → exactly one LZW decode
+    import nidaba_ray.algorithms.gif as gif_mod
+    from nidaba_ray.stages.multimodal import decode_image
+
+    frames = np.arange(4 * 4 * 4, dtype=np.uint8).reshape(4, 4, 4) % 251
+    gif = encode_gif(frames)
+    calls = []
+    real = gif_mod._Frame.indices
+    monkeypatch.setattr(gif_mod._Frame, "indices",
+                        lambda self: (calls.append(1), real(self))[1])
+    out = decode_image(gif)
+    assert len(calls) == 1
+    assert np.array_equal(out, frames[0])
+    # max_frames caps the composited prefix
+    assert decode_gif(gif, max_frames=2).shape == (2, 4, 4, 3)
+
+
 def test_gif_n_frames_copy_free_walk():
     from nidaba_ray.algorithms.gif import gif_n_frames
 
