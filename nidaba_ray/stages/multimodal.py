@@ -1,11 +1,11 @@
 """Multimodal column stages — image / audio / video as opaque binary
 columns with typed metadata (driver instruction).
 
-IMAGES decode for real since round 4: payloads may be PNG, JPEG, GIF
-or uncompressed BMP bytes, decoded by the repo's own from-scratch
-codecs (:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` / ``.gif`` —
-public-spec, zlib-only, same approach as the PDF parser), converted
-to grayscale with integer BT.601 luma. AUDIO decodes for real since
+IMAGES decode for real since round 4: payloads may be PNG, JPEG, GIF,
+TIFF or uncompressed BMP bytes, decoded by the repo's own
+from-scratch codecs (:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` /
+``.gif`` / ``.tiff`` — public-spec, zlib-only, same approach as the
+PDF parser), converted to grayscale with integer BT.601 luma. AUDIO decodes for real since
 round 5: RIFF/WAVE payloads (8/16/24/32-bit PCM + IEEE float, incl.
 EXTENSIBLE) via :mod:`nidaba_ray.algorithms.wav`. VIDEO decodes for
 real since round 5 as well: AVI/RIFF containers with Motion-JPEG
@@ -64,8 +64,8 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             w, h = 32 + (i % 4) * 16, 24 + (i % 3) * 16
             px = np.frombuffer(_bytes_for(f"img{i}", w * h),
                                np.uint8).reshape(h, w)
-            wire = (i // 3) % 4  # rotate the on-wire format: real
-            if wire == 1:        # codecs carry 3/4 of the corpus
+            wire = (i // 3) % 5  # rotate the on-wire format: real
+            if wire == 1:        # codecs carry 4/5 of the corpus
                 from nidaba_ray.algorithms.png import encode_png
 
                 payloads.append(encode_png(px))
@@ -77,6 +77,10 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
                 from nidaba_ray.algorithms.gif import encode_gif
 
                 payloads.append(encode_gif(px))
+            elif wire == 4:
+                from nidaba_ray.algorithms.tiff import encode_tiff
+
+                payloads.append(encode_tiff(px, compression="packbits"))
             else:
                 payloads.append(_fake_img(f"img{i}", w, h))
             metas.append({"width": w, "height": h, "frames": 1})
@@ -148,14 +152,16 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Format-dispatching image decode → (h, w) grayscale uint8.
 
     Real formats first: PNG (signature sniff), baseline JPEG (SOI
-    sniff), GIF ("GIF8", first frame) and BMP ("BM") via the
-    from-scratch public-spec codecs in algorithms/png.py,
-    algorithms/jpeg.py and algorithms/gif.py; the FAKEIMG container
-    remains for synthetic corpora. ValueError on anything malformed —
-    the actor stages' per-row quarantine path."""
+    sniff), GIF ("GIF8", first frame), TIFF ("II*"/"MM*") and BMP
+    ("BM") via the from-scratch public-spec codecs in
+    algorithms/png.py, algorithms/jpeg.py, algorithms/gif.py and
+    algorithms/tiff.py; the FAKEIMG container remains for synthetic
+    corpora. ValueError on anything malformed — the actor stages'
+    per-row quarantine path."""
     from nidaba_ray.algorithms.gif import decode_gif, is_gif
     from nidaba_ray.algorithms.jpeg import decode_jpeg, is_jpeg
     from nidaba_ray.algorithms.png import PNG_SIG, decode_bmp, decode_png, to_gray
+    from nidaba_ray.algorithms.tiff import decode_tiff, is_tiff
 
     if payload[:8] == PNG_SIG:
         return to_gray(decode_png(payload))
@@ -163,6 +169,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return to_gray(decode_jpeg(payload))
     if is_gif(payload):  # first frame only — one LZW decode
         return to_gray(decode_gif(payload, max_frames=1)[0])
+    if is_tiff(payload):
+        return to_gray(decode_tiff(payload))
     if payload[:2] == b"BM":
         return to_gray(decode_bmp(payload))
     return _decode_fake_img(payload)
