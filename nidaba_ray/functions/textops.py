@@ -753,6 +753,21 @@ def _flat_lines(s) -> tuple["pd.Series", np.ndarray]:
     return flat, np.repeat(np.arange(len(s)), lengths)
 
 
+def _regroup_lines(s, flat, doc_idx, keep_line):
+    """Rejoin surviving lines per document: (rewritten text Series
+    aligned to ``s``, per-doc surviving-line counts). Shared by every
+    line-rewrite kernel (C4, FineWeb terminal-punct)."""
+    kept = pd.Series(flat[keep_line].to_numpy(),
+                     index=doc_idx[keep_line])
+    joined = kept.groupby(level=0).agg("\n".join) if len(kept) else \
+        pd.Series(dtype="object")
+    new_text = joined.reindex(range(len(s)), fill_value="")
+    new_text.index = s.index
+    n_kept = np.bincount(doc_idx[keep_line], minlength=len(s)) \
+        if len(s) else np.zeros(0, dtype=np.int64)
+    return new_text, n_kept
+
+
 def _c4_clean(s) -> tuple["pd.Series", np.ndarray]:
     """(rewritten text, doc keep mask) for a pandas Series of texts.
 
@@ -773,14 +788,7 @@ def _c4_clean(s) -> tuple["pd.Series", np.ndarray]:
         ).to_numpy()
     else:
         keep_line = np.zeros(0, dtype=bool)
-    kept = pd.Series(flat[keep_line].to_numpy(),
-                     index=doc_idx[keep_line])
-    joined = kept.groupby(level=0).agg("\n".join) if len(kept) else \
-        pd.Series(dtype="object")
-    new_text = joined.reindex(range(len(s)), fill_value="")
-    new_text.index = s.index
-    n_kept = np.bincount(doc_idx[keep_line], minlength=len(s)) \
-        if len(s) else np.zeros(0, dtype=np.int64)
+    new_text, n_kept = _regroup_lines(s, flat, doc_idx, keep_line)
     keep_doc = ((n_kept >= C4_MIN_LINES)
                 & ~s.str.contains("lorem ipsum", case=False,
                                   regex=False).to_numpy()
@@ -886,6 +894,64 @@ def fineweb_filter_batch(batch: pa.Table) -> pa.Table:
     with all their columns."""
     keep = _fineweb_signals(batch["text"].to_pandas())["keep"]
     return batch.filter(pa.array(keep))
+
+
+def _terminal_punct_rewrite(s) -> tuple["pd.Series", np.ndarray]:
+    """FineWeb-style per-line terminal-punctuation REWRITE: drop the
+    individual lines that do not end in C4 terminal punctuation
+    (``. ! ? "``) instead of gating whole documents on their fraction
+    — the line-level formatting pass FineWeb applies before its
+    document gates. Returns (rewritten text, doc keep mask); a
+    document survives iff at least one line remains. Same flattened
+    vectorized layout as the other line kernels."""
+    flat, doc_idx = _flat_lines(s)
+    keep_line = flat.str.contains(r'[.!?"]$', regex=True).to_numpy() \
+        if len(flat) else np.zeros(0, dtype=bool)
+    new_text, n_kept = _regroup_lines(s, flat, doc_idx, keep_line)
+    return new_text, n_kept >= 1
+
+
+def fineweb_rewritten(sf_dir: str) -> rd.Dataset:
+    """Terminal-punct line rewrite over the documents table:
+    (doc_id, text) with offending lines removed, line-less documents
+    dropped. One streaming map_batches pass, no shuffle."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        new_text, keep = _terminal_punct_rewrite(batch["text"].to_pandas())
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(new_text, pa.string()),
+        }).filter(pa.array(keep))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+def fineweb_rewrite_batch(batch: pa.Table) -> pa.Table:
+    """Registry cleaning stage (``clean.fineweb_rewrite``): rewrite
+    ``text`` to its terminal-punct lines, drop documents left empty,
+    pass every other column through untouched. Composes ahead of the
+    gate stages in the WET-style cleaning chain
+    (examples/training_data_clean.yaml)."""
+    new_text, keep = _terminal_punct_rewrite(batch["text"].to_pandas())
+    i = batch.schema.get_field_index("text")
+    return batch.set_column(i, "text", pa.array(new_text, pa.string())) \
+        .filter(pa.array(keep))
+
+
+# DuckDB replay — byte parity with fineweb_rewritten (same predicate,
+# same chr(10) join) checked in tests/test_gopher.py
+FINEWEB_REWRITE_SQL = r"""
+WITH kept AS (
+  SELECT doc_id,
+         LIST_FILTER(STRING_SPLIT(text, chr(10)),
+                     x -> REGEXP_MATCHES(x, '[.!?"]$')) AS lines
+  FROM documents
+)
+SELECT doc_id, ARRAY_TO_STRING(lines, chr(10)) AS text
+FROM kept
+WHERE LEN(lines) >= 1
+"""
 
 
 # DuckDB replay of all three FineWeb rules (parity-tested in

@@ -161,12 +161,14 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.textops import (
         c4_filter_batch,
         fineweb_filter_batch,
+        fineweb_rewrite_batch,
         gopher_filter_batch,
     )
 
     register_stage("clean.gopher")(gopher_filter_batch)
     register_stage("clean.c4")(c4_filter_batch)
     register_stage("clean.fineweb")(fineweb_filter_batch)
+    register_stage("clean.fineweb_rewrite")(fineweb_rewrite_batch)
     from nidaba_ray.stages.metadata import jsonld_rows
 
     register_stage("extract.jsonld")(jsonld_rows)

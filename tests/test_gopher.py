@@ -390,3 +390,78 @@ def test_deterministic(ray_session):
     b = gopher_quality_flags(SF).to_pandas().sort_values("doc_id")
     pd.testing.assert_frame_equal(a.reset_index(drop=True),
                                   b.reset_index(drop=True))
+
+
+# ------------------------------------------- FineWeb line rewrite
+
+
+def test_fineweb_rewrite_kernel():
+    from nidaba_ray.functions.textops import _terminal_punct_rewrite
+
+    texts = pd.Series([
+        "Keeps this line.\nnav > home > products\nAnd this one too!",
+        "no terminal punctuation anywhere\nstill none",
+        'Quoted line stays."\nQuestion stays?\ntrailing junk',
+        "",
+    ])
+    new, keep = _terminal_punct_rewrite(texts)
+    assert keep.tolist() == [True, False, True, False]
+    assert new.iloc[0] == "Keeps this line.\nAnd this one too!"
+    assert new.iloc[2] == 'Quoted line stays."\nQuestion stays?'
+    # empty/no-survivor docs rewrite to "" and are dropped by the mask
+    assert new.iloc[1] == "" and new.iloc[3] == ""
+
+
+def test_fineweb_rewrite_sql_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.textops import (
+        FINEWEB_REWRITE_SQL,
+        fineweb_rewritten,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = []
+    for i in range(150):
+        lines = []
+        for j in range(int(rng.integers(0, 8))):
+            w = [f"w{k}" for k in range(int(rng.integers(0, 9)))]
+            tail = [".", "!", "", '?"', '"', " "][int(rng.integers(0, 6))]
+            lines.append(" ".join(w) + tail)
+        texts.append("\n".join(lines))
+    t = pa.table({"doc_id": pa.array(range(150), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    ours = fineweb_rewritten(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = con.execute(FINEWEB_REWRITE_SQL).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    # byte parity: same surviving docs, identical rewritten text
+    assert ours["doc_id"].tolist() == theirs["doc_id"].tolist()
+    assert ours["text"].tolist() == theirs["text"].tolist()
+    assert 0 < len(ours) < 150  # both drop and keep happen
+
+
+def test_clean_fineweb_rewrite_registry_stage(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    assert "clean.fineweb_rewrite" in registry.list_stages()
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(
+                      ["Good line.\nmenu item\nAnother good one!",
+                       "breadcrumb\nnav"], pa.string()),
+                  "extra": pa.array(["a", "b"], pa.string())})
+    pq.write_table(t, str(tmp_path / "p.parquet"))
+    out = registry.compile_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        [{"stage": "clean.fineweb_rewrite"}]).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["text"].iloc[0] == "Good line.\nAnother good one!"
+    assert out["extra"].tolist() == ["a"]
