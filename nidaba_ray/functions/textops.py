@@ -555,6 +555,10 @@ def _doc_repetition(text: str) -> tuple[float, float, float, float, float]:
     - ``dup5gram_char_frac``: characters covered by token positions
       that belong to at least one 5-gram occurring ≥ 2 times (the
       position-marking form — overlaps are NOT double counted).
+
+    This scalar Counter form is the REFERENCE semantics; production
+    batches run :func:`_doc_repetition_batch`, pinned bit-equal to
+    this by the differential fuzz in tests/test_scrub_paradedup.py.
     """
     from collections import Counter
 
@@ -584,6 +588,94 @@ def _doc_repetition(text: str) -> tuple[float, float, float, float, float]:
     return (dup_line_frac, tops[0], tops[1], tops[2], dup5)
 
 
+def _doc_repetition_batch(texts) -> np.ndarray:
+    """Vectorized :func:`_doc_repetition` over a whole batch —
+    bit-exactly the same (n_docs, 5) float64 values, without the
+    per-row Counter loops (the dominant row-local cost in
+    ``gopher_quality_flags`` / ``repetition_metrics``; ~5× at sf0.1).
+
+    The n-gram machinery is a factorize→rolling-key cascade:
+    tokens factorize to ids SORTED by code point, then level-n gram
+    ids come from ``np.unique(prev_id * V + next_token_id)`` — the
+    combined integer sorts exactly like the (prefix, next) pair, so
+    by induction gram-id order ≡ lexicographic token-tuple order and
+    the "ties break to the largest gram" rule is one per-doc lexsort,
+    matching Python tuple comparison even when tokens contain
+    sub-space codepoints (where joined-string order would disagree).
+    Every fraction divides the same int64 numerators by the same
+    denominators as the scalar kernel, so IEEE results are identical;
+    the exhaustive differential fuzz in tests/test_scrub_paradedup.py
+    pins batch ≡ scalar bit-for-bit."""
+    import itertools
+
+    n_docs = len(texts)
+    out = np.zeros((n_docs, 5), dtype=np.float64)
+    if n_docs == 0:
+        return out
+    s = pd.Series(list(texts), dtype="object")
+    total_nz = np.maximum(s.str.len().to_numpy(np.int64), 1)
+
+    # dup_line_frac: repeats of an earlier identical line, per doc
+    split_l = s.str.split("\n")
+    n_lines = split_l.str.len().to_numpy(np.int64)  # ≥1 always
+    flat_l = pd.Series(
+        list(itertools.chain.from_iterable(split_l)), dtype="object")
+    doc_l = np.repeat(np.arange(n_docs), n_lines)
+    dup_l = pd.DataFrame({"d": doc_l, "l": flat_l}).duplicated(
+        ["d", "l"]).to_numpy()
+    out[:, 0] = np.bincount(doc_l, dup_l, minlength=n_docs) / n_lines
+
+    # tokens: the scalar kernel's exact split(" ") — single spaces,
+    # empty tokens kept, newlines/tabs stay inside tokens
+    split_t = s.str.split(" ")
+    n_toks = split_t.str.len().to_numpy(np.int64)
+    T = int(n_toks.sum())
+    flat_t = np.fromiter(itertools.chain.from_iterable(split_t),
+                         dtype=object, count=T)
+    codes, uniques = pd.factorize(flat_t, sort=True)
+    V = len(uniques)
+    tok_len = np.fromiter(map(len, uniques), dtype=np.int64, count=V)
+    doc_t = np.repeat(np.arange(n_docs), n_toks)
+
+    pos = np.arange(T, dtype=np.int64)  # gram start positions
+    ids = codes.astype(np.int64)        # level-n gram id at each pos
+    lens = tok_len                      # chars per unique gram, no seps
+    for n in (2, 3, 4, 5):
+        ok = pos + (n - 1) < T
+        last = np.minimum(pos + (n - 1), T - 1)
+        ok &= doc_t[last] == doc_t[pos]  # gram fully inside one doc
+        pos = pos[ok]
+        key = ids[ok] * V + codes[pos + (n - 1)]
+        uniq, ids = np.unique(key, return_inverse=True)
+        lens = lens[uniq // V] + tok_len[uniq % V]
+        G = len(uniq)
+        docs = doc_t[pos]
+        dk_u, dk_inv, dk_cnt = np.unique(docs * G + ids,
+                                         return_inverse=True,
+                                         return_counts=True)
+        if n <= 4:
+            if not len(dk_u):  # no doc has any n-gram in this batch
+                continue
+            d_part, g_part = dk_u // G, dk_u % G
+            order = np.lexsort((g_part, dk_cnt, d_part))
+            du, gu, cu = d_part[order], g_part[order], dk_cnt[order]
+            top = np.r_[du[1:] != du[:-1], True]  # per-doc (cnt, gram) max
+            sd, sg, sc = du[top], gu[top], cu[top]
+            good = sc >= 2  # a once-seen gram is not repetition
+            sd, sg, sc = sd[good], sg[good], sc[good]
+            out[sd, n - 1] = sc * (lens[sg] + (n - 1)) / total_nz[sd]
+        else:
+            occ_dup = dk_cnt[dk_inv] >= 2
+            cov = np.zeros(T + 1, dtype=np.int64)  # window-OR via ±1
+            np.add.at(cov, pos[occ_dup], 1)
+            np.add.at(cov, pos[occ_dup] + n, -1)
+            covered = np.cumsum(cov[:-1]) > 0
+            out[:, 4] = np.bincount(
+                doc_t[covered], tok_len[codes[covered]],
+                minlength=n_docs) / total_nz
+    return out
+
+
 def repetition_metrics(sf_dir: str) -> rd.Dataset:
     """Per-doc Gopher repetition quality signals. Per-document n-gram
     counting is inherently row-local work (like the PDF parse); it is
@@ -591,15 +683,13 @@ def repetition_metrics(sf_dir: str) -> rd.Dataset:
     fixed-width row per doc."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        rows = [_doc_repetition(t) for t in batch["text"].to_pylist()]
-        cols = list(zip(*rows)) if rows else [[]] * 5
+        rep = _doc_repetition_batch(batch["text"].to_pylist())
         names = ["dup_line_frac", "top2gram_char_frac",
                  "top3gram_char_frac", "top4gram_char_frac",
                  "dup5gram_char_frac"]
         out = {"doc_id": batch["doc_id"]}
-        for name, vals in zip(names, cols):
-            out[name] = pa.array(
-                np.round(np.asarray(vals, dtype=np.float64), 6))
+        for j, name in enumerate(names):
+            out[name] = pa.array(np.round(rep[:, j], 6))
         return pa.table(out)
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -652,8 +742,9 @@ NON_WS = f"[^{_WS}]"
 def _gopher_signals(s) -> dict[str, np.ndarray]:
     """All rule booleans for a pandas Series of texts. Everything
     except the repetition signals is vectorized pandas string
-    kernels; repetition reuses the row-local ``_doc_repetition``
-    counter (the same accepted shape as :func:`repetition_metrics`).
+    kernels; repetition runs the batch-vectorized
+    ``_doc_repetition_batch`` cascade (bit-equal to the scalar
+    reference, same shape as :func:`repetition_metrics`).
     All fractions feeding a threshold are rounded to 6 dp first (the
     repo's quantized-decision invariant), so flags are bit-stable
     across platforms. Tokenization is the shared ASCII ``WS_RUN``
@@ -675,9 +766,7 @@ def _gopher_signals(s) -> dict[str, np.ndarray]:
         .astype("int64")
         for w in GOPHER_STOPWORDS)
 
-    rep = np.array([_doc_repetition(t) for t in s], dtype=np.float64) \
-        if n else np.zeros((0, 5))
-    rep = np.round(rep, 6)
+    rep = np.round(_doc_repetition_batch(s), 6)
     f_rep = np.ones(n, dtype=bool)
     for j, name in enumerate(GOPHER_REPETITION_MAX):
         f_rep &= rep[:, j] <= GOPHER_REPETITION_MAX[name]

@@ -494,3 +494,86 @@ def test_shuffled_fallback_short_doc_blocks(ray_session, tmp_path):
             .to_pandas().sort_values("doc_id").reset_index(drop=True))
     assert list(out2["text"]) == ["a b", "a b"]
     assert list(out2["n_removed"]) == [0, 0]
+
+
+# ------------------------------------- batch-vs-scalar repetition
+
+
+def test_doc_repetition_batch_differential_fuzz():
+    """The vectorized factorize→rolling-key cascade must reproduce
+    the scalar Counter kernel BIT-exactly — including the
+    lexicographically-largest tie-break, which compares token TUPLES
+    (element-wise), not joined strings. The vocab therefore includes
+    sub-space codepoints (\\x1f < ' '), empty tokens, prefixes of
+    other tokens, embedded newlines/tabs and astral chars, and the
+    low-cardinality alphabets force genuine count ties."""
+    from nidaba_ray.functions.textops import (
+        _doc_repetition,
+        _doc_repetition_batch,
+    )
+
+    rng = np.random.default_rng(17)
+    vocab_pools = [
+        ["a", "b"],                           # max ties
+        ["a", "a\x1f", "a!", "", "A"],        # sub-space tie-breaks
+        ["x", "xy", "xyz", "x\ny", "x\tz"],   # prefixes + embedded ws
+        ["α", "ß", "日本", "😀", "é"],   # non-ASCII / astral
+        [f"w{i}" for i in range(40)],          # sparse, few repeats
+    ]
+    texts = []
+    for trial in range(400):
+        vocab = vocab_pools[trial % len(vocab_pools)]
+        n = int(rng.integers(0, 60))
+        toks = [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]
+        text = " ".join(toks)
+        if rng.integers(0, 3) == 0:  # force duplicate lines too
+            text = text + "\n" + text
+        texts.append(text)
+    texts += ["", " ", "  ", "\n", "\n\n", "a", " a ", "a b c d e",
+              "\x1f \x1f \x1f \x1f \x1f \x1f \x1f \x1f \x1f \x1f"]
+    got = _doc_repetition_batch(texts)
+    # a batch where NO doc has any n-gram (all single-token docs):
+    # every gram level is empty batch-wide (regression: empty lexsort)
+    lonely = ["word", "a\nb\nc", "", "single"]
+    assert np.array_equal(
+        _doc_repetition_batch(lonely),
+        np.array([_doc_repetition(t) for t in lonely], np.float64))
+    want = np.array([_doc_repetition(t) for t in texts], np.float64)
+    # bit-exact, not approx: the frozen-output contract
+    mism = np.nonzero((got != want).any(axis=1))[0]
+    assert mism.size == 0, (mism[:5], texts[mism[0]] if mism.size else "")
+
+
+def test_doc_repetition_batch_tiebreak_tuple_not_joined():
+    """A hand-built case where token-tuple order and joined-string
+    order disagree: ("a",) vs ("a\\x1fb",) — as tuples "a\\x1fb" is
+    larger (prefix rule), as joined strings the \\x1f sorts below the
+    separator space. Both 2-grams occur exactly twice, so the
+    tie-break decides the reported mass."""
+    from nidaba_ray.functions.textops import (
+        _doc_repetition,
+        _doc_repetition_batch,
+    )
+
+    # 2-grams: ("a","z") ×2 and ("a\x1fb","z") ×2 → tie on count.
+    # tuple-largest is ("a\x1fb","z") (len 5+1 chars + 1 sep).
+    text = "a z a\x1fb z a z a\x1fb z"
+    want = _doc_repetition(text)
+    got = _doc_repetition_batch([text])[0]
+    assert tuple(got) == want
+    # and the winner really is the longer gram: mass uses 6+1 chars
+    assert want[1] == 2 * (len("a\x1fb") + len("z") + 1) / len(text)
+
+
+def test_doc_repetition_batch_independence_of_batching():
+    """Batch layout must not leak between docs: per-doc values are
+    identical whether docs are scored alone or together (gram ids are
+    shared across the batch, counts must stay doc-scoped)."""
+    from nidaba_ray.functions.textops import _doc_repetition_batch
+
+    a = "p q p q p q r s t u"
+    b = "p q x y z w v u t s"
+    both = _doc_repetition_batch([a, b])
+    alone = np.vstack([_doc_repetition_batch([a]),
+                       _doc_repetition_batch([b])])
+    assert np.array_equal(both, alone)
