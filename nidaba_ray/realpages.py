@@ -1812,6 +1812,200 @@ optimal makespan on a season of real harbor movement logs.</p>
          "four percent of the optimal makespan on a season of real "
          "harbor movement logs."],
     ),
+    # 87. interview Q&A: alternating bold question / plain answer
+    # paragraphs are all content; the subscribe interstitial between
+    # them is chrome.
+    _page(
+        "interview_qa",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article><h1>A conversation with the harbormaster</h1>
+<p><b>What changed most in thirty years on the water?</b></p>
+<p>The boats got bigger and the tides did not, so the whole job
+became a negotiation between draft, schedule and patience.</p>
+<div class="subscribe-inline"><a href="/subscribe">Subscribe for
+unlimited access</a> <a href="/gift">Give a gift</a></div>
+<p><b>Do you ever close the harbor entirely?</b></p>
+<p>Twice a year on average, always for wind rather than fog,
+because radar solved fog and nothing yet has solved wind.</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        ["A conversation with the harbormaster",
+         "What changed most in thirty years on the water?",
+         "The boats got bigger and the tides did not, so the whole "
+         "job became a negotiation between draft, schedule and "
+         "patience.",
+         "Do you ever close the harbor entirely?",
+         "Twice a year on average, always for wind rather than fog, "
+         "because radar solved fog and nothing yet has solved wind."],
+    ),
+    # 88. poetry: <br>-separated lines inside ONE block must stay one
+    # block (brs are soft breaks, not block boundaries); the poem and
+    # attribution are content, the poem-of-the-day widget is chrome.
+    _page(
+        "poetry_br_lines",
+        f"""<html><body><header><h1>Example Press</h1>{_NAV}</header>
+<main><article><h1>Harbor at first light</h1>
+<p>Grey water folds against the pier,<br>
+the ropes grow taut and slack by turn,<br>
+a kettle sings behind some door,<br>
+and gulls rehearse their one complaint.</p>
+<p>From the collected harbor poems, printed with permission of the
+estate and first published in the spring anthology.</p>
+</article></main>
+<aside class="potd"><h3>Poem of the day</h3>
+<a href="/poems/today">Read today's poem</a>
+<a href="/poems/archive">Archive</a></aside>
+{_FOOTER}</body></html>""",
+        ["Harbor at first light",
+         "Grey water folds against the pier, the ropes grow taut and "
+         "slack by turn, a kettle sings behind some door, and gulls "
+         "rehearse their one complaint.",
+         "From the collected harbor poems, printed with permission "
+         "of the estate and first published in the spring anthology."],
+    ),
+    # 89. changelog / release notes: version headings and bullet
+    # lists of changes are content; the version-picker dropdown and
+    # edit-on-github strip are chrome.
+    _page(
+        "changelog_release_notes",
+        f"""<html><body><header><h1>Example Docs</h1>{_NAV}</header>
+<div class="version-picker"><a href="/v2">v2.x</a>
+<a href="/v1">v1.x</a> <a href="/v0">v0.x</a></div>
+<main><article><h1>Release notes</h1>
+<h2>Version 2.4.0 improves scheduling and fixes berth assignment</h2>
+<ul>
+<li>The scheduler now considers tidal draft windows when assigning
+berths to mixed-draft fleets during spring tides.</li>
+<li>Fixed a crash when the movement log contained two departures
+with the same timestamp on different piers.</li>
+</ul>
+<h2>Version 2.3.1 is a maintenance release</h2>
+<ul>
+<li>Corrected the displayed units on the draft column of the
+exported movement report, which showed feet as meters.</li>
+</ul>
+</article></main>
+<div class="edit-strip"><a href="/edit">Edit this page</a>
+<a href="/history">Page history</a></div>
+{_FOOTER}</body></html>""",
+        ["Release notes",
+         "Version 2.4.0 improves scheduling and fixes berth assignment",
+         "The scheduler now considers tidal draft windows when "
+         "assigning berths to mixed-draft fleets during spring tides.",
+         "Fixed a crash when the movement log contained two "
+         "departures with the same timestamp on different piers.",
+         "Version 2.3.1 is a maintenance release",
+         "Corrected the displayed units on the draft column of the "
+         "exported movement report, which showed feet as meters."],
+    ),
+    # 90. help-center article: steps are content; the was-this-
+    # helpful feedback widget and contact-support card are chrome.
+    _page(
+        "help_center_article",
+        f"""<html><body><header><h1>Example Help</h1>{_NAV}</header>
+<main><article><h1>How to change your sailing reservation</h1>
+<p>Open your booking from the confirmation email and choose the
+change sailing option to see every departure with open capacity
+for your vehicle class.</p>
+<p>Changes made more than 24 hours before departure are free, and
+later changes carry the fare difference plus a small fee shown
+before you confirm.</p>
+<div class="feedback"><span>Was this article helpful?</span>
+<a href="/yes">Yes</a> <a href="/no">No</a></div>
+<div class="support-card"><a href="/contact">Contact support</a>
+<a href="/chat">Start a chat</a></div>
+</article></main>{_FOOTER}</body></html>""",
+        ["How to change your sailing reservation",
+         "Open your booking from the confirmation email and choose "
+         "the change sailing option to see every departure with open "
+         "capacity for your vehicle class.",
+         "Changes made more than 24 hours before departure are free, "
+         "and later changes carry the fare difference plus a small "
+         "fee shown before you confirm."],
+    ),
+    # 91. sports recap with a box-score data table: recap paragraphs
+    # and the score table are content (data table, like fixture 5);
+    # the live-odds ribbon is chrome.
+    _page(
+        "sports_box_score",
+        f"""<html><body><header><h1>Example Sports</h1>{_NAV}</header>
+<div class="odds-ribbon"><a href="/bet/1">Rovers +120</a>
+<a href="/bet/2">Harbor -140</a> <a href="/bet/3">Draw +260</a></div>
+<main><article><h1>Harbor take the derby in the final minutes</h1>
+<p>A late header settled a rough derby that had produced little
+clear football but plenty of noise from both ends of the ground.</p>
+<table class="boxscore"><caption>Score by half</caption>
+<tr><th>Team</th><th>First half</th><th>Second half</th></tr>
+<tr><td>Harbor Athletic</td><td>0 goals before the break</td>
+<td>2 goals after the restart</td></tr>
+<tr><td>River Rovers</td><td>1 goal before the break</td>
+<td>0 goals after the restart</td></tr>
+</table>
+<p>The winner came from a corner in the ninetieth minute, flicked
+on at the near post and nodded in from close range.</p>
+</article></main>{_SIDEBAR}{_FOOTER}</body></html>""",
+        # NOTE: the 4-char corner th "Team" falls under the global
+        # cut, exactly like the calendar grid's "Mon/Tue/Wed" header
+        # cells (fixture 63, frozen) — ultra-short header cells are
+        # the documented casualty of the capped cell-smoothing
+        # policy; longer headers ("First half") and every data cell
+        # survive.
+        ["Harbor take the derby in the final minutes",
+         "A late header settled a rough derby that had produced "
+         "little clear football but plenty of noise from both ends "
+         "of the ground.",
+         "Score by half", "First half", "Second half",
+         "Harbor Athletic", "0 goals before the break",
+         "2 goals after the restart",
+         "River Rovers", "1 goal before the break",
+         "0 goals after the restart",
+         "The winner came from a corner in the ninetieth minute, "
+         "flicked on at the near post and nodded in from close "
+         "range."],
+    ),
+    # 92. developer Q&A page (StackOverflow shape): question body and
+    # both answers are content; vote widgets, the ask-question
+    # banner and the related-questions rail are chrome.
+    _page(
+        "developer_qa",
+        f"""<html><body><header><h1>Example Overflow</h1>{_NAV}</header>
+<div class="ask-banner"><a href="/ask">Ask a question</a>
+<a href="/login">Log in</a> <a href="/signup">Sign up</a></div>
+<main><div class="question"><h1>Why does my berth scheduler deadlock
+when two ferries swap assignments?</h1>
+<div class="vote"><a href="/up">▲</a> 14 <a href="/down">▼</a></div>
+<p>My scheduler takes a lock per berth and swaps two assignments by
+locking both berths, but under load two swaps running in opposite
+order stop forever and the queue backs up.</p>
+</div>
+<div class="answer"><div class="vote"><a href="/up">▲</a> 21
+<a href="/down">▼</a></div>
+<p>You are acquiring the two locks in request order, so opposite
+swaps wait on each other; order the acquisitions by berth number
+and the circular wait disappears.</p>
+</div>
+<div class="answer"><div class="vote"><a href="/up">▲</a> 6
+<a href="/down">▼</a></div>
+<p>An alternative is one coarse lock over the whole assignment
+table, which is simpler and fast enough unless you swap hundreds
+of times a second.</p>
+</div></main>
+<aside class="related"><h3>Related</h3><ul>
+<li><a href="/q/1">Lock ordering across shards</a></li>
+<li><a href="/q/2">Deadlock detection basics</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Why does my berth scheduler deadlock when two ferries swap "
+         "assignments?",
+         "My scheduler takes a lock per berth and swaps two "
+         "assignments by locking both berths, but under load two "
+         "swaps running in opposite order stop forever and the queue "
+         "backs up.",
+         "You are acquiring the two locks in request order, so "
+         "opposite swaps wait on each other; order the acquisitions "
+         "by berth number and the circular wait disappears.",
+         "An alternative is one coarse lock over the whole "
+         "assignment table, which is simpler and fast enough unless "
+         "you swap hundreds of times a second."],
+    ),
 ]
 
 

@@ -78,7 +78,7 @@ _CHROME_WORDS = (
     "share|sharing|social|related|recommended|recommendations|widget|"
     "newsletter|subscribe|signup|modal|popup|overlay|paywall|"
     "comments?|disqus|pagination|pager|toolbar|masthead|byline|meta|"
-    "infobox|reply|replies"
+    "infobox|reply|replies|feedback"
 )
 _CHROME_CLASS = re.compile(
     rf"(?:^|[-_])(?:{_CHROME_WORDS})(?:[-_]|$)", re.IGNORECASE
