@@ -155,9 +155,15 @@ def _ensure_builtin() -> None:
                    num_cpus=1)(AudioFeatures)
     register_stage("media.frames", batch_size=64, concurrency=(1, 4),
                    num_cpus=1)(VideoFrameSampler)
-    from nidaba_ray.functions.scrub import scrub_pii_batch
+    from nidaba_ray.functions.scrub import (
+        blocklist_filter_batch,
+        scrub_pii_batch,
+        url_blocklist_filter_batch,
+    )
 
     register_stage("clean.pii")(scrub_pii_batch)
+    register_stage("clean.blocklist")(blocklist_filter_batch)
+    register_stage("clean.url_blocklist")(url_blocklist_filter_batch)
     from nidaba_ray.functions.textops import (
         c4_filter_batch,
         fineweb_filter_batch,

@@ -577,3 +577,109 @@ def test_doc_repetition_batch_independence_of_batching():
     alone = np.vstack([_doc_repetition_batch([a]),
                        _doc_repetition_batch([b])])
     assert np.array_equal(both, alone)
+
+
+# ------------------------------------------------- blocklist gates
+
+
+def test_blocklist_word_boundaries_and_case():
+    from nidaba_ray.functions.scrub import blocklist_filter_batch
+
+    t = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array([
+            "a clean document about harbors.",
+            "this mentions casino once.",          # exact token → drop
+            "CASINO in caps still hits.",          # case-folded → drop
+            "casinos is a DIFFERENT token.",       # substring ≠ word
+            "line break then\ncasino alone.",      # \n is a boundary
+            "casino\xa0glued is ONE token.",   # NBSP is NOT ASCII ws
+        ], pa.string()),
+    })
+    out = blocklist_filter_batch(t)
+    assert out["doc_id"].to_pylist() == [0, 3, 5]
+    # custom list via kwarg (the registry fn_kwargs path)
+    out2 = blocklist_filter_batch(t, words=("harbors.",))
+    assert 0 not in out2["doc_id"].to_pylist()
+
+
+def test_blocklist_sql_parity(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.scrub import blocklist_filtered, blocklist_sql
+
+    rng = np.random.default_rng(23)
+    vocab = ["alpha", "beta", "casino", "Casino", "casinos", "ünïcode",
+             "badword", "x.y", "gamma d", "δelta"]
+    texts = [" ".join(vocab[int(k)] for k in
+                      rng.integers(0, len(vocab), int(rng.integers(0, 12))))
+             for _ in range(200)]
+    t = pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    ours = blocklist_filtered(str(tmp_path)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{tmp_path}/documents.parquet')")
+    theirs = con.execute(blocklist_sql()).fetchdf().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert ours["doc_id"].tolist() == theirs["doc_id"].tolist()
+    assert ours["text"].tolist() == theirs["text"].tolist()
+    assert 0 < len(ours) < 200  # both outcomes happen
+
+
+def test_url_blocklist_gate():
+    from nidaba_ray.functions.scrub import url_blocklist_filter_batch
+
+    urls = [
+        "https://news.example/story/1",        # keep
+        "https://spam.example/offer",          # exact domain → drop
+        "https://www.spam.example/deep/path",  # subdomain → drop
+        "http://ADS.EXAMPLE:8080/banner",      # case + port → drop
+        "https://notspam.example/article",     # lookalike suffix → keep
+        "https://spam.example.org/else",       # different TLD → keep
+        "ftp://a.b.ads.example",               # bare host, deep sub → drop
+    ]
+    t = pa.table({"url": pa.array(urls, pa.string()),
+                  "x": pa.array(range(len(urls)), pa.int64())})
+    out = url_blocklist_filter_batch(t)
+    assert out["x"].to_pylist() == [0, 4, 5]
+    # DuckDB predicate agrees row-for-row
+    from nidaba_ray.functions.scrub import url_blocklist_sql_expr
+
+    con = duckdb.connect()
+    con.register("u", t)
+    keep = con.execute(
+        f"SELECT x FROM u WHERE {url_blocklist_sql_expr()} ORDER BY x"
+    ).fetchdf()["x"].tolist()
+    assert keep == [0, 4, 5]
+
+
+def test_blocklist_registry_stages(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    assert {"clean.blocklist", "clean.url_blocklist"} <= set(
+        registry.list_stages())
+    t = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "url": pa.array(["https://ok.example/a",
+                         "https://spam.example/b"], pa.string()),
+        "text": pa.array(["fine prose here.", "casino casino."],
+                         pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "p.parquet"))
+    out = registry.compile_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        [{"stage": "clean.url_blocklist"},
+         {"stage": "clean.blocklist"}]).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    # fn_kwargs carries a custom list through the spec
+    out2 = registry.compile_pipeline(
+        rd.read_parquet(str(tmp_path / "p.parquet")),
+        [{"stage": "clean.blocklist",
+          "fn_kwargs": {"words": ["prose"]}}]).to_pandas()
+    assert out2["doc_id"].tolist() == [2]
