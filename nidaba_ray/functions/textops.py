@@ -696,6 +696,69 @@ def repetition_metrics(sf_dir: str) -> rd.Dataset:
         fn, batch_format="pyarrow")
 
 
+def repetition_oracle_sql() -> str:
+    """Full DuckDB replay of every :func:`_doc_repetition` signal —
+    the n-gram counting, the largest-gram tie-break, and the dup-5
+    position coverage — closing the old "the repetition flag has no
+    reasonable SQL form" caveat (see GOPHER_FLAGS_SQL).
+
+    Emits exact INTEGER numerators/denominators per doc (dup_lines /
+    n_lines / top{2,3,4}_num / dup5_chars / total); the parity test
+    performs the SAME float divisions as the kernel on both sides so
+    the comparison is bit-exact with no ROUND-semantics surface.
+    Grams are LIST values, so ``ORDER BY count(*) DESC, g DESC``
+    reproduces the token-TUPLE tie-break precisely: DuckDB compares
+    list elements as UTF-8 binary, which equals code-point order,
+    which is Python string order."""
+    gram = "\n".join(
+        f", g{n} AS (SELECT doc_id, u.i, list_slice(a, u.i, u.i + {n - 1}) AS g"
+        f"  FROM toks, LATERAL (SELECT unnest(range(1, na - {n} + 2)) AS i) u)"
+        for n in (2, 3, 4, 5))
+    top = "\n".join(f"""
+, t{n} AS (
+  SELECT doc_id, c * glen AS num FROM (
+    SELECT doc_id, count(*) AS c,
+           len(array_to_string(g, ' ')) AS glen,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY count(*) DESC, g DESC) AS rn
+    FROM g{n} GROUP BY doc_id, g
+  ) WHERE rn = 1 AND c >= 2)""" for n in (2, 3, 4))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS a,
+         len(string_split(text, ' ')) AS na,
+         GREATEST(len(text), 1) AS total,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(list_distinct(string_split(text, chr(10)))) AS n_uniq_lines
+  FROM documents
+){gram}{top}
+, c5 AS (SELECT doc_id, g, count(*) AS c FROM g5 GROUP BY doc_id, g)
+, cov AS (
+  SELECT DISTINCT doc_id, v.p
+  FROM g5 JOIN c5 USING (doc_id, g),
+       LATERAL (SELECT unnest(range(i, i + 5)) AS p) v
+  WHERE c5.c >= 2)
+, tokpos AS (
+  SELECT doc_id, unnest(a) AS tok, generate_subscripts(a, 1) AS p
+  FROM toks)
+, d5 AS (
+  SELECT doc_id, SUM(len(tok)) AS ch
+  FROM tokpos JOIN cov USING (doc_id, p) GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(t.n_lines - t.n_uniq_lines AS BIGINT) AS dup_lines,
+       CAST(t.n_lines AS BIGINT) AS n_lines,
+       CAST(COALESCE(t2.num, 0) AS BIGINT) AS top2_num,
+       CAST(COALESCE(t3.num, 0) AS BIGINT) AS top3_num,
+       CAST(COALESCE(t4.num, 0) AS BIGINT) AS top4_num,
+       CAST(COALESCE(d5.ch, 0) AS BIGINT) AS dup5_chars,
+       CAST(t.total AS BIGINT) AS total
+FROM toks t
+LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+LEFT JOIN t4 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Full Gopher document filter (Rae et al. 2021 §A1.1) — the composed
 # keep/reject gate the repetition metrics above feed into
@@ -1101,9 +1164,9 @@ WHERE LEN(lines) >= 3
 """
 
 
-# DuckDB replay of the six document-level rules (the repetition flag
-# has no reasonable SQL form — tests pin it via hand-built docs and
-# the repetition-metrics parity suite). Tokenization uses the SAME
+# DuckDB replay of the six document-level rules (the repetition
+# signals replay separately via repetition_oracle_sql(), which covers
+# the seventh flag end-to-end). Tokenization uses the SAME
 # explicit ASCII whitespace class as the python kernel (WS_RUN) —
 # RE2's `\s` and python's Unicode `\s` disagree on NBSP etc., so
 # neither shorthand may appear on either side.

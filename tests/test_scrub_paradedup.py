@@ -683,3 +683,55 @@ def test_blocklist_registry_stages(ray_session, tmp_path):
         [{"stage": "clean.blocklist",
           "fn_kwargs": {"words": ["prose"]}}]).to_pandas()
     assert out2["doc_id"].tolist() == [2]
+
+
+def test_repetition_full_sql_oracle(ray_session, tmp_path):
+    """ALL five repetition signals replayed in DuckDB — counting,
+    largest-tuple tie-break and dup-5 coverage — over both the real
+    corpus and an adversarial multi-line corpus. The SQL emits exact
+    integer numerators/denominators; the same float divisions run on
+    both sides, so equality is bit-exact."""
+    from nidaba_ray.functions.textops import repetition_oracle_sql
+
+    rng = np.random.default_rng(29)
+    vocab = ["a", "b", "ab", "a\x1fb", "", "xy", "é", "w1", "w2"]
+    texts = []
+    for i in range(150):
+        n = int(rng.integers(0, 40))
+        toks = [vocab[int(k)] for k in rng.integers(0, len(vocab), n)]
+        t = " ".join(toks)
+        if i % 3 == 0:
+            t = t + "\n" + t  # duplicate lines
+        texts.append(t)
+    for name, table in (
+        ("real", duckdb.connect().execute(
+            f"SELECT doc_id, text FROM read_parquet("
+            f"'{SF}/documents.parquet')").fetch_arrow_table()),
+        ("adversarial", pa.table({
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string())})),
+    ):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(table, d / "documents.parquet")
+        ours = repetition_metrics(str(d)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        raw = con.execute(repetition_oracle_sql()).df()
+        assert raw["doc_id"].tolist() == ours["doc_id"].tolist(), name
+        exp = {
+            "dup_line_frac": raw.dup_lines.to_numpy() / raw.n_lines.to_numpy(),
+            "top2gram_char_frac": raw.top2_num.to_numpy() / raw.total.to_numpy(),
+            "top3gram_char_frac": raw.top3_num.to_numpy() / raw.total.to_numpy(),
+            "top4gram_char_frac": raw.top4_num.to_numpy() / raw.total.to_numpy(),
+            "dup5gram_char_frac": raw.dup5_chars.to_numpy() / raw.total.to_numpy(),
+        }
+        for col, v in exp.items():
+            same = ours[col].to_numpy() == np.round(v, 6)
+            assert same.all(), (name, col, np.nonzero(~same)[0][:5])
+        if name == "adversarial":  # signals genuinely fire here
+            assert (exp["dup_line_frac"] > 0).any()
+            assert (exp["top2gram_char_frac"] > 0).any()
+            assert (exp["dup5gram_char_frac"] > 0).any()
