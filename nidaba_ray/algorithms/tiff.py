@@ -28,7 +28,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["is_tiff", "decode_tiff", "encode_tiff",
+__all__ = ["is_tiff", "decode_tiff", "encode_tiff", "tiff_n_pages",
            "packbits_decode", "packbits_encode"]
 
 # entry value type → byte size (TIFF 6.0 §2); only the ones strip
@@ -98,13 +98,50 @@ def packbits_encode(row: bytes) -> bytes:
     return bytes(out)
 
 
-def _read_ifd(data: bytes, bo: str):
-    """First IFD → {tag: (type, count, values_or_raw)} with offset
-    values resolved. Value arrays decode for BYTE/SHORT/LONG; other
-    types keep raw bytes (nothing strip-critical uses them)."""
+def _ifd_offsets(data: bytes, bo: str, limit: int | None = None):
+    """Walk the IFD chain (multi-page TIFF) → list of IFD offsets.
+    ``limit`` stops early (cheap page counting); the chain is capped
+    at 10,000 entries so a corrupt next-pointer loop cannot spin."""
+    offsets = []
     (off,) = struct.unpack(bo + "I", data[4:8])
-    if off + 2 > len(data):
-        raise ValueError("TIFF IFD offset out of range")
+    seen = set()
+    while off:
+        if off in seen or len(offsets) >= 10_000:
+            raise ValueError("TIFF IFD chain loops")
+        seen.add(off)
+        if off + 2 > len(data):
+            raise ValueError("TIFF IFD offset out of range")
+        offsets.append(off)
+        if limit is not None and len(offsets) >= limit:
+            break
+        (n_entries,) = struct.unpack(bo + "H", data[off:off + 2])
+        nxt = off + 2 + 12 * n_entries
+        if nxt + 4 > len(data):
+            raise ValueError("truncated TIFF IFD")
+        (off,) = struct.unpack(bo + "I", data[nxt:nxt + 4])
+    if not offsets:
+        raise ValueError("TIFF has no IFD")
+    return offsets
+
+
+def tiff_n_pages(data: bytes, limit: int | None = None) -> int:
+    """Number of pages (IFDs) in a TIFF — header-walk only, no pixel
+    decode. ``limit`` early-exits (e.g. limit=2 answers "is this
+    multi-page" at constant cost)."""
+    if not is_tiff(data):
+        raise ValueError("not a TIFF (bad byte-order/magic header)")
+    bo = "<" if data[:2] == b"II" else ">"
+    return len(_ifd_offsets(data, bo, limit=limit))
+
+
+def _read_ifd(data: bytes, bo: str, page: int = 0):
+    """IFD of ``page`` → {tag: (type, count, values_or_raw)} with
+    offset values resolved. Value arrays decode for BYTE/SHORT/LONG;
+    other types keep raw bytes (nothing strip-critical uses them)."""
+    chain = _ifd_offsets(data, bo, limit=page + 1)
+    if len(chain) <= page:
+        raise ValueError(f"TIFF has no page {page}")
+    off = chain[page]
     (n_entries,) = struct.unpack(bo + "H", data[off:off + 2])
     tags = {}
     pos = off + 2
@@ -137,14 +174,17 @@ def _tag(tags, tag_id, default=None):
     return tags[tag_id][2]
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
+def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
     """TIFF bytes → uint8 array: (h, w) grayscale/bilevel, (h, w, 3)
-    RGB/palette, (h, w, 4) RGBA. First IFD only (the document image).
-    Raises ValueError on malformed or out-of-scope input."""
+    RGB/palette, (h, w, 4) RGBA. ``page`` selects the IFD for
+    multi-page documents (the classic scanned-document container);
+    the chain walk stops at ``page``, so decoding page 0 of a
+    thousand-page file never touches the other IFDs. Raises
+    ValueError on malformed or out-of-scope input."""
     if not is_tiff(data):
         raise ValueError("not a TIFF (bad byte-order/magic header)")
     bo = "<" if data[:2] == b"II" else ">"
-    tags = _read_ifd(data, bo)
+    tags = _read_ifd(data, bo, page=page)
     if 322 in tags or 323 in tags:
         raise ValueError("tiled TIFF not supported (strips only)")
     w = int(_tag(tags, 256)[0])
@@ -236,78 +276,97 @@ def decode_tiff(data: bytes) -> np.ndarray:
                      "not supported")
 
 
-def encode_tiff(arr: np.ndarray, compression: str = "none",
+def encode_tiff(arr, compression: str = "none",
                 byte_order: str = "<", rows_per_strip: int | None = None,
                 ) -> bytes:
-    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA → classic
-    TIFF bytes. ``compression``: "none" or "packbits" (compressed per
-    row, runs never span rows — §9). ``byte_order``: "<" emits II,
-    ">" emits MM. Strips of ``rows_per_strip`` rows (default: whole
-    image as one strip) so the decoder's strip walk is testable."""
+    """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA — or a LIST
+    of such arrays for a multi-page TIFF — → classic TIFF bytes.
+    ``compression``: "none" or "packbits" (compressed per row, runs
+    never span rows — §9). ``byte_order``: "<" emits II, ">" emits
+    MM. Strips of ``rows_per_strip`` rows (default: whole image as
+    one strip) so the decoder's strip walk is testable."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
-    arr = np.ascontiguousarray(arr, dtype=np.uint8)
-    if arr.ndim == 2:
-        spp = 1
-    elif arr.ndim == 3 and arr.shape[2] in (3, 4):
-        spp = arr.shape[2]
-    else:
-        raise ValueError("encode_tiff wants (h,w), (h,w,3) or (h,w,4)")
-    h, w = arr.shape[:2]
-    rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
-    flat = arr.reshape(h, w * spp)
-
-    strips = []
-    for y0 in range(0, h, rps):
-        block = flat[y0:y0 + rps]
-        if compression == "packbits":
-            strips.append(b"".join(packbits_encode(row.tobytes())
-                                   for row in block))
-        elif compression == "none":
-            strips.append(block.tobytes())
-        else:
-            raise ValueError(f"unknown compression {compression!r}")
-
+    pages = arr if isinstance(arr, (list, tuple)) else [arr]
+    if not pages:
+        raise ValueError("encode_tiff wants at least one page")
     bo = byte_order
     body = bytearray(b"II*\x00" if bo == "<" else b"MM\x00*")
-    body += struct.pack(bo + "I", 0)  # IFD offset backpatched below
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(len(body))
-        body += s
-        if len(body) % 2:  # TIFF values must start on word boundaries
-            body += b"\x00"
+    body += struct.pack(bo + "I", 0)  # first-IFD offset backpatched
 
-    # entries: (tag, type, count, values); arrays >4 bytes spill to an
-    # external value area placed right after the IFD
-    comp_id = 1 if compression == "none" else 32773
-    photo = 1 if spp == 1 else 2
-    entries = [
-        (256, 4, 1, (w,)), (257, 4, 1, (h,)),
-        (258, 3, spp, (8,) * spp),
-        (259, 3, 1, (comp_id,)), (262, 3, 1, (photo,)),
-        (273, 4, len(strips), tuple(strip_offsets)),
-        (277, 3, 1, (spp,)), (278, 4, 1, (rps,)),
-        (279, 4, len(strips), tuple(len(s) for s in strips)),
-    ]
-    if spp == 4:
-        entries.append((338, 3, 1, (2,)))  # unassociated alpha
-    entries.sort()  # spec: ascending tag order
-
-    ifd_off = len(body)
-    ext_off = ifd_off + 2 + 12 * len(entries) + 4
-    ifd = bytearray(struct.pack(bo + "H", len(entries)))
-    ext = bytearray()
-    for tag, typ, count, vals in entries:
-        packed = struct.pack(bo + _TYPE_FMT[typ] * count, *vals)
-        ifd += struct.pack(bo + "HHI", tag, typ, count)
-        if len(packed) <= 4:
-            ifd += packed.ljust(4, b"\x00")
+    per_page = []  # (entries, strips written → offsets recorded)
+    for a in pages:
+        a = np.ascontiguousarray(a, dtype=np.uint8)
+        if a.ndim == 2:
+            spp = 1
+        elif a.ndim == 3 and a.shape[2] in (3, 4):
+            spp = a.shape[2]
         else:
-            ifd += struct.pack(bo + "I", ext_off + len(ext))
-            ext += packed
-            if len(ext) % 2:
-                ext += b"\x00"
-    ifd += struct.pack(bo + "I", 0)  # no next IFD
-    body[4:8] = struct.pack(bo + "I", ifd_off)
-    return bytes(body + ifd + ext)
+            raise ValueError("encode_tiff wants (h,w), (h,w,3) or (h,w,4)")
+        h, w = a.shape[:2]
+        rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+        flat = a.reshape(h, w * spp)
+        strips = []
+        for y0 in range(0, h, rps):
+            block = flat[y0:y0 + rps]
+            if compression == "packbits":
+                strips.append(b"".join(packbits_encode(row.tobytes())
+                                       for row in block))
+            elif compression == "none":
+                strips.append(block.tobytes())
+            else:
+                raise ValueError(f"unknown compression {compression!r}")
+        strip_offsets = []
+        for s in strips:
+            strip_offsets.append(len(body))
+            body += s
+            if len(body) % 2:  # values must start on word boundaries
+                body += b"\x00"
+        # entries: (tag, type, count, values); arrays >4 bytes spill
+        # to an external value area placed right after each IFD
+        comp_id = 1 if compression == "none" else 32773
+        photo = 1 if spp == 1 else 2
+        entries = [
+            (256, 4, 1, (w,)), (257, 4, 1, (h,)),
+            (258, 3, spp, (8,) * spp),
+            (259, 3, 1, (comp_id,)), (262, 3, 1, (photo,)),
+            (273, 4, len(strips), tuple(strip_offsets)),
+            (277, 3, 1, (spp,)), (278, 4, 1, (rps,)),
+            (279, 4, len(strips), tuple(len(s) for s in strips)),
+        ]
+        if spp == 4:
+            entries.append((338, 3, 1, (2,)))  # unassociated alpha
+        entries.sort()  # spec: ascending tag order
+        per_page.append(entries)
+
+    # lay the IFD chain out sequentially: each page's block is
+    # [count | entries | next-ptr | ext values (padded)]
+    ifd_offs = []
+    cursor = len(body)
+    ext_lens = []
+    for entries in per_page:
+        ifd_offs.append(cursor)
+        ext = sum((lambda n: n + (n % 2))( _TYPE_SIZE[t] * c)
+                  for _, t, c, _v in entries
+                  if _TYPE_SIZE[t] * c > 4)
+        ext_lens.append(ext)
+        cursor += 2 + 12 * len(entries) + 4 + ext
+    for i, entries in enumerate(per_page):
+        ext_off = ifd_offs[i] + 2 + 12 * len(entries) + 4
+        ifd = bytearray(struct.pack(bo + "H", len(entries)))
+        ext = bytearray()
+        for tag, typ, count, vals in entries:
+            packed = struct.pack(bo + _TYPE_FMT[typ] * count, *vals)
+            ifd += struct.pack(bo + "HHI", tag, typ, count)
+            if len(packed) <= 4:
+                ifd += packed.ljust(4, b"\x00")
+            else:
+                ifd += struct.pack(bo + "I", ext_off + len(ext))
+                ext += packed
+                if len(ext) % 2:
+                    ext += b"\x00"
+        nxt = ifd_offs[i + 1] if i + 1 < len(ifd_offs) else 0
+        ifd += struct.pack(bo + "I", nxt)
+        body += ifd + ext
+    body[4:8] = struct.pack(bo + "I", ifd_offs[0])
+    return bytes(body)

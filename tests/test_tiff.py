@@ -286,3 +286,44 @@ def test_synth_rotation_carries_tiff_wire():
     w, h = 32 + (12 % 4) * 16, 24 + (12 % 3) * 16
     px = np.frombuffer(_bytes_for("img12", w * h), np.uint8)
     assert out[4]["mean_px"] == pytest.approx(float(px.mean()))
+
+
+# ---------------------------------------------------------------------------
+# multi-page (IFD chain)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_multipage_roundtrip():
+    from nidaba_ray.algorithms.tiff import tiff_n_pages
+
+    pages = [_img(4 + i, 6, seed=40 + i) for i in range(3)]
+    for bo in ("<", ">"):
+        for comp in ("none", "packbits"):
+            data = encode_tiff(pages, compression=comp, byte_order=bo,
+                               rows_per_strip=2)
+            assert tiff_n_pages(data) == 3
+            assert tiff_n_pages(data, limit=2) == 2  # early exit
+            for i, want in enumerate(pages):
+                assert np.array_equal(decode_tiff(data, page=i), want), \
+                    (bo, comp, i)
+    # single page unchanged: page 0 default, no page 1
+    one = encode_tiff(pages[0])
+    assert tiff_n_pages(one) == 1
+    with pytest.raises(ValueError, match="no page 1"):
+        decode_tiff(one, page=1)
+
+
+def test_tiff_ifd_chain_loop_detected():
+    pages = [_img(3, 3, seed=50), _img(3, 3, seed=51)]
+    data = bytearray(encode_tiff(pages))
+    # point page 2's "next" pointer back at page 1's IFD
+    from nidaba_ray.algorithms.tiff import _ifd_offsets
+
+    offs = _ifd_offsets(bytes(data), "<")
+    (n1,) = struct.unpack("<H", data[offs[1]:offs[1] + 2])
+    nxt_at = offs[1] + 2 + 12 * n1
+    data[nxt_at:nxt_at + 4] = struct.pack("<I", offs[0])
+    from nidaba_ray.algorithms.tiff import tiff_n_pages
+
+    with pytest.raises(ValueError, match="loops"):
+        tiff_n_pages(bytes(data))
