@@ -94,6 +94,11 @@ TIMED_QUERIES = [
     # inserting entries mid-list shifts the timings that follow)
     "gopher_quality_flags",
     "c4_filtered",
+    # round-5 session-3 additions, appended LAST (same warm-worker
+    # protocol): the FineWeb line rewrite and the composed WET chain
+    # (rewrite → C4 → blocklist → Gopher → PII in ONE streaming pass)
+    "fineweb_rewritten",
+    "wet_clean_chain",
 ]
 
 
@@ -179,7 +184,25 @@ def _extra_timed() -> dict:
         # full scan + line-rule kernel regardless)
         "gopher_quality_flags": textops.gopher_quality_flags,
         "c4_filtered": textops.c4_filtered,
+        "fineweb_rewritten": textops.fineweb_rewritten,
+        "wet_clean_chain": _wet_clean_chain,
     }
+
+
+def _wet_clean_chain(sf_dir: str):
+    """The composed examples/training_data_clean.yaml spec over the
+    documents table — five cleaning stages fused into one streaming
+    map_batches chain, timed end-to-end."""
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    spec = registry.load_spec(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "examples", "training_data_clean.yaml"))
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return registry.compile_pipeline(ds, spec)
 
 
 def _new_crawl_dir(sf_dir: str) -> str:
