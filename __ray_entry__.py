@@ -64,9 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
       * mixture_sample / stratified_sample (deterministic md5-keyed
         training-mixture construction; DuckDB parity + layout
         invariance in tests/test_sampling.py)
+      * fingerprint_md5 (trivial SELECT md5(text) — ceded its surface
+        slot to dsir_select in round 5; SQL parity stays pinned in
+        tests/test_dsir.py and the timing stays in bench.py)
     """
     from nidaba_ray import realpages
-    from nidaba_ray.functions import ann, dedup, textops
+    from nidaba_ray.functions import ann, dedup, dsir, textops
     from nidaba_ray.pipelines import conformance, curate, media
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
@@ -103,7 +106,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_stats_per_lang": textops.token_stats_per_lang,
         "top_terms_per_lang": textops.top_terms_per_lang,
         "subword_token_count": textops.subword_token_count,
-        "fingerprint_md5": textops.fingerprint_md5,
+        # --- DSIR importance resampling (Xie 2023), round-5 session 4:
+        #     the full fit→score→Gumbel-top-k replayed in SQL (took the
+        #     slot of the trivial fingerprint_md5, now pytest-pinned)
+        "dsir_select": dsir.dsir_selected,
         # --- dedup (exact + clustering) with SQL oracles
         "exact_dedup": dedup.exact_dedup,
         "dup_groups": dedup.dup_groups,
@@ -166,7 +172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from nidaba_ray import realpages
-    from nidaba_ray.functions import ann, dedup, textops
+    from nidaba_ray.functions import ann, dedup, dsir, textops
     from nidaba_ray.pipelines import conformance, curate
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
@@ -198,7 +204,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats_per_lang": textops.TOKEN_STATS_SQL,
         "top_terms_per_lang": textops.TOP_TERMS_SQL,
         "subword_token_count": textops.SUBWORD_SQL,
-        "fingerprint_md5": textops.FINGERPRINT_SQL,
+        "dsir_select": dsir.dsir_sql(),
         "exact_dedup": dedup.EXACT_DEDUP_SQL,
         "dup_groups": dedup.DUP_GROUPS_SQL,
         "dup_clusters_exact_distributed": dedup.DUP_CLUSTERS_EXACT_SQL,

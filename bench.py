@@ -99,6 +99,12 @@ TIMED_QUERIES = [
     # (rewrite → C4 → blocklist → Gopher → PII in ONE streaming pass)
     "fineweb_rewritten",
     "wet_clean_chain",
+    # round-5 session-4 addition, appended LAST (same warm-worker
+    # protocol): DSIR importance resampling (fit + score + Gumbel
+    # top-k). fingerprint_md5 keeps its original slot above but now
+    # resolves via _extra_timed (it ceded its driver-surface slot to
+    # dsir_select).
+    "dsir_select",
 ]
 
 
@@ -184,6 +190,9 @@ def _extra_timed() -> dict:
         # full scan + line-rule kernel regardless)
         "gopher_quality_flags": textops.gopher_quality_flags,
         "c4_filtered": textops.c4_filtered,
+        # round-5 session-4: off-surface since dsir_select took its
+        # driver slot; timed in place for round-over-round continuity
+        "fingerprint_md5": textops.fingerprint_md5,
         "fineweb_rewritten": textops.fineweb_rewritten,
         "wet_clean_chain": _wet_clean_chain,
     }
