@@ -67,6 +67,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
       * fingerprint_md5 (trivial SELECT md5(text) — ceded its surface
         slot to dsir_select in round 5; SQL parity stays pinned in
         tests/test_dsir.py and the timing stays in bench.py)
+      * semdedup / semdedup_kept (Abbas-2023 embedding-cluster
+        semantic dedup over the cached IVF clustering; FULL SQL
+        replay — ranking + pair graph + the greedy as a recursive
+        CTE — plus an independent naive reference in
+        tests/test_semdedup.py; bench-timed)
     """
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, dsir, textops

@@ -100,6 +100,11 @@ TIMED_QUERIES = [
     "fineweb_rewritten",
     "wet_clean_chain",
     # round-5 session-4 addition, appended LAST (same warm-worker
+    # protocol): SemDeDup over the prewarmed 16-list index — timed
+    # cost is the per-cluster greedy passes, not the k-means (an
+    # ingest artifact shared with the ANN queries)
+    "semdedup_kept",
+    # round-5 session-4 addition, appended LAST (same warm-worker
     # protocol): DSIR importance resampling (fit + score + Gumbel
     # top-k). fingerprint_md5 keeps its original slot above but now
     # resolves via _extra_timed (it ceded its driver-surface slot to
@@ -112,7 +117,7 @@ def _extra_timed() -> dict:
     """Operators timed for round-over-round continuity but no longer on
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
-    from nidaba_ray.functions import ann, dedup, lm, pack, scrub, textops
+    from nidaba_ray.functions import ann, dedup, lm, pack, scrub, semdedup, textops
     from nidaba_ray.pipelines import curate
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
@@ -195,6 +200,10 @@ def _extra_timed() -> dict:
         "fingerprint_md5": textops.fingerprint_md5,
         "fineweb_rewritten": textops.fineweb_rewritten,
         "wet_clean_chain": _wet_clean_chain,
+        # round-5 session-4: SemDeDup at the permissive threshold the
+        # tests pin (the synthetic embeddings are near-uniform, so the
+        # production 0.95 would do no within-cluster work)
+        "semdedup_kept": lambda sf: semdedup.semdedup_kept(sf, threshold=0.25),
     }
 
 
