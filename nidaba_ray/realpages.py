@@ -2006,6 +2006,219 @@ of times a second.</p>
          "assignment table, which is simpler and fast enough unless "
          "you swap hundreds of times a second."],
     ),
+    # 93. obituary page: the notice is content (an inline <time>
+    # element must not split its paragraph); the funeral-services
+    # rail and guestbook links are chrome.
+    _page(
+        "obituary_page",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article>
+<h1>Margaret Ellen Voss, 1938 to 2024</h1>
+<p>Margaret Ellen Voss, a retired harbor pilot who guided cargo ships
+through the narrows for three decades, died on
+<time datetime="2024-03-02">March 2</time> at her home above the
+landing. She was 85.</p>
+<p>Born on the island, she earned her license when few believed a
+woman could hold one, and colleagues said she became the calm voice
+every captain wanted on the radio when the fog rolled in.</p>
+<p>She is survived by two sons, a sister, and four grandchildren, who
+remember her patient teaching and her chowder at the annual dock
+picnic.</p>
+</article></main>
+<aside class="services"><h3>Services</h3><ul>
+<li><a href="/map">Chapel directions</a></li>
+<li><a href="/guestbook">Sign the guestbook</a></li>
+<li><a href="/flowers">Send flowers</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Margaret Ellen Voss, 1938 to 2024",
+         "Margaret Ellen Voss, a retired harbor pilot who guided "
+         "cargo ships through the narrows for three decades, died on "
+         "March 2 at her home above the landing. She was 85.",
+         "Born on the island, she earned her license when few "
+         "believed a woman could hold one, and colleagues said she "
+         "became the calm voice every captain wanted on the radio "
+         "when the fog rolled in.",
+         "She is survived by two sons, a sister, and four "
+         "grandchildren, who remember her patient teaching and her "
+         "chowder at the annual dock picnic."],
+    ),
+    # 94. court opinion: the numbered holdings (an <ol>) are content
+    # exactly like fixture 12's ingredient list; the related-cases
+    # rail is chrome.
+    _page(
+        "court_opinion",
+        f"""<html><body><header><h1>Court Reporter</h1>{_NAV}</header>
+<main><article>
+<h1>Opinion of the court in Harbor Ferries against the Port Authority</h1>
+<p>The court considered whether the authority may reassign a leased
+berth during an active season without the operator's consent, and
+whether the storm clause excuses the reassignment that occurred.</p>
+<ol class="holdings">
+<li>The lease grants exclusive use of the berth for the stated season,
+and reassignment during that season breaches the grant.</li>
+<li>The emergency powers reach genuine hazards to navigation, not
+commercial convenience, so the storm clause offers no defense.</li>
+<li>Damages are limited to documented losses from the six affected
+sailings, because the operator mitigated by chartering a substitute
+vessel within the week.</li>
+</ol>
+<p>The judgment of the lower court is affirmed, and costs are awarded
+to the operator.</p>
+</article></main>
+<aside class="related-cases"><h3>Cited by</h3><ul>
+<li><a href="/c/1">Dockside Cranes v. Port</a></li>
+<li><a href="/c/2">Narrows Pilots Assn v. City</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Opinion of the court in Harbor Ferries against the Port "
+         "Authority",
+         "The court considered whether the authority may reassign a "
+         "leased berth during an active season without the operator's "
+         "consent, and whether the storm clause excuses the "
+         "reassignment that occurred.",
+         "The lease grants exclusive use of the berth for the stated "
+         "season, and reassignment during that season breaches the "
+         "grant.",
+         "The emergency powers reach genuine hazards to navigation, "
+         "not commercial convenience, so the storm clause offers no "
+         "defense.",
+         "Damages are limited to documented losses from the six "
+         "affected sailings, because the operator mitigated by "
+         "chartering a substitute vessel within the week.",
+         "The judgment of the lower court is affirmed, and costs are "
+         "awarded to the operator."],
+    ),
+    # 95. podcast episode page: player controls and the episode rail
+    # are chrome; the description and plain-text show notes are
+    # content.
+    _page(
+        "podcast_episode",
+        f"""<html><body><header><h1>Harbor Stories</h1>{_NAV}</header>
+<main><article>
+<h1>Episode 48: The night shift at the drawbridge</h1>
+<div class="player"><a href="/play">Play</a>
+<a href="/download">Download</a> <a href="/subscribe">Subscribe</a>
+<a href="/rss">RSS</a></div>
+<p>This week we ride along with the overnight operator who raises the
+span for a single sailboat at three in the morning and explains why
+the bridge keeps its own weather log.</p>
+<p>We also hear from the engineer who rebalances the counterweights
+every spring, a job done with pallets of steel plate and a notebook
+older than the bridge's paint.</p>
+<h2>Show notes</h2>
+<ul class="notes">
+<li>The logbook pages mentioned in the interview date from the winter
+the harbor froze over.</li>
+<li>The counterweight rebuild described at the end took place in 1998
+and is documented in the port annual report.</li>
+</ul>
+</article></main>
+<aside class="episodes"><h3>More episodes</h3><ul>
+<li><a href="/e/47">Episode 47: Chart tables</a></li>
+<li><a href="/e/46">Episode 46: The bell buoy</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Episode 48: The night shift at the drawbridge",
+         "This week we ride along with the overnight operator who "
+         "raises the span for a single sailboat at three in the "
+         "morning and explains why the bridge keeps its own weather "
+         "log.",
+         "We also hear from the engineer who rebalances the "
+         "counterweights every spring, a job done with pallets of "
+         "steel plate and a notebook older than the bridge's paint.",
+         "Show notes",
+         "The logbook pages mentioned in the interview date from the "
+         "winter the harbor froze over.",
+         "The counterweight rebuild described at the end took place "
+         "in 1998 and is documented in the port annual report."],
+    ),
+    # 96. real-estate listing: description and the spec DATA table
+    # are content (fixture 5's convention); the agent card and
+    # mortgage-tool links are chrome.
+    _page(
+        "real_estate_listing",
+        f"""<html><body><header><h1>Example Homes</h1>{_NAV}</header>
+<main><article>
+<h1>Saltbox cottage on the east channel</h1>
+<p>This four-room cottage sits a short walk from the ferry landing,
+with a workshop in the old boathouse and morning light across the
+water from every bedroom.</p>
+<table class="specs"><caption>Property facts</caption>
+<tr><th>Lot</th><td>A quarter acre with fruit trees along the lane</td></tr>
+<tr><th>Heating</th><td>Heat pump installed two summers ago</td></tr>
+</table>
+<p>Showings begin Saturday morning, and offers will be reviewed the
+following Friday afternoon.</p>
+</article></main>
+<div class="agent-card"><a href="/agent">Call the agent</a>
+<a href="/mortgage">Mortgage calculator</a>
+<a href="/save">Save listing</a></div>
+{_FOOTER}</body></html>""",
+        ["Saltbox cottage on the east channel",
+         "This four-room cottage sits a short walk from the ferry "
+         "landing, with a workshop in the old boathouse and morning "
+         "light across the water from every bedroom.",
+         "Property facts",
+         "Lot", "A quarter acre with fruit trees along the lane",
+         "Heating", "Heat pump installed two summers ago",
+         "Showings begin Saturday morning, and offers will be "
+         "reviewed the following Friday afternoon."],
+    ),
+    # 97. mailing-list archive (pipermail shape): prev/next/index
+    # links and the From/Date strip (class "meta", the fixture-25
+    # convention) are chrome; the message body is ONE <pre> whose
+    # internal newlines collapse (fixture 11's convention), with an
+    # entity-encoded quote marker surviving as text.
+    _page(
+        "mailing_list_archive",
+        f"""<html><body>
+<div class="navbar"><a href="/prev">Previous message</a>
+<a href="/next">Next message</a> <a href="/thread">Thread index</a>
+<a href="/date">Date index</a></div>
+<main>
+<h1>[harbor-dev] Mooring sensor firmware 2.4 released</h1>
+<div class="meta">From: keeper at example.org — Tue Mar 5 09:14:02</div>
+<pre>The 2.4 firmware fixes the tide-lag bug reported last month and
+adds a watchdog for the salinity probe.
+&gt; Does this need a new calibration pass after flashing?
+No, stored calibration survives the update; only boards flashed
+before 2021 need the full pass.
+Release notes and checksums are on the downloads page.</pre>
+</main>{_FOOTER}</body></html>""",
+        ["[harbor-dev] Mooring sensor firmware 2.4 released",
+         "The 2.4 firmware fixes the tide-lag bug reported last month "
+         "and adds a watchdog for the salinity probe. > Does this "
+         "need a new calibration pass after flashing? No, stored "
+         "calibration survives the update; only boards flashed "
+         "before 2021 need the full pass. Release notes and checksums "
+         "are on the downloads page."],
+    ),
+    # 98. museum exhibit page: description and figcaption are content
+    # (fixture 9's convention); the visit-info strip is chrome.
+    _page(
+        "museum_exhibit",
+        f"""<html><body><header><h1>Harbor Museum</h1>{_NAV}</header>
+<main><article>
+<h1>Lanterns of the outer light: keeping the channel lit</h1>
+<p>The exhibition traces a century of channel lighting, from whale-oil
+lanterns to the automated beacon that still flashes its four-second
+pattern today.</p>
+<figure><img src="/lens.jpg" alt="lens">
+<figcaption>The original fourth-order lens, on loan from the keeper's
+descendants for the length of the exhibition.</figcaption></figure>
+<p>Visitors can work a hand-cranked fog bell and read the keeper's
+logs from the winter the harbor froze over.</p>
+</article></main>
+<div class="visit-info"><a href="/tickets">Tickets</a>
+<a href="/hours">Hours</a> <a href="/directions">Directions</a></div>
+{_FOOTER}</body></html>""",
+        ["Lanterns of the outer light: keeping the channel lit",
+         "The exhibition traces a century of channel lighting, from "
+         "whale-oil lanterns to the automated beacon that still "
+         "flashes its four-second pattern today.",
+         "The original fourth-order lens, on loan from the keeper's "
+         "descendants for the length of the exhibition.",
+         "Visitors can work a hand-cranked fog bell and read the "
+         "keeper's logs from the winter the harbor froze over."],
+    ),
 ]
 
 
