@@ -72,6 +72,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         replay — ranking + pair graph + the greedy as a recursive
         CTE — plus an independent naive reference in
         tests/test_semdedup.py; bench-timed)
+      * bpe_token_count / train_bpe (Sennrich-2016 trained BPE —
+        hand-computed merge pins + a greedy≡apply-in-order
+        differential reference in tests/test_bpe.py; bench-timed;
+        subword_token_count keeps the driver slot as the
+        SQL-replayable estimate)
     """
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, dsir, textops

@@ -105,6 +105,11 @@ TIMED_QUERIES = [
     # ingest artifact shared with the ANN queries)
     "semdedup_kept",
     # round-5 session-4 addition, appended LAST (same warm-worker
+    # protocol): trained-BPE token counting (merge table prewarmed —
+    # the sample-bounded fit is a one-time cost like the char-LM;
+    # timed cost is the broadcast-merges streaming encode pass)
+    "bpe_token_count",
+    # round-5 session-4 addition, appended LAST (same warm-worker
     # protocol): DSIR importance resampling (fit + score + Gumbel
     # top-k). fingerprint_md5 keeps its original slot above but now
     # resolves via _extra_timed (it ceded its driver-surface slot to
@@ -117,7 +122,8 @@ def _extra_timed() -> dict:
     """Operators timed for round-over-round continuity but no longer on
     the driver surface (consolidated out of queries() to fit the
     50-entry CORRECTNESS cap — they stay implemented + pytest-pinned)."""
-    from nidaba_ray.functions import ann, dedup, lm, pack, scrub, semdedup, textops
+    from nidaba_ray.functions import (ann, bpe, dedup, lm, pack, scrub,
+                                      semdedup, textops)
     from nidaba_ray.pipelines import curate
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import warc
@@ -204,6 +210,7 @@ def _extra_timed() -> dict:
         # tests pin (the synthetic embeddings are near-uniform, so the
         # production 0.95 would do no within-cluster work)
         "semdedup_kept": lambda sf: semdedup.semdedup_kept(sf, threshold=0.25),
+        "bpe_token_count": bpe.bpe_token_count,
     }
 
 
@@ -265,13 +272,15 @@ def _prewarm() -> None:
     query cost. (The minhash pair-list memo needs no explicit warm —
     minhash_dedup_pairs runs before the curated_* entries in
     TIMED_QUERIES and populates the in-process memo.)"""
-    from nidaba_ray.functions import ann, crossdedup, lm
+    from nidaba_ray.functions import ann, bpe, crossdedup, lm
 
     ann._resolve_ivf_index(SF_DIR, 16)
     ann._resolve_ivf_index(SF_DIR, 16, pq_params=(8, 16))
     # LM fit is a bounded-sample one-time cost (memoized per corpus);
     # the tracked charlm_perplexity number is the warm scoring path
     lm.train_charlm(SF_DIR)
+    # BPE merge-table fit: same bounded-sample one-time-cost contract
+    bpe.train_bpe(SF_DIR)
     # prior-corpus band index (cross-crawl dedup's ingest artifact)
     crossdedup._resolve_band_index(SF_DIR)
     _new_crawl_dir(SF_DIR)
