@@ -48,6 +48,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray.data as rd
 
@@ -183,6 +184,33 @@ def semdedup(
     return clusters.map_batches(
         dedup_lists, batch_format="pyarrow", batch_size=1
     )
+
+
+def semdedup_corpus(
+    sf_dir: str, n_clusters: int = 16, threshold: float = 0.95
+) -> rd.Dataset:
+    """The curated documents table: drop every document whose
+    embedding SemDeDup pruned; documents WITHOUT an embedding row are
+    retained (no evidence against them — embeddings may cover only a
+    scored subset of the corpus, as the sf0.1 test tables do).
+
+    Shape: the dropped-id set streams out of :func:`semdedup` as a
+    narrow int64 column and the document filter is the repo's
+    broadcast anti join (``pc.is_in`` under the broadcast bound, a
+    Bloom front + verify joins above it — `relational.queries`); the
+    documents table itself never shuffles."""
+    from nidaba_ray.relational.queries import _semi_anti_join
+
+    dropped = semdedup(
+        sf_dir, n_clusters=n_clusters, threshold=threshold
+    ).map_batches(
+        lambda t: t.filter(pc.invert(t["kept"])).select(["vec_id"]),
+        batch_format="pyarrow",
+    ).materialize()  # narrow int64 column (ids of pruned docs only)
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    return _semi_anti_join(docs, "doc_id", dropped, "vec_id", negate=True)
 
 
 def semdedup_kept(

@@ -186,3 +186,35 @@ def test_semdedup_threshold_edges(ray_session):
 def test_semdedup_deterministic(prod_verdicts, ray_session):
     again = semdedup_kept(SF, threshold=THR).to_pandas()
     assert again.equals(prod_verdicts)
+
+
+def test_semdedup_corpus_composition(prod_verdicts, ray_session):
+    """The curated documents table keeps exactly the kept vec_ids
+    (full-coverage corpus: every doc has an embedding here)."""
+    from nidaba_ray.functions.semdedup import semdedup_corpus
+
+    docs = semdedup_corpus(SF, threshold=THR).to_pandas()
+    kept_ids = set(prod_verdicts[prod_verdicts.kept].vec_id)
+    assert set(docs.doc_id) == kept_ids
+    assert set(docs.columns) == {"doc_id", "text", "lang"}
+
+
+def test_semdedup_corpus_keeps_unscored_docs(ray_session):
+    """sf0.1 has 5000 docs but only 2000 embeddings: documents without
+    an embedding row carry no verdict and must be retained."""
+    from nidaba_ray.functions.semdedup import semdedup, semdedup_corpus
+
+    sf = "/root/testdata/sf0.1"
+    v = semdedup(sf, threshold=THR).to_pandas()
+    docs = semdedup_corpus(sf, threshold=THR).to_pandas()
+    scored = set(v.vec_id)
+    kept_scored = set(v[v.kept].vec_id)
+    import pyarrow.parquet as _pq
+
+    all_ids = set(
+        _pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+        ["doc_id"].to_pylist()
+    )
+    expect = (all_ids - scored) | (kept_scored & all_ids)
+    assert set(docs.doc_id) == expect
+    assert len(all_ids - scored) > 0  # the shape this test exists for
