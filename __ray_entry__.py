@@ -77,6 +77,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         differential reference in tests/test_bpe.py; bench-timed;
         subword_token_count keeps the driver slot as the
         SQL-replayable estimate)
+      * url_canonicalize / url_dedup_latest (canonical-URL re-crawl
+        keep-latest dedup over pages tables; Python kernel ≡ one
+        DuckDB scalar expression byte-for-byte and the dedup ≡ a
+        windowed SQL replay in tests/test_urls.py; bench-timed —
+        the driver's sf tables have no url column, so the pages-level
+        op stays off the 50-entry surface)
     """
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, dsir, textops

@@ -110,6 +110,11 @@ TIMED_QUERIES = [
     # timed cost is the broadcast-merges streaming encode pass)
     "bpe_token_count",
     # round-5 session-4 addition, appended LAST (same warm-worker
+    # protocol): canonical-URL keep-latest dedup over the cached pages
+    # corpus (headline input, synthesized before run_queries) — times
+    # canonicalization + the two narrow grouped passes + payload joins
+    "url_dedup_pages",
+    # round-5 session-4 addition, appended LAST (same warm-worker
     # protocol): DSIR importance resampling (fit + score + Gumbel
     # top-k). fingerprint_md5 keeps its original slot above but now
     # resolves via _extra_timed (it ceded its driver-surface slot to
@@ -211,7 +216,22 @@ def _extra_timed() -> dict:
         # production 0.95 would do no within-cluster work)
         "semdedup_kept": lambda sf: semdedup.semdedup_kept(sf, threshold=0.25),
         "bpe_token_count": bpe.bpe_token_count,
+        "url_dedup_pages": _url_dedup_pages,
     }
+
+
+def _url_dedup_pages(sf_dir: str):
+    """Canonical-URL keep-latest dedup over the cached headline pages
+    corpus (url/warc_ts/html columns — the payload-carry shape); the
+    synthetic urls are distinct, so the timing covers the full canon +
+    grouped-max/min + join path at zero-duplicate selectivity."""
+    import ray.data as rd
+
+    from nidaba_ray.functions.urls import url_dedup_latest
+
+    pages = rd.read_parquet(pages_cache_dir(),
+                            columns=["url", "warc_ts", "html"])
+    return url_dedup_latest(pages)
 
 
 def _wet_clean_chain(sf_dir: str):

@@ -1,0 +1,206 @@
+"""URL canonicalization and canonical-URL re-crawl dedup — the key
+operations a Common-Crawl-style pages table needs before any URL-level
+grouping (the reference keys batches by storage path; a web corpus
+keys by URL, and raw URLs alias: tracking params, case-variant hosts,
+default ports, fragments).
+
+Canonicalization contract (RAW-TEXT transforms only — no percent
+decoding, no IDNA, no dot-segment resolution; every step is a single
+well-defined string/regex op that DuckDB replays byte-exactly):
+
+1. non-URL strings (no ``scheme://``) pass through unchanged;
+2. the fragment is stripped;
+3. scheme and authority are lowercased (the whole authority — rare
+   userinfo is lowercased too, a documented simplification);
+4. default ports drop (``:80`` for http, ``:443`` for https);
+5. an empty path becomes ``/``;
+6. query params split on ``&``: empties and tracking params
+   (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``ref``,
+   ``ref_src``) drop, the rest SORT bytewise and rejoin; an
+   all-dropped query loses its ``?``.
+
+Dot segments are deliberately preserved: resolving them can change
+which resource a URL names when servers treat paths literally, and
+the iterated rewrite is the one step plain RE2 (no lookahead — the
+regex engine both numpy-side Python and DuckDB share) cannot express
+as a single pass.
+
+Determinism: canonical form is a pure per-string function; the dedup
+winner per canonical key is the total order (warc_ts desc, url asc) —
+byte-identical across runs, layouts and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from nidaba_ray.util import join_partitions
+
+__all__ = ["url_canonicalize", "canon_url_column", "url_dedup_latest",
+           "url_canon_sql", "url_dedup_sql"]
+
+_URL_RE = re.compile(
+    r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]*)([^?#]*)(?:\?([^#]*))?(?:#.*)?$",
+    re.S,
+)
+_TRACKING_RE = re.compile(r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)")
+
+
+def url_canonicalize(url: str) -> str:
+    m = _URL_RE.match(url or "")
+    if not m:
+        return url
+    scheme = m.group(1).lower()
+    auth = m.group(2).lower()
+    path = m.group(3)
+    query = m.group(4)
+    if scheme == "http" and auth.endswith(":80"):
+        auth = auth[:-3]
+    elif scheme == "https" and auth.endswith(":443"):
+        auth = auth[:-4]
+    if path == "":
+        path = "/"
+    out = f"{scheme}://{auth}{path}"
+    if query is not None:
+        params = sorted(
+            p for p in query.split("&")
+            if p and not _TRACKING_RE.match(p)
+        )
+        if params:
+            out += "?" + "&".join(params)
+    return out
+
+
+def canon_url_column(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Per-batch canonical form (short strings; the regex kernel is the
+    cost and runs once per row either way)."""
+    return pa.array(
+        [url_canonicalize(u) for u in urls.to_pylist()], pa.string()
+    )
+
+
+def url_canon_sql(col: str) -> str:
+    """The canonicalization contract as one (nested) DuckDB scalar
+    expression over column ``col`` — byte-exact vs
+    :func:`url_canonicalize` (pinned in tests over crafted URLs)."""
+    nofrag = f"regexp_replace({col}, '#.*$', '', 's')"
+    scheme = (f"lower(regexp_extract({nofrag},"
+              " '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))")
+    auth = (f"lower(regexp_extract({nofrag},"
+            " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    path = (f"regexp_extract({nofrag},"
+            " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
+    query = f"regexp_extract({nofrag}, '\\?([^#]*)', 1)"
+    has_q = f"position('?' IN {nofrag}) > 0"
+    auth2 = (
+        f"CASE WHEN {scheme} = 'http' AND {auth} LIKE '%:80' "
+        f"THEN left({auth}, length({auth}) - 3) "
+        f"WHEN {scheme} = 'https' AND {auth} LIKE '%:443' "
+        f"THEN left({auth}, length({auth}) - 4) ELSE {auth} END"
+    )
+    path2 = f"CASE WHEN {path} = '' THEN '/' ELSE {path} END"
+    params = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        "x -> x <> '' AND NOT regexp_matches(x, "
+        "'^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)')))"
+    )
+    tail = (
+        f"CASE WHEN {has_q} AND len({params}) > 0 "
+        f"THEN '?' || array_to_string({params}, '&') ELSE '' END"
+    )
+    return (
+        f"CASE WHEN NOT regexp_matches({col}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://') "
+        f"THEN {col} ELSE {scheme} || '://' || {auth2} || {path2} "
+        f"|| {tail} END"
+    )
+
+
+def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
+    """Re-crawl dedup over a pages Dataset: one surviving row per
+    CANONICAL url — the latest capture (max warc_ts), raw-url
+    lexicographic tie-break.
+
+    Shape: the grouped max/min run over (canon, warc_ts/url) narrow
+    columns via aggregate + hash-join-back (the exact_dedup idiom —
+    vectorized, no per-group pandas); page PAYLOADS (html/text) join
+    back only for surviving keys, so the heavy bytes cross the wire
+    once, not once per round.
+
+    Precondition (WARC capture semantics, asserted nowhere by design):
+    ``(url, warc_ts)`` identifies a capture — two payloads under the
+    same raw url AND the same timestamp would both survive here while
+    the SQL window keeps one."""
+    from ray.data.aggregate import Max, Min
+
+    def add_canon(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "canon_url", canon_url_column(batch["url"])
+        )
+
+    with_canon = pages.map_batches(add_canon, batch_format="pyarrow")
+
+    def narrow(batch: pa.Table) -> pa.Table:
+        # timestamps travel as int64 epoch-micros: Ray's Max aggregate
+        # coarsens timestamp columns to second precision (no kernel
+        # for tz-aware equal afterwards); integer micros are lossless
+        return pa.table(
+            {
+                "canon_url": batch["canon_url"],
+                "url": batch["url"],
+                "ts_us": pc.cast(batch["warc_ts"], pa.int64()),
+            }
+        )
+
+    keys = with_canon.map_batches(narrow, batch_format="pyarrow").materialize()
+    latest = keys.groupby("canon_url").aggregate(
+        Max("ts_us", alias_name="max_ts")
+    )
+    at_latest = (
+        keys.join(latest, "inner", join_partitions(8), on=("canon_url",))
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["ts_us"], t["max_ts"]))
+            .select(["canon_url", "url", "ts_us"]),
+            batch_format="pyarrow",
+        )
+    )
+    # one grouped pass gives both winner keys: every at_latest row of a
+    # group carries the same (max) ts, so Max(ts_us) == that ts
+    winner_keys = at_latest.groupby("canon_url").aggregate(
+        Min("url", alias_name="win_url"),
+        Max("ts_us", alias_name="max_ts"),
+    )
+    # join the winning (canon, url, ts) keys back to the full rows; a
+    # page row wins iff its url AND its ts both match the winner (an
+    # older capture of the winning raw url must not survive)
+    out = (
+        with_canon.join(winner_keys, "inner", join_partitions(8),
+                        on=("canon_url",))
+        .map_batches(
+            lambda t: t.filter(
+                pc.and_(pc.equal(t["url"], t["win_url"]),
+                        pc.equal(pc.cast(t["warc_ts"], pa.int64()),
+                                 t["max_ts"]))
+            ).drop_columns(["win_url", "max_ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    return out
+
+
+def url_dedup_sql(pages_glob: str) -> str:
+    """DuckDB replay of :func:`url_dedup_latest` over a pages parquet
+    glob — canonical expression + one window."""
+    canon = url_canon_sql("url")
+    return f"""
+SELECT * EXCLUDE (rn) FROM (
+  SELECT p.*, {canon} AS canon_url,
+         ROW_NUMBER() OVER (PARTITION BY {canon}
+                            ORDER BY warc_ts DESC, url ASC) AS rn
+  FROM read_parquet('{pages_glob}') p
+) WHERE rn = 1
+"""

@@ -1,0 +1,178 @@
+"""URL canonicalization + canonical-URL re-crawl dedup pins: byte
+parity between the Python kernel and the DuckDB scalar expression,
+idempotence (incl. hypothesis fuzz over composed URL parts), and the
+windowed SQL replay of keep-latest dedup."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nidaba_ray.functions.urls import (
+    url_canon_sql,
+    url_canonicalize,
+    url_dedup_sql,
+)
+
+CASES = [
+    # tracking params drop, rest sort
+    "https://Example.COM/a/b?utm_source=x&z=2&a=1&fbclid=abc",
+    # default ports drop (scheme-matched only)
+    "http://example.com:80/x",
+    "https://example.com:443/x",
+    "http://example.com:443/x",     # NOT default for http — kept
+    "https://example.com:8080/x",   # non-default — kept
+    # fragment strips; empty path becomes /
+    "https://example.com#frag",
+    "https://example.com?b=2&a=1#frag",
+    # empty params and all-tracking queries lose the ?
+    "https://example.com/p?&&",
+    "https://example.com/p?utm_campaign=only&gclid=1",
+    # ref / ref_src exact-name semantics: refx is NOT tracking
+    "https://example.com/p?refx=1&ref=2&ref_src=t",
+    # userinfo lowercased with the authority (documented)
+    "https://User:Pw@Example.com/secret",
+    # second '?' belongs to the first param's value
+    "http://example.com/p?a=1?b=2&c=3",
+    # '?' inside the fragment is not a query
+    "http://example.com/p#?notquery=1",
+    # dot segments preserved (documented non-goal)
+    "http://example.com/a/./b/../c",
+    # non-URLs pass through untouched
+    "not a url",
+    "mailto:user@example.com",
+    "",
+    # scheme case folds
+    "HTTPS://EXAMPLE.COM/A?B=1",
+]
+
+
+def _duck_canon(urls: list[str]) -> list[str]:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(u,) for u in urls])
+    expr = url_canon_sql("url")
+    return [r[0] for r in con.execute(
+        f"SELECT {expr} FROM t ORDER BY rowid").fetchall()]
+
+
+def test_canonicalize_matches_duckdb_bytewise():
+    got = [url_canonicalize(u) for u in CASES]
+    oracle = _duck_canon(CASES)
+    assert got == oracle
+
+
+def test_canonicalize_expected_values():
+    assert url_canonicalize(
+        "https://Example.COM/a/b?utm_source=x&z=2&a=1&fbclid=abc"
+    ) == "https://example.com/a/b?a=1&z=2"
+    assert url_canonicalize("http://example.com:80/x") == "http://example.com/x"
+    assert url_canonicalize("http://example.com:443/x") == "http://example.com:443/x"
+    assert url_canonicalize("https://example.com#frag") == "https://example.com/"
+    assert url_canonicalize("https://example.com/p?utm_campaign=x&gclid=1") == \
+        "https://example.com/p"
+    assert url_canonicalize("https://example.com/p?refx=1&ref=2&ref_src=t") == \
+        "https://example.com/p?refx=1"
+    assert url_canonicalize("not a url") == "not a url"
+
+
+def test_canonicalize_idempotent_on_cases():
+    for u in CASES:
+        c = url_canonicalize(u)
+        assert url_canonicalize(c) == c, u
+
+
+_part = st.text(
+    alphabet="abcXYZ019-._~", min_size=0, max_size=6
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    scheme=st.sampled_from(["http", "https", "HTTP", "ftp"]),
+    host=st.sampled_from(["Example.com", "a.b.co.uk", "X.Y:80", "h:443", "h:8080"]),
+    path=st.lists(_part, max_size=3),
+    params=st.lists(
+        st.tuples(st.sampled_from(["a", "z", "utm_x", "ref", "refx", "gclid"]),
+                  _part),
+        max_size=4,
+    ),
+    frag=st.one_of(st.none(), _part),
+)
+def test_canonicalize_fuzz_idempotent_and_sql_equal(
+    scheme, host, path, params, frag
+):
+    url = f"{scheme}://{host}"
+    if path:
+        url += "/" + "/".join(path)
+    if params:
+        url += "?" + "&".join(f"{k}={v}" for k, v in params)
+    if frag is not None:
+        url += "#" + frag
+    c = url_canonicalize(url)
+    assert url_canonicalize(c) == c
+    assert _duck_canon([url]) == [c]
+
+
+def _pages_table() -> pa.Table:
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    rows = [
+        # three captures of one canonical page (tracking-param + case
+        # aliases) — latest wins
+        ("https://example.com/story?utm_source=feed", 0, b"v1"),
+        ("https://EXAMPLE.com/story", 2, b"v3"),
+        ("https://example.com/story#top", 1, b"v2"),
+        # raw-url tie at the same (latest) ts — lexicographic min wins
+        ("https://example.com/tie?b=1&a=1", 5, b"t1"),
+        ("https://example.com/tie?a=1&b=1", 5, b"t2"),
+        # singleton
+        ("http://example.com:80/only", 3, b"s1"),
+    ]
+    return pa.table(
+        {
+            "url": pa.array([r[0] for r in rows], pa.string()),
+            "warc_ts": pa.array(
+                [base + dt.timedelta(hours=r[1]) for r in rows],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "html": pa.array([r[2] for r in rows], pa.binary()),
+        }
+    )
+
+
+def test_url_dedup_latest_matches_sql_window(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from nidaba_ray.functions.urls import url_dedup_latest
+
+    t = _pages_table()
+    p = str(tmp_path / "pages.parquet")
+    pq.write_table(t, p)
+
+    got = (
+        url_dedup_latest(rd.from_arrow(t))
+        .to_pandas()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    oracle = (
+        duckdb.sql(url_dedup_sql(p))
+        .df()
+        .sort_values("canon_url")
+        .reset_index(drop=True)
+    )
+    assert got["canon_url"].tolist() == oracle["canon_url"].tolist()
+    assert got["url"].tolist() == oracle["url"].tolist()
+    assert [bytes(b) for b in got["html"]] == \
+        [bytes(b) for b in oracle["html"]]
+    # the intended winners, by hand
+    by_canon = dict(zip(got["canon_url"], got["html"]))
+    assert bytes(by_canon["https://example.com/story"]) == b"v3"
+    assert bytes(by_canon["https://example.com/tie?a=1&b=1"]) == b"t2"
+    assert bytes(by_canon["http://example.com/only"]) == b"s1"
