@@ -192,6 +192,20 @@ def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
     return out
 
 
+def url_dedup_stage(ds: rd.Dataset, keep_canon: bool = False) -> rd.Dataset:
+    """Registry form (``dedup.url_latest``, the first DATASET-LEVEL
+    stage — a grouped global op one map_batches cannot express).
+    Schema-preserving by default so it composes ahead of the
+    extraction chain; ``keep_canon=True`` keeps the canonical-url
+    lineage column."""
+    out = url_dedup_latest(ds)
+    if not keep_canon:
+        out = out.map_batches(
+            lambda t: t.drop_columns(["canon_url"]), batch_format="pyarrow"
+        )
+    return out
+
+
 def url_dedup_sql(pages_glob: str) -> str:
     """DuckDB replay of :func:`url_dedup_latest` over a pages parquet
     glob — canonical expression + one window."""

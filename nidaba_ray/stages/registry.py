@@ -37,8 +37,15 @@ class StageSpec:
     fn: Callable  # plain function (stateless tasks) or class (actor pool)
     stateful: bool
     defaults: dict[str, Any] = field(default_factory=dict)
+    dataset_level: bool = False
+    """Dataset-level stages receive the whole ``Dataset`` (for GLOBAL
+    operators — grouped dedup, sorts — that one ``map_batches`` cannot
+    express); per-batch kwargs like batch_format/concurrency do not
+    apply to them."""
 
     def apply(self, ds: rd.Dataset, **overrides: Any) -> rd.Dataset:
+        if self.dataset_level:
+            return self.fn(ds, **{**self.defaults, **overrides})
         kw = {"batch_format": "pyarrow", **self.defaults, **overrides}
         if "concurrency" in kw and isinstance(kw["concurrency"], list):
             kw["concurrency"] = tuple(kw["concurrency"])  # YAML has no tuples
@@ -52,7 +59,9 @@ def register_stage(
 ) -> Callable[[Callable], Callable]:
     def deco(fn: Callable) -> Callable:
         _REGISTRY[name] = StageSpec(
-            name=name, fn=fn, stateful=inspect.isclass(fn), defaults=defaults
+            name=name, fn=fn, stateful=inspect.isclass(fn),
+            dataset_level=bool(defaults.pop("dataset_level", False)),
+            defaults=defaults,
         )
         return fn
 
@@ -175,6 +184,11 @@ def _ensure_builtin() -> None:
     register_stage("clean.c4")(c4_filter_batch)
     register_stage("clean.fineweb")(fineweb_filter_batch)
     register_stage("clean.fineweb_rewrite")(fineweb_rewrite_batch)
+    from nidaba_ray.functions.urls import url_dedup_stage
+
+    # the first dataset-level stage: a grouped global dedup, not a
+    # per-batch map (StageSpec.dataset_level)
+    register_stage("dedup.url_latest", dataset_level=True)(url_dedup_stage)
     from nidaba_ray.stages.metadata import jsonld_rows
 
     register_stage("extract.jsonld")(jsonld_rows)

@@ -176,3 +176,23 @@ def test_url_dedup_latest_matches_sql_window(ray_session, tmp_path):
     assert bytes(by_canon["https://example.com/story"]) == b"v3"
     assert bytes(by_canon["https://example.com/tie?a=1&b=1"]) == b"t2"
     assert bytes(by_canon["http://example.com/only"]) == b"s1"
+
+
+def test_url_dedup_registry_stage_composes(ray_session):
+    """`dedup.url_latest` is the first DATASET-LEVEL registry stage:
+    compile_pipeline must route it the whole Dataset, and its default
+    output schema equals its input schema (so it chains ahead of the
+    extraction stages)."""
+    import ray.data as rd
+
+    from nidaba_ray.stages.registry import compile_pipeline
+
+    ds = rd.from_arrow(_pages_table())
+    out = compile_pipeline(ds, [{"stage": "dedup.url_latest"}])
+    df = out.to_pandas()
+    assert set(df.columns) == {"url", "warc_ts", "html"}
+    assert len(df) == 3  # one survivor per canonical url
+    kept = compile_pipeline(
+        ds, [{"stage": "dedup.url_latest", "keep_canon": True}]
+    ).to_pandas()
+    assert "canon_url" in kept.columns
