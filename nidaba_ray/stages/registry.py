@@ -184,6 +184,9 @@ def _ensure_builtin() -> None:
     register_stage("clean.c4")(c4_filter_batch)
     register_stage("clean.fineweb")(fineweb_filter_batch)
     register_stage("clean.fineweb_rewrite")(fineweb_rewrite_batch)
+    from nidaba_ray.functions.mojibake import mojibake_fix_batch
+
+    register_stage("clean.mojibake")(mojibake_fix_batch)
     from nidaba_ray.functions.urls import url_dedup_stage
 
     # the first dataset-level stage: a grouped global dedup, not a
