@@ -157,11 +157,17 @@ def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
         )
 
     keys = with_canon.map_batches(narrow, batch_format="pyarrow").materialize()
+    # empty-aggregate-partition join hazard guard (the
+    # embedding_near_dup_scalable precedent): grouped outputs carry
+    # schema-LESS empty blocks when groups < partitions, and a
+    # schema-less block poisons the join's schema broadcast — clamp
+    # partitions to the key count and repartition the aggregates
+    parts = max(1, min(join_partitions(8), keys.count()))
     latest = keys.groupby("canon_url").aggregate(
         Max("ts_us", alias_name="max_ts")
-    )
+    ).repartition(parts).materialize()
     at_latest = (
-        keys.join(latest, "inner", join_partitions(8), on=("canon_url",))
+        keys.join(latest, "inner", parts, on=("canon_url",))
         .map_batches(
             lambda t: t.filter(pc.equal(t["ts_us"], t["max_ts"]))
             .select(["canon_url", "url", "ts_us"]),
@@ -173,12 +179,12 @@ def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
     winner_keys = at_latest.groupby("canon_url").aggregate(
         Min("url", alias_name="win_url"),
         Max("ts_us", alias_name="max_ts"),
-    )
+    ).repartition(parts).materialize()
     # join the winning (canon, url, ts) keys back to the full rows; a
     # page row wins iff its url AND its ts both match the winner (an
     # older capture of the winning raw url must not survive)
     out = (
-        with_canon.join(winner_keys, "inner", join_partitions(8),
+        with_canon.join(winner_keys, "inner", parts,
                         on=("canon_url",))
         .map_batches(
             lambda t: t.filter(

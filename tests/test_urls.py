@@ -196,3 +196,56 @@ def test_url_dedup_registry_stage_composes(ray_session):
         ds, [{"stage": "dedup.url_latest", "keep_canon": True}]
     ).to_pandas()
     assert "canon_url" in kept.columns
+
+
+def test_url_dedup_chains_into_extraction(ray_session):
+    """The session's composition story: re-crawl dedup ahead of the
+    flagship extraction chain, all through the spec compiler — the
+    surviving (latest) capture is the one whose text is extracted."""
+    import datetime as dt
+
+    import ray.data as rd
+
+    from nidaba_ray.stages.registry import compile_pipeline
+
+    def page(body: str) -> bytes:
+        return (
+            "<html><body><main><article><p>" + body +
+            "</p></article></main></body></html>"
+        ).encode("utf-8")
+
+    old_body = ("The first capture of this page said the ferry "
+                "schedule would change in April after the spring "
+                "inspection of the landing ramps.")
+    new_body = ("The updated capture says the ferry schedule changes "
+                "in May instead, because the ramp inspection found "
+                "two pilings that need replacement first.")
+    base = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc)
+    pages = pa.table(
+        {
+            "url": pa.array(
+                ["https://example.com/sched?utm_source=a",
+                 "https://EXAMPLE.com/sched",
+                 "https://example.com/other"], pa.string()),
+            "warc_ts": pa.array(
+                [base, base + dt.timedelta(days=1), base],
+                pa.timestamp("us", tz="UTC")),
+            "html": pa.array(
+                [page(old_body), page(new_body), page("Unrelated page "
+                 "content that survives on its own url.")], pa.binary()),
+            "lang": pa.array(["en"] * 3, pa.string()),
+            "text": pa.array([""] * 3, pa.string()),
+        }
+    )
+    spec = [
+        {"stage": "dedup.url_latest"},
+        {"stage": "extract.candidates", "batch_size": 8,
+         "concurrency": [1, 2]},
+        {"stage": "merge.threshold_vote"},
+        {"stage": "postprocess.spell", "concurrency": [1, 2]},
+    ]
+    out = compile_pipeline(rd.from_arrow(pages), spec).to_pandas()
+    assert len(out) == 2
+    by_url = dict(zip(out["url"], out["text"]))
+    assert by_url["https://EXAMPLE.com/sched"] == new_body
+    assert old_body not in set(out["text"])
