@@ -2219,6 +2219,192 @@ logs from the winter the harbor froze over.</p>
          "Visitors can work a hand-cranked fog bell and read the "
          "keeper's logs from the winter the harbor froze over."],
     ),
+    # 99. city-council minutes: motions (an <ol>) and narrative are
+    # content; the agenda-packet download strip is chrome.
+    _page(
+        "council_minutes",
+        f"""<html><body><header><h1>City of Harborview</h1>{_NAV}</header>
+<main><article>
+<h1>Minutes of the regular council meeting, March twelfth</h1>
+<p>The council met in open session with all seven members present and
+took up the ferry landing repairs as the first order of business.</p>
+<ol class="motions">
+<li>A motion to accept the engineer's report on the south ramp
+carried unanimously after brief discussion.</li>
+<li>A motion to defer the parking-fee increase until the summer
+schedule begins carried five to two.</li>
+</ol>
+<p>Public comment centered on dredging noise near the marina, and the
+clerk was directed to post the contractor's schedule weekly.</p>
+</article></main>
+<div class="packet"><a href="/agenda.pdf">Agenda packet</a>
+<a href="/minutes.pdf">Download PDF</a>
+<a href="/video">Meeting video</a></div>
+{_FOOTER}</body></html>""",
+        ["Minutes of the regular council meeting, March twelfth",
+         "The council met in open session with all seven members "
+         "present and took up the ferry landing repairs as the first "
+         "order of business.",
+         "A motion to accept the engineer's report on the south ramp "
+         "carried unanimously after brief discussion.",
+         "A motion to defer the parking-fee increase until the summer "
+         "schedule begins carried five to two.",
+         "Public comment centered on dredging noise near the marina, "
+         "and the clerk was directed to post the contractor's "
+         "schedule weekly."],
+    ),
+    # 100. weather advisory: advisory prose is content; the map/radar
+    # shortcut strip and county list rail are chrome.
+    _page(
+        "weather_advisory",
+        f"""<html><body><header><h1>Coastal Weather Desk</h1>{_NAV}</header>
+<main><article>
+<h1>Small craft advisory in effect until Saturday evening</h1>
+<p>Northwest winds of twenty to twenty-five knots are expected across
+the outer waters, with seas building to six feet near the channel
+entrance by Friday afternoon.</p>
+<p>Operators of small vessels should remain in protected waters, and
+the evening ferry may hold at the dock if gusts exceed the crossing
+limit published in the harbor rules.</p>
+</article></main>
+<div class="wx-tools"><a href="/radar">Radar</a>
+<a href="/map">Marine map</a> <a href="/alerts">All alerts</a></div>
+<aside class="counties"><h3>Affected zones</h3><ul>
+<li><a href="/z/1">Outer harbor</a></li>
+<li><a href="/z/2">North channel</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Small craft advisory in effect until Saturday evening",
+         "Northwest winds of twenty to twenty-five knots are expected "
+         "across the outer waters, with seas building to six feet "
+         "near the channel entrance by Friday afternoon.",
+         "Operators of small vessels should remain in protected "
+         "waters, and the evening ferry may hold at the dock if "
+         "gusts exceed the crossing limit published in the harbor "
+         "rules."],
+    ),
+    # 101. charity appeal: the story is content; the donate widget and
+    # amount buttons are chrome (link-dense, no prose).
+    _page(
+        "charity_appeal",
+        f"""<html><body><header><h1>Harbor Relief Fund</h1>{_NAV}</header>
+<main><article>
+<h1>Rebuilding the fishing co-op after the December storm</h1>
+<p>The storm took the co-op's ice house and half its floating dock,
+and twelve families lost the place where their catch was weighed,
+stored and sold for two generations.</p>
+<p>Donations buy lumber and pilings first; the freezer units are
+pledged by a mainland supplier at cost once the building is dry.</p>
+</article></main>
+<div class="donate"><a href="/give?amt=25">$25</a>
+<a href="/give?amt=50">$50</a> <a href="/give?amt=100">$100</a>
+<a href="/give">Other amount</a> <a href="/monthly">Give monthly</a></div>
+{_FOOTER}</body></html>""",
+        ["Rebuilding the fishing co-op after the December storm",
+         "The storm took the co-op's ice house and half its floating "
+         "dock, and twelve families lost the place where their catch "
+         "was weighed, stored and sold for two generations.",
+         "Donations buy lumber and pilings first; the freezer units "
+         "are pledged by a mainland supplier at cost once the "
+         "building is dry."],
+    ),
+    # 102. travel itinerary: day headings (h2) + day paragraphs are
+    # content; the booking strip is chrome.
+    _page(
+        "travel_itinerary",
+        f"""<html><body><header><h1>Island Routes</h1>{_NAV}</header>
+<main><article>
+<h1>Three days on the outer islands without a car</h1>
+<h2>Day one</h2>
+<p>Take the early ferry to the north landing, walk the shore path to
+the lighthouse, and catch the afternoon mail boat back along the
+cliffs.</p>
+<h2>Day two</h2>
+<p>Rent a bicycle at the harbor shed and ride the old rail grade to
+the quarry ponds, where the swimming is best two hours after low
+tide.</p>
+<h2>Day three</h2>
+<p>Join the morning bird walk on the marsh boardwalk, then spend the
+afternoon in the village museum before the last ferry home.</p>
+</article></main>
+<div class="booking"><a href="/ferries">Ferry tickets</a>
+<a href="/stay">Places to stay</a> <a href="/bikes">Bike rental</a></div>
+{_FOOTER}</body></html>""",
+        ["Three days on the outer islands without a car",
+         "Day one",
+         "Take the early ferry to the north landing, walk the shore "
+         "path to the lighthouse, and catch the afternoon mail boat "
+         "back along the cliffs.",
+         "Day two",
+         "Rent a bicycle at the harbor shed and ride the old rail "
+         "grade to the quarry ponds, where the swimming is best two "
+         "hours after low tide.",
+         "Day three",
+         "Join the morning bird walk on the marsh boardwalk, then "
+         "spend the afternoon in the village museum before the last "
+         "ferry home."],
+    ),
+    # 103. bank rates page: the rate DATA table is content (fixture
+    # 5's convention); the calculator/apply links are chrome.
+    _page(
+        "bank_rates_table",
+        f"""<html><body><header><h1>Harbor Savings</h1>{_NAV}</header>
+<main><article>
+<h1>Deposit rates effective this week</h1>
+<p>Rates apply to new accounts opened at any branch and compound
+monthly; existing accounts keep their opening terms until renewal.</p>
+<table class="rates"><caption>Annual yield by term</caption>
+<tr><th>Term</th><th>Yield</th></tr>
+<tr><td>Six month certificate</td><td>Four point one percent</td></tr>
+<tr><td>Twelve month certificate</td><td>Four point six percent</td></tr>
+</table>
+<p>Early withdrawal forfeits ninety days of interest on certificates,
+as described in the account agreement.</p>
+</article></main>
+<div class="apply"><a href="/open">Open an account</a>
+<a href="/calc">Savings calculator</a> <a href="/branches">Branches</a></div>
+{_FOOTER}</body></html>""",
+        ["Deposit rates effective this week",
+         "Rates apply to new accounts opened at any branch and "
+         "compound monthly; existing accounts keep their opening "
+         "terms until renewal.",
+         "Annual yield by term", "Term", "Yield",
+         "Six month certificate", "Four point one percent",
+         "Twelve month certificate", "Four point six percent",
+         "Early withdrawal forfeits ninety days of interest on "
+         "certificates, as described in the account agreement."],
+    ),
+    # 104. dictionary entry: senses (a content <ol>) and the usage
+    # note are content; pronunciation widget links and the
+    # word-of-the-day rail are chrome.
+    _page(
+        "dictionary_entry",
+        f"""<html><body><header><h1>Harbor Dictionary</h1>{_NAV}</header>
+<main><article>
+<h1>fairlead, noun</h1>
+<div class="pron"><a href="/audio/fairlead">Listen</a>
+<a href="/ipa">IPA guide</a></div>
+<ol class="senses">
+<li>A fitting that guides a rope or cable so it runs without chafing
+against the hull or deck hardware.</li>
+<li>By extension, any fixed point chosen so a moving line keeps a
+clear and constant path.</li>
+</ol>
+<p>The word entered harbor usage from square-rig practice, where a
+fair lead meant the line ran true from sail to pin without fouling.</p>
+</article></main>
+<aside class="wotd"><h3>Word of the day</h3><ul>
+<li><a href="/w/knot">knot</a></li>
+<li><a href="/w/hawser">hawser</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["fairlead, noun",
+         "A fitting that guides a rope or cable so it runs without "
+         "chafing against the hull or deck hardware.",
+         "By extension, any fixed point chosen so a moving line keeps "
+         "a clear and constant path.",
+         "The word entered harbor usage from square-rig practice, "
+         "where a fair lead meant the line ran true from sail to pin "
+         "without fouling."],
+    ),
 ]
 
 
