@@ -44,8 +44,12 @@ for _b in range(256):
         _ENC.setdefault(ord(_cp), _b)
     except UnicodeDecodeError:
         _ENC[_b] = _b  # the five holes: Latin-1 identity
-for _i in range(256):
-    _ENC.setdefault(_i, _i)  # plain Latin-1 range
+# NOTE: nothing else is made encodable — in particular the C1
+# controls U+0080-U+009F other than the five holes have NO byte here
+# (cp1252 assigns those byte positions to €‚ƒ…), so genuine C1 text
+# like U+0085 NEL can never trigger a false repair. Exactly ftfy's
+# sloppy-windows-1252; a blanket Latin-1 fallback would be a superset
+# and over-fix.
 
 
 def _dec_one(b: int) -> int:
@@ -93,8 +97,13 @@ def fix_mojibake(s: str, max_rounds: int = 2) -> str:
 
 
 def fix_mojibake_column(col: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Vectorized prescreen + scalar repair of only the flagged rows."""
+    """Vectorized prescreen + scalar repair of only the flagged rows;
+    an all-ASCII batch (the common case) returns the input column
+    without ever materializing Python strings."""
     suspicious = pc.match_substring_regex(col, r"[^\x00-\x7F]")
+    if not pc.any(suspicious).as_py():
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
     texts = col.to_pylist()
     flags = suspicious.to_pylist() if hasattr(suspicious, "to_pylist") \
         else list(suspicious)

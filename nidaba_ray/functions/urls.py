@@ -49,13 +49,22 @@ _URL_RE = re.compile(
 )
 _TRACKING_RE = re.compile(r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|ref_src)(=|$)")
 
+_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_LOWER = "abcdefghijklmnopqrstuvwxyz"
+_ASCII_FOLD = str.maketrans(_UPPER, _LOWER)
+"""ASCII-ONLY case fold — NOT str.lower(): Unicode lowering diverges
+between Python and DuckDB (U+0130 'İ' → 'i'+U+0307 in Python but
+plain 'i' in DuckDB), which would break the byte-exact oracle parity;
+hostnames on the wire are ASCII (IDNA) and anything else is left
+untouched identically on both sides."""
+
 
 def url_canonicalize(url: str) -> str:
     m = _URL_RE.match(url or "")
     if not m:
         return url
-    scheme = m.group(1).lower()
-    auth = m.group(2).lower()
+    scheme = m.group(1).translate(_ASCII_FOLD)
+    auth = m.group(2).translate(_ASCII_FOLD)
     path = m.group(3)
     query = m.group(4)
     if scheme == "http" and auth.endswith(":80"):
@@ -88,10 +97,14 @@ def url_canon_sql(col: str) -> str:
     expression over column ``col`` — byte-exact vs
     :func:`url_canonicalize` (pinned in tests over crafted URLs)."""
     nofrag = f"regexp_replace({col}, '#.*$', '', 's')"
-    scheme = (f"lower(regexp_extract({nofrag},"
-              " '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))")
-    auth = (f"lower(regexp_extract({nofrag},"
-            " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))")
+    # translate() = the same ASCII-only case fold as _ASCII_FOLD
+    # (DuckDB lower() is Unicode-aware and diverges on e.g. U+0130)
+    scheme = (f"translate(regexp_extract({nofrag},"
+              " '^([A-Za-z][A-Za-z0-9+.-]*)://', 1),"
+              f" '{_UPPER}', '{_LOWER}')")
+    auth = (f"translate(regexp_extract({nofrag},"
+            " '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),"
+            f" '{_UPPER}', '{_LOWER}')")
     path = (f"regexp_extract({nofrag},"
             " '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)")
     query = f"regexp_extract({nofrag}, '\\?([^#]*)', 1)"

@@ -45,6 +45,10 @@ def test_untouchable_text_passes_through():
     assert fix_mojibake("emoji 🙂 stays") == "emoji 🙂 stays"
     # Latin-1 text that is NOT valid UTF-8 stays (ö alone = 0xF6)
     assert fix_mojibake("schön") == "schön"
+    # genuine C1 controls are NOT encodable in sloppy-cp1252 (only the
+    # five holes are): 'Â'+NEL must not collapse to a bare NEL
+    # (review finding, session 4 — a blanket Latin-1 fallback would)
+    assert fix_mojibake("Â") == "Â"
 
 
 def test_idempotent_on_fixed_output():

@@ -49,6 +49,11 @@ CASES = [
     "",
     # scheme case folds
     "HTTPS://EXAMPLE.COM/A?B=1",
+    # ASCII-only fold: Unicode uppercase stays (U+0130 lowers
+    # differently in Python str.lower() vs DuckDB lower(), so neither
+    # side folds it — review finding, session 4)
+    "http://İstanbul.example/x",
+    "https://MÜNCHEN.example/straße",
 ]
 
 
@@ -79,6 +84,9 @@ def test_canonicalize_expected_values():
     assert url_canonicalize("https://example.com/p?refx=1&ref=2&ref_src=t") == \
         "https://example.com/p?refx=1"
     assert url_canonicalize("not a url") == "not a url"
+    # non-ASCII letters are untouched; ASCII letters beside them fold
+    assert url_canonicalize("http://İstanbul.EXAMPLE/x") == \
+        "http://İstanbul.example/x"
 
 
 def test_canonicalize_idempotent_on_cases():
