@@ -257,3 +257,16 @@ def test_url_dedup_chains_into_extraction(ray_session):
     by_url = dict(zip(out["url"], out["text"]))
     assert by_url["https://EXAMPLE.com/sched"] == new_body
     assert old_body not in set(out["text"])
+    # the shipped example spec (adds clean.mojibake mid-chain) agrees
+    # on this clean corpus
+    import os
+
+    from nidaba_ray.stages.registry import load_spec
+
+    spec_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "examples", "recrawl_extract.yaml")
+    out2 = compile_pipeline(
+        rd.from_arrow(pages), load_spec(spec_path)
+    ).to_pandas()
+    assert sorted(out2["text"]) == sorted(out["text"])
