@@ -140,7 +140,7 @@ def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
 
     Shape: ONE narrow grouped pass + ONE payload join. The winner per
     canonical url is the group MINIMUM of a composite sortable key —
-    ``zero-pad(2^62 − ts_us) + '|' + url`` — whose lexicographic order
+    ``zero-pad-20(2^62 − ts_us) + '|' + url`` — whose lexicographic order
     IS (warc_ts desc, url asc): the fixed-width numeric prefix decides
     by inverted timestamp, equal prefixes fall through to the raw url.
     That collapses the earlier max-ts aggregate → join-back → min-url
@@ -164,12 +164,13 @@ def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
     def narrow(batch: pa.Table) -> pa.Table:
         # int64 epoch-micros (Ray aggregates coarsen raw timestamp
         # columns to seconds), inverted against 2^62 so ascending
-        # strings mean descending time; zero-padded to fixed width so
-        # lexicographic == numeric
+        # strings mean descending time; zero-padded to 20 digits so
+        # lexicographic == numeric even for pre-1970 (negative) ts,
+        # where 2^62 - ts exceeds 19 digits
         ts = pc.cast(batch["warc_ts"], pa.int64()).to_numpy(
             zero_copy_only=False)
         urls = batch["url"].to_pylist()
-        k = [f"{(2**62) - int(t):019d}|{u}" for t, u in zip(ts, urls)]
+        k = [f"{(2**62) - int(t):020d}|{u}" for t, u in zip(ts, urls)]
         return pa.table(
             {
                 "canon_url": batch["canon_url"],
@@ -194,7 +195,7 @@ def url_dedup_latest(pages: rd.Dataset) -> rd.Dataset:
         ts = pc.cast(t["warc_ts"], pa.int64()).to_numpy(zero_copy_only=False)
         urls = t["url"].to_pylist()
         k = pa.array(
-            [f"{(2**62) - int(x):019d}|{u}" for x, u in zip(ts, urls)],
+            [f"{(2**62) - int(x):020d}|{u}" for x, u in zip(ts, urls)],
             pa.string(),
         )
         return t.filter(pc.equal(k, t["win_k"])).drop_columns(["win_k"])
