@@ -2405,6 +2405,209 @@ fair lead meant the line ran true from sail to pin without fouling.</p>
          "where a fair lead meant the line ran true from sail to pin "
          "without fouling."],
     ),
+    # 105. errata page: original/corrected pairs in a dl are content
+    # (fixture 20's convention); the edition-download strip is chrome.
+    _page(
+        "errata_corrections",
+        f"""<html><body><header><h1>Harbor Press</h1>{_NAV}</header>
+<main><article>
+<h1>Corrections to the second printing of the pilot's handbook</h1>
+<p>Readers of the second printing should note the following
+corrections, all of which are fixed in the current edition.</p>
+<dl class="errata">
+<dt>Page forty, tide table</dt>
+<dd>The spring range should read eleven feet, not nine; the neap
+figures are unaffected.</dd>
+<dt>Page sixty-two, light characteristics</dt>
+<dd>The north beacon flashes every four seconds, not every six, as
+the chart correctly shows.</dd>
+</dl>
+</article></main>
+<div class="editions"><a href="/pdf">Download PDF</a>
+<a href="/buy">Buy the third edition</a></div>
+{_FOOTER}</body></html>""",
+        ["Corrections to the second printing of the pilot's handbook",
+         "Readers of the second printing should note the following "
+         "corrections, all of which are fixed in the current edition.",
+         "Page forty, tide table",
+         "The spring range should read eleven feet, not nine; the "
+         "neap figures are unaffected.",
+         "Page sixty-two, light characteristics",
+         "The north beacon flashes every four seconds, not every "
+         "six, as the chart correctly shows."],
+    ),
+    # 106. user-manual steps: the numbered procedure and the warning
+    # admonition are BOTH content (a warning is instruction text, not
+    # furniture); the parts-order strip is chrome.
+    _page(
+        "user_manual_steps",
+        f"""<html><body><header><h1>Pump Manuals</h1>{_NAV}</header>
+<main><article>
+<h1>Replacing the impeller on the bilge pump</h1>
+<div class="warning">Disconnect the battery switch before opening the
+pump housing; the float switch can start the motor without warning.</div>
+<ol class="steps">
+<li>Close the seacock and remove the four housing screws with a
+stubby driver.</li>
+<li>Pull the worn impeller straight off the shaft and note the
+rotation arrow on the housing face.</li>
+<li>Seat the new impeller with a little glycerine and turn the shaft
+once by hand before closing up.</li>
+</ol>
+<p>Run the pump dry for no more than five seconds when testing, and
+log the replacement date in the maintenance book.</p>
+</article></main>
+<div class="parts"><a href="/kit">Order impeller kit</a>
+<a href="/manuals">All manuals</a></div>
+{_FOOTER}</body></html>""",
+        ["Replacing the impeller on the bilge pump",
+         "Disconnect the battery switch before opening the pump "
+         "housing; the float switch can start the motor without "
+         "warning.",
+         "Close the seacock and remove the four housing screws with "
+         "a stubby driver.",
+         "Pull the worn impeller straight off the shaft and note the "
+         "rotation arrow on the housing face.",
+         "Seat the new impeller with a little glycerine and turn the "
+         "shaft once by hand before closing up.",
+         "Run the pump dry for no more than five seconds when "
+         "testing, and log the replacement date in the maintenance "
+         "book."],
+    ),
+    # 107. restaurant menu: sections and dish/price pairs (dl) are
+    # content; the reservation strip is chrome.
+    _page(
+        "restaurant_menu",
+        f"""<html><body><header><h1>The Galley</h1>{_NAV}</header>
+<main><article>
+<h1>Dinner menu, served from five until the kitchen closes</h1>
+<h2>Starters</h2>
+<dl class="menu">
+<dt>Smoked mackerel on rye with pickled onion and mustard cream</dt>
+<dd>Brined overnight and smoked over alder down on the pier, served
+warm on our own dark rye; twelve dollars.</dd>
+<dt>Chowder of the day from whatever the boats brought in</dt>
+<dd>Finished with cream and a little smoked butter, with crackers
+baked each afternoon; nine dollars.</dd>
+</dl>
+<h2>Mains</h2>
+<dl class="menu">
+<dt>Whole skillet flounder with brown butter and fried capers</dt>
+<dd>Pan-fried on the bone the old harbor way and brought to the
+table in the pan; twenty-four dollars.</dd>
+</dl>
+</article></main>
+<div class="reserve"><a href="/book">Reserve a table</a>
+<a href="/call">Call us</a> <a href="/map">Find us</a></div>
+{_FOOTER}</body></html>""",
+        ["Dinner menu, served from five until the kitchen closes",
+         "Starters",
+         "Smoked mackerel on rye with pickled onion and mustard cream",
+         "Brined overnight and smoked over alder down on the pier, "
+         "served warm on our own dark rye; twelve dollars.",
+         "Chowder of the day from whatever the boats brought in",
+         "Finished with cream and a little smoked butter, with "
+         "crackers baked each afternoon; nine dollars.",
+         "Mains",
+         "Whole skillet flounder with brown butter and fried capers",
+         "Pan-fried on the bone the old harbor way and brought to "
+         "the table in the pan; twenty-four dollars."],
+    ),
+    # 108. library catalog record: the bibliographic DATA table is
+    # content; hold/request buttons and the nearby-shelf rail are
+    # chrome.
+    _page(
+        "library_catalog_record",
+        f"""<html><body><header><h1>Island Library</h1>{_NAV}</header>
+<main><article>
+<h1>Tides and the working harbor, first edition</h1>
+<p>A local history of the harbor trades, drawing on the pilot
+association's logbooks and interviews recorded in the eighties.</p>
+<table class="biblio"><caption>Catalog record</caption>
+<tr><th>Author</th><td>E. M. Voss, with the harbor oral history
+project</td></tr>
+<tr><th>Shelf mark</th><td>Local history, case three, second
+shelf</td></tr>
+</table>
+</article></main>
+<div class="actions"><a href="/hold">Place hold</a>
+<a href="/ill">Interlibrary loan</a> <a href="/cite">Cite</a></div>
+<aside class="nearby"><h3>On the same shelf</h3><ul>
+<li><a href="/b/1">Ferry lines of the sound</a></li>
+<li><a href="/b/2">The quarry railway</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Tides and the working harbor, first edition",
+         "A local history of the harbor trades, drawing on the pilot "
+         "association's logbooks and interviews recorded in the "
+         "eighties.",
+         "Catalog record", "Author",
+         "E. M. Voss, with the harbor oral history project",
+         "Shelf mark", "Local history, case three, second shelf"],
+    ),
+    # 109. letters to the editor: each letter (heading + body +
+    # signature line in a plain p) is content; the submit-a-letter
+    # strip is chrome.
+    _page(
+        "letters_to_editor",
+        f"""<html><body><header><h1>Example Media</h1>{_NAV}</header>
+<main><article>
+<h1>Letters: the ferry fare debate continues</h1>
+<h2>Fares should track fuel, not politics</h2>
+<p>Your editorial misses that the fare freeze simply moves the cost
+to the repair budget, which is why the ramp took two years to fix.
+Peg fares to fuel and publish the formula. Arthur Quinn, North
+Landing.</p>
+<h2>Riders already pay enough</h2>
+<p>Commuters cannot absorb another increase while the bridge toll
+also rises; the county should fund the difference from the tourism
+levy it collects all summer. Mae Tran, Harborview.</p>
+</article></main>
+<div class="submit"><a href="/letters/new">Submit a letter</a>
+<a href="/guidelines">Guidelines</a></div>
+{_FOOTER}</body></html>""",
+        ["Letters: the ferry fare debate continues",
+         "Fares should track fuel, not politics",
+         "Your editorial misses that the fare freeze simply moves "
+         "the cost to the repair budget, which is why the ramp took "
+         "two years to fix. Peg fares to fuel and publish the "
+         "formula. Arthur Quinn, North Landing.",
+         "Riders already pay enough",
+         "Commuters cannot absorb another increase while the bridge "
+         "toll also rises; the county should fund the difference "
+         "from the tourism levy it collects all summer. Mae Tran, "
+         "Harborview."],
+    ),
+    # 110. theater program: synopsis and the cast dl are content; the
+    # ticket strip is chrome.
+    _page(
+        "theater_program",
+        f"""<html><body><header><h1>Pier Theater</h1>{_NAV}</header>
+<main><article>
+<h1>The Drawbridge Keeper, a play in two acts</h1>
+<p>A storm strands the last ferry on the wrong side of the channel,
+and the keeper must decide whether to raise the span for a boat that
+may not be there at all.</p>
+<h2>Cast</h2>
+<dl class="cast">
+<dt>The keeper</dt>
+<dd>Played by Rosa Imbert, returning for her third season.</dd>
+<dt>The ferry master</dt>
+<dd>Played by Dan Okafor, last seen in the quarry cycle.</dd>
+</dl>
+</article></main>
+<div class="tickets"><a href="/buy">Buy tickets</a>
+<a href="/season">Season pass</a> <a href="/times">Showtimes</a></div>
+{_FOOTER}</body></html>""",
+        ["The Drawbridge Keeper, a play in two acts",
+         "A storm strands the last ferry on the wrong side of the "
+         "channel, and the keeper must decide whether to raise the "
+         "span for a boat that may not be there at all.",
+         "Cast",
+         "The keeper",
+         "Played by Rosa Imbert, returning for her third season.",
+         "The ferry master",
+         "Played by Dan Okafor, last seen in the quarry cycle."],
+    ),
 ]
 
 
