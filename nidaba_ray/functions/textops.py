@@ -1211,3 +1211,47 @@ SELECT doc_id,
        n_stop >= 2 AS f_stopwords
 FROM t
 """
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (the Dolma / RefinedWeb gzip-
+# compressibility heuristic — highly compressible text is repetitive
+# boilerplate; barely compressible text is noise/binary junk)
+# ---------------------------------------------------------------------------
+
+def compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
+    """Per-doc zlib compression ratio: compressed_bytes / raw_bytes of
+    the UTF-8 text at a FIXED zlib level (pinned — ratios are only
+    comparable at one level). Deterministic: zlib output for a given
+    (input, level) is stable across platforms for the bundled zlib.
+    Empty docs report ratio 1.0 (nothing to compress). One streaming
+    pass, no shuffle; the two published gates are flags here, not
+    drops — compose with a filter for the drop semantics.
+
+    No SQL oracle (DuckDB has no zlib scalar); the pytest reference
+    recompresses independently and pins band flags on crafted
+    repetitive/random docs."""
+    import zlib
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ratios = []
+        for t in batch["text"].to_pylist():
+            raw = (t or "").encode("utf-8")
+            if not raw:
+                ratios.append(1.0)
+                continue
+            ratios.append(len(zlib.compress(raw, level)) / len(raw))
+        r = round_like_sql(np.asarray(ratios, dtype=np.float64), 6)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "compression_ratio": pa.array(r, pa.float64()),
+                # the two tails worth flagging (Dolma-style bands):
+                # boilerplate-repetitive vs incompressible junk
+                "f_too_compressible": pa.array(r < 0.30),
+                "f_incompressible": pa.array(r > 1.00),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")

@@ -465,3 +465,48 @@ def test_clean_fineweb_rewrite_registry_stage(ray_session, tmp_path):
     assert out["doc_id"].tolist() == [1]
     assert out["text"].iloc[0] == "Good line.\nAnother good one!"
     assert out["extra"].tolist() == ["a"]
+
+
+# --- compression-ratio signal (Dolma/RefinedWeb gzip heuristic) ---
+
+
+def test_compression_ratio_bands(ray_session, tmp_path):
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.compat import round_like_sql
+    from nidaba_ray.functions.textops import compression_ratio
+
+    docs = {
+        1: "spam " * 400,                      # hyper-repetitive
+        2: ("The harbor report covers tides, moorings and the "
+            "seasonal dredging plan in plain prose sentences."),
+        3: __import__("hashlib").md5(b"x").hexdigest() * 1
+           + "".join(__import__("hashlib").md5(str(i).encode())
+                     .hexdigest() for i in range(40)),  # entropy-dense
+        4: "",
+        5: "ab",                                # overhead > payload
+    }
+    p = tmp_path / "documents.parquet"
+    pq.write_table(
+        pa.table({"doc_id": pa.array(list(docs), pa.int64()),
+                  "text": pa.array(list(docs.values()), pa.string())}),
+        str(p))
+    out = compression_ratio(str(tmp_path)).to_pandas().set_index("doc_id")
+    # independent recompute
+    for did, text in docs.items():
+        raw = text.encode()
+        want = 1.0 if not raw else round(
+            float(round_like_sql(
+                __import__("numpy").array(
+                    [len(zlib.compress(raw, 6)) / len(raw)]), 6)[0]), 6)
+        assert out.loc[did, "compression_ratio"] == want
+    assert bool(out.loc[1, "f_too_compressible"])       # repetitive
+    assert not bool(out.loc[2, "f_too_compressible"])   # normal prose
+    assert not bool(out.loc[2, "f_incompressible"])
+    assert out.loc[3, "compression_ratio"] > 0.5        # entropy-dense
+    assert not bool(out.loc[3, "f_too_compressible"])
+    assert out.loc[4, "compression_ratio"] == 1.0       # empty
+    assert bool(out.loc[5, "f_incompressible"])         # overhead tail
