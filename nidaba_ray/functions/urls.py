@@ -84,11 +84,33 @@ def url_canonicalize(url: str) -> str:
     return out
 
 
+# conservative already-canonical prescreen: a row the Python kernel
+# could possibly CHANGE contains an uppercase ASCII letter, a query or
+# fragment, a (possibly default) :80/:443 port, or has no path slash
+# after the authority. Everything else is provably a fixpoint of
+# url_canonicalize, so the vectorized RE2 pass lets clean corpora
+# (most crawl urls are already lowercase, query-free) skip the
+# per-row kernel entirely — the clean.mojibake fast-path pattern.
+_NEEDS_WORK_RE = (
+    r"[A-Z?#]|:80|:443|^[a-z][a-z0-9+.\-]*://[^/]*$"
+)
+
+
 def canon_url_column(urls: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Per-batch canonical form (short strings; the regex kernel is the
-    cost and runs once per row either way)."""
+    """Per-batch canonical form — vectorized prescreen + the scalar
+    kernel over only the rows it could change."""
+    flagged = pc.match_substring_regex(urls, _NEEDS_WORK_RE)
+    if not pc.any(flagged).as_py():
+        out = urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) \
+            else urls
+        return out.cast(pa.string())
+    flags = flagged.to_pylist()
     return pa.array(
-        [url_canonicalize(u) for u in urls.to_pylist()], pa.string()
+        [
+            url_canonicalize(u) if (f and u is not None) else u
+            for u, f in zip(urls.to_pylist(), flags)
+        ],
+        pa.string(),
     )
 
 

@@ -95,6 +95,26 @@ def test_canonicalize_idempotent_on_cases():
         assert url_canonicalize(c) == c, u
 
 
+def test_canon_column_prescreen_equals_scalar():
+    """The vectorized fast path must equal the per-row kernel: on the
+    tricky CASES (every flag fires), on an already-canonical batch
+    (fast path returns the input), and on a mixed batch."""
+    import pyarrow as pa
+
+    from nidaba_ray.functions.urls import canon_url_column
+
+    want = [url_canonicalize(u) for u in CASES]
+    assert canon_url_column(pa.array(CASES, pa.string())).to_pylist() == want
+    clean = ["http://a.example/x", "https://b.example/p/q?a=1&b=2",
+             "ftp://c.example/f", "not a url at all"]
+    assert [url_canonicalize(u) for u in clean] == clean  # truly clean
+    got = canon_url_column(pa.chunked_array([clean[:2], clean[2:]]))
+    assert got.to_pylist() == clean
+    mixed = clean + CASES + [None]
+    got2 = canon_url_column(pa.array(mixed, pa.string())).to_pylist()
+    assert got2 == clean + want + [None]
+
+
 _part = st.text(
     alphabet="abcXYZ019-._~", min_size=0, max_size=6
 )
