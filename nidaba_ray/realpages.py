@@ -2608,6 +2608,169 @@ may not be there at all.</p>
          "The ferry master",
          "Played by Dan Okafor, last seen in the quarry cycle."],
     ),
+    # 111. local-history timeline: the year entries (<ol>) are
+    # content; the archive-search strip is chrome.
+    _page(
+        "timeline_history",
+        f"""<html><body><header><h1>Harbor Archive</h1>{_NAV}</header>
+<main><article>
+<h1>A short timeline of the outer breakwater</h1>
+<p>The breakwater that shelters the anchorage today was built in
+fits and starts over seventy years, and the records tell the story
+in storms and appropriations.</p>
+<ol class="timeline">
+<li>In 1901 the first stone arm reached the shoal, and the winter
+gales promptly took back a third of it.</li>
+<li>In 1938 the hurricane breached the middle section, and coasting
+schooners anchored in the lee of the wreck itself for a season.</li>
+<li>In 1972 the concrete cap and the light at the seaward end
+finished the structure as it stands today.</li>
+</ol>
+<p>The archive holds the engineers' photographs from each campaign,
+and the originals can be viewed by appointment.</p>
+</article></main>
+<div class="search"><a href="/archive">Search the archive</a>
+<a href="/visit">Plan a visit</a></div>
+{_FOOTER}</body></html>""",
+        ["A short timeline of the outer breakwater",
+         "The breakwater that shelters the anchorage today was built "
+         "in fits and starts over seventy years, and the records "
+         "tell the story in storms and appropriations.",
+         "In 1901 the first stone arm reached the shoal, and the "
+         "winter gales promptly took back a third of it.",
+         "In 1938 the hurricane breached the middle section, and "
+         "coasting schooners anchored in the lee of the wreck itself "
+         "for a season.",
+         "In 1972 the concrete cap and the light at the seaward end "
+         "finished the structure as it stands today.",
+         "The archive holds the engineers' photographs from each "
+         "campaign, and the originals can be viewed by appointment."],
+    ),
+    # 112. book excerpt: decorative inline spans (drop cap, small
+    # caps) must not split the prose; the buy strip is chrome.
+    _page(
+        "book_excerpt",
+        f"""<html><body><header><h1>Harbor Press</h1>{_NAV}</header>
+<main><article>
+<h1>From chapter one of The Pilot's Daughter</h1>
+<p><span class="dropcap">T</span>he fog came up the channel before
+dawn, and by the time the first ferry blew its horn the town had
+gone soft at the edges, <em>as it always did</em>, the way a chart
+goes soft when the pencil lines are erased and drawn again.</p>
+<p>Her father was already at the window with his glass, reading the
+water the way other men read the morning paper, and she knew from
+the set of his shoulders that no boats would move before noon.</p>
+</article></main>
+<div class="buy"><a href="/buy">Buy the book</a>
+<a href="/sample">Read a longer sample</a></div>
+{_FOOTER}</body></html>""",
+        ["From chapter one of The Pilot's Daughter",
+         "The fog came up the channel before dawn, and by the time "
+         "the first ferry blew its horn the town had gone soft at "
+         "the edges, as it always did, the way a chart goes soft "
+         "when the pencil lines are erased and drawn again.",
+         "Her father was already at the window with his glass, "
+         "reading the water the way other men read the morning "
+         "paper, and she knew from the set of his shoulders that no "
+         "boats would move before noon."],
+    ),
+    # 113. artist bio: bio prose and the plain-text exhibition list
+    # are content; the follow/contact strip is chrome.
+    _page(
+        "artist_bio",
+        f"""<html><body><header><h1>Pier Gallery</h1>{_NAV}</header>
+<main><article>
+<h1>Rosa Imbert, painter of the working waterfront</h1>
+<p>Imbert paints the harbor from the deck of her own dory, working
+in oils on small panels that fit under the thwart when the weather
+turns.</p>
+<h2>Selected exhibitions</h2>
+<ul class="shows">
+<li>The winter fleet series, shown at the pier gallery two seasons
+ago and now in the town collection.</li>
+<li>Paintings of the dredge crews, first hung in the ferry terminal
+waiting room where the crews could see them.</li>
+</ul>
+</article></main>
+<div class="follow"><a href="/newsletter">Studio newsletter</a>
+<a href="/contact">Contact the gallery</a></div>
+{_FOOTER}</body></html>""",
+        ["Rosa Imbert, painter of the working waterfront",
+         "Imbert paints the harbor from the deck of her own dory, "
+         "working in oils on small panels that fit under the thwart "
+         "when the weather turns.",
+         "Selected exhibitions",
+         "The winter fleet series, shown at the pier gallery two "
+         "seasons ago and now in the town collection.",
+         "Paintings of the dredge crews, first hung in the ferry "
+         "terminal waiting room where the crews could see them."],
+    ),
+    # 114. editorial review roundup: per-product h2 + verdict prose
+    # are content; the deals strip is chrome.
+    _page(
+        "review_roundup",
+        f"""<html><body><header><h1>Gear Desk</h1>{_NAV}</header>
+<main><article>
+<h1>Three anchors tested on a weedy bottom</h1>
+<p>We set each anchor twenty times over eelgrass and mud, measured
+the drag on a spring scale, and dove on every set to see what the
+flukes actually did.</p>
+<h2>The hinged plow</h2>
+<p>It buried reliably once it tripped, but on short scope it skated
+over the weed until the roll bar caught, which cost it a full boat
+length every time.</p>
+<h2>The flat claw</h2>
+<p>Quickest to set of the three and the easiest to break out by
+hand, though it dragged under load in the softest mud at the creek
+mouth.</p>
+</article></main>
+<div class="deals"><a href="/buy/plow">See plow prices</a>
+<a href="/buy/claw">See claw prices</a> <a href="/deals">All deals</a></div>
+{_FOOTER}</body></html>""",
+        ["Three anchors tested on a weedy bottom",
+         "We set each anchor twenty times over eelgrass and mud, "
+         "measured the drag on a spring scale, and dove on every set "
+         "to see what the flukes actually did.",
+         "The hinged plow",
+         "It buried reliably once it tripped, but on short scope it "
+         "skated over the weed until the roll bar caught, which cost "
+         "it a full boat length every time.",
+         "The flat claw",
+         "Quickest to set of the three and the easiest to break out "
+         "by hand, though it dragged under load in the softest mud "
+         "at the creek mouth."],
+    ),
+    # 115. Portuguese news article (10th non-English shape) with
+    # in-language chrome — drives the pt lexicon path end to end.
+    _page(
+        "pt_news_article",
+        """<html lang="pt"><body><header><h1>Jornal do Porto</h1>
+<nav><ul><li><a href="/">Início</a></li><li><a href="/cidade">Cidade
+</a></li><li><a href="/economia">Economia</a></li><li>
+<a href="/contato">Contato</a></li></ul></nav></header>
+<main><article>
+<p>A câmara municipal aprovou na terça-feira o novo orçamento do
+porto, depois de um longo debate que avançou pela noite e tocou em
+todos os serviços da cidade.</p>
+<p>Os defensores afirmaram que o plano vai recuperar os cais antigos
+e ampliar a rede de bibliotecas, enquanto os críticos alertaram para
+o custo crescente dos juros na próxima década.</p>
+</article></main>
+<aside class="sidebar"><h3>Mais lidas</h3><ul>
+<li><a href="/t/1">Tempestade fecha o porto</a></li>
+<li><a href="/t/2">Linha férrea reaberta</a></li></ul></aside>
+<footer><p><a href="/privacidade">Privacidade</a>
+<a href="/termos">Termos</a> © 2024 Jornal do Porto</p></footer>
+</body></html>""",
+        ["A câmara municipal aprovou na terça-feira o novo orçamento "
+         "do porto, depois de um longo debate que avançou pela noite "
+         "e tocou em todos os serviços da cidade.",
+         "Os defensores afirmaram que o plano vai recuperar os cais "
+         "antigos e ampliar a rede de bibliotecas, enquanto os "
+         "críticos alertaram para o custo crescente dos juros na "
+         "próxima década."],
+        lang="pt",
+    ),
 ]
 
 
