@@ -37,7 +37,7 @@ import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["pack_sequences", "DEFAULT_BUDGET", "DEFAULT_GROUP"]
+__all__ = ["pack_sequences", "pack_sequences_bpe", "DEFAULT_BUDGET", "DEFAULT_GROUP"]
 
 DEFAULT_BUDGET = 512   # tokens per packed chunk
 DEFAULT_GROUP = 4096   # docs per packing bucket (doc_id range)
@@ -76,15 +76,28 @@ def _pack_bucket(tokens: np.ndarray, budget: int) -> tuple[np.ndarray, np.ndarra
 
 
 def pack_sequences(sf_dir: str, budget: int = DEFAULT_BUDGET,
-                   group_size: int = DEFAULT_GROUP) -> rd.Dataset:
-    """See module docstring. ``sf_dir`` supplies the documents table."""
+                   group_size: int = DEFAULT_GROUP,
+                   n_tokens_fn=None) -> rd.Dataset:
+    """See module docstring. ``sf_dir`` supplies the documents table.
+
+    ``n_tokens_fn`` (optional): per-batch token counter — a callable
+    ``pd.Series[str] -> array[int64]`` replacing the default
+    whitespace count (see :func:`pack_sequences_bpe` for the
+    trained-tokenizer variant). Lengths are the ONLY thing it changes;
+    bucketing, greedy order and chunk-id layout stay identical."""
     from nidaba_ray.relational.windows import sorted_partition_apply
 
     def counts(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        # == len(text.split(" ")) for every string incl. "" (both 1),
-        # without materializing the token lists on the ingest path
-        n_tok = (df["text"].str.count(" ") + 1).astype("int64")
+        if n_tokens_fn is not None:
+            n_tok = pd.Series(
+                np.asarray(n_tokens_fn(df["text"]), dtype=np.int64),
+                index=df.index,
+            )
+        else:
+            # == len(text.split(" ")) for every string incl. "" (both
+            # 1), without materializing token lists on the ingest path
+            n_tok = (df["text"].str.count(" ") + 1).astype("int64")
         return pa.Table.from_pandas(
             pd.DataFrame(
                 {"doc_id": df["doc_id"].astype("int64"),
@@ -117,3 +130,35 @@ def pack_sequences(sf_dir: str, budget: int = DEFAULT_BUDGET,
         .map_batches(counts, batch_format="pyarrow")
     )
     return sorted_partition_apply(narrow, ["bucket"], pack_part, _EMPTY)
+
+
+def pack_sequences_bpe(sf_dir: str, budget: int = DEFAULT_BUDGET,
+                       group_size: int = DEFAULT_GROUP,
+                       n_merges: int = 200) -> rd.Dataset:
+    """Sequence packing with TRAINED-tokenizer lengths: chunk budgets
+    are counted in BPE subword tokens (the unit a training run
+    actually consumes), not whitespace words. The merge table is the
+    memoized sample-bounded fit (`bpe.train_bpe`); each counting task
+    captures the small ranks dict and memoizes word types per batch —
+    Zipf makes repeated types dict hits, exactly the BPEEncoder
+    convention."""
+    from nidaba_ray.functions.bpe import encode_word, train_bpe
+
+    ranks = {p: r for r, p in enumerate(train_bpe(sf_dir, n_merges))}
+
+    def bpe_counts(texts: pd.Series) -> np.ndarray:
+        memo: dict[str, int] = {}
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            n = 0
+            for w in (t or "").split():
+                c = memo.get(w)
+                if c is None:
+                    c = len(encode_word(w, ranks))
+                    memo[w] = c
+                n += c
+            out[i] = n
+        return out
+
+    return pack_sequences(sf_dir, budget=budget, group_size=group_size,
+                          n_tokens_fn=bpe_counts)

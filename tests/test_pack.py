@@ -88,3 +88,32 @@ def test_pack_layout_invariant(ray_session):
     finally:
         ctx.target_max_block_size = old
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pack_sequences_bpe_budgets_and_counts(ray_session):
+    """BPE-packed chunks: per-doc lengths equal the trained-tokenizer
+    counts, every doc appears exactly once, and each chunk's token sum
+    respects the budget unless it is a single oversize doc."""
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.bpe import encode_word, train_bpe
+    from nidaba_ray.functions.pack import pack_sequences_bpe
+
+    sf = "/root/testdata/sf0.001"
+    budget = 256
+    out = pack_sequences_bpe(sf, budget=budget).to_pandas()
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(docs["doc_id"])
+    ranks = {p: r for r, p in enumerate(train_bpe(sf, 200))}
+    want = {
+        int(r.doc_id): sum(len(encode_word(w, ranks))
+                           for w in r.text.split())
+        for r in docs.itertuples()
+    }
+    got = dict(zip(out["doc_id"], out["n_tokens"]))
+    assert got == want
+    sums = out.groupby("chunk_id").agg(n=("n_tokens", "sum"),
+                                       k=("doc_id", "count"))
+    over = sums[sums["n"] > budget]
+    assert (over["k"] == 1).all()  # only oversize singletons exceed
