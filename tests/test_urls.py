@@ -116,7 +116,10 @@ def test_canon_column_prescreen_equals_scalar():
 
 
 _part = st.text(
-    alphabet="abcXYZ019-._~", min_size=0, max_size=6
+    # includes %-escapes-in-the-raw, parameter metacharacters, pipe
+    # (the dedup key separator) and colon — everything that could
+    # stress the raw-text contract on both engines
+    alphabet="abcXYZ019-._~%=&|:", min_size=0, max_size=6
 )
 
 
