@@ -2771,6 +2771,65 @@ o custo crescente dos juros na próxima década.</p>
          "próxima década."],
         lang="pt",
     ),
+    # 116. Italian cultural listing (11th non-English shape): the
+    # announcement is content; the biglietteria strip is chrome.
+    _page(
+        "it_event_page",
+        """<html lang="it"><body><header><h1>Teatro del Porto</h1>
+<nav><ul><li><a href="/">Inizio</a></li><li><a href="/stagione">
+Stagione</a></li><li><a href="/contatti">Contatti</a></li></ul>
+</nav></header>
+<main><article>
+<h1>La stagione d'autunno apre con una serata dedicata al mare</h1>
+<p>Il teatro apre la nuova stagione con un concerto di canti dei
+pescatori, raccolti nei paesi della costa e riarrangiati per coro e
+fisarmonica.</p>
+<p>La serata si chiude con la lettura di lettere dei guardiani del
+faro, scelte dall'archivio comunale insieme agli studenti del
+liceo.</p>
+</article></main>
+<div class="biglietti"><a href="/acquista">Acquista i biglietti</a>
+<a href="/abbonamenti">Abbonamenti</a></div>
+<footer><p><a href="/privacy">Privacy</a> © 2024 Teatro del Porto</p>
+</footer></body></html>""",
+        ["La stagione d'autunno apre con una serata dedicata al mare",
+         "Il teatro apre la nuova stagione con un concerto di canti "
+         "dei pescatori, raccolti nei paesi della costa e "
+         "riarrangiati per coro e fisarmonica.",
+         "La serata si chiude con la lettura di lettere dei "
+         "guardiani del faro, scelte dall'archivio comunale insieme "
+         "agli studenti del liceo."],
+        lang="it",
+    ),
+    # 117. Dutch how-to (12th non-English shape): steps are content;
+    # the webshop strip is chrome.
+    _page(
+        "nl_howto_page",
+        """<html lang="nl"><body><header><h1>Havenwerk</h1>
+<nav><ul><li><a href="/">Start</a></li><li><a href="/gidsen">Gidsen
+</a></li><li><a href="/contact">Contact</a></li></ul></nav></header>
+<main><article>
+<h1>Zo maak je een landvast klaar voor de winter</h1>
+<p>Spoel de lijn eerst met zoet water en laat haar volledig drogen
+voordat je haar opbergt, anders blijft het zout vocht aantrekken in
+de vezels.</p>
+<p>Controleer daarna de splitsen en de ogen op slijtage, en vervang
+elke lijn waarvan de mantel op de schavielpunten glanzend is
+geworden.</p>
+</article></main>
+<div class="winkel"><a href="/shop/lijnen">Bekijk lijnen</a>
+<a href="/shop">Naar de winkel</a></div>
+<footer><p><a href="/privacy">Privacy</a> © 2024 Havenwerk</p>
+</footer></body></html>""",
+        ["Zo maak je een landvast klaar voor de winter",
+         "Spoel de lijn eerst met zoet water en laat haar volledig "
+         "drogen voordat je haar opbergt, anders blijft het zout "
+         "vocht aantrekken in de vezels.",
+         "Controleer daarna de splitsen en de ogen op slijtage, en "
+         "vervang elke lijn waarvan de mantel op de schavielpunten "
+         "glanzend is geworden."],
+        lang="nl",
+    ),
 ]
 
 
