@@ -115,6 +115,72 @@ FROM documents
 """
 
 
+def exact_dedup_keep_best(sf_dir: str) -> rd.Dataset:
+    """Quality-aware exact dedup: the canonical member of each
+    byte-identical cluster is the HIGHEST-QUALITY one — here the doc
+    with the most whitespace tokens, doc_id as the total-order tie
+    break — rather than :func:`exact_dedup`'s min-id pick. (For
+    byte-identical texts the token counts tie, so the two policies
+    agree on THIS signal; the shape is the one real pipelines use
+    where "quality" is any per-doc score — swap the rank key, keep
+    the plan.)
+
+    Same single narrow shuffle as exact_dedup: the composite rank key
+    ``zero-pad(2^62 − n_tokens) + '|' + zero-pad(doc_id)`` makes the
+    winner one grouped Min (the url_dedup_latest idiom — lexicographic
+    order ≡ (n_tokens desc, doc_id asc)); payload text never moves."""
+    from ray.data.aggregate import Min
+
+    from nidaba_ray.util import join_partitions
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        ids = batch["doc_id"].to_pylist()
+        fp = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+        rank = [
+            f"{(2**62) - (t.count(' ') + 1):020d}|{i:020d}"
+            for t, i in zip(texts, ids)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "fp": pa.array(fp, pa.string()),
+                "rank_key": pa.array(rank, pa.string()),
+            }
+        )
+
+    sigs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        add_keys, batch_format="pyarrow"
+    ).materialize()
+    parts = max(1, min(join_partitions(8), sigs.count()))
+    best = sigs.groupby("fp").aggregate(
+        Min("rank_key", alias_name="win_key")
+    ).repartition(parts).materialize()
+    joined = sigs.join(best, "inner", parts, on=("fp",))
+
+    def project(t: pa.Table) -> pa.Table:
+        # winner doc_id decodes from the composite key's id suffix
+        canon = [int(k.split("|", 1)[1]) for k in t["win_key"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "canonical_id": pa.array(canon, pa.int64()),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
+EXACT_DEDUP_KEEP_BEST_SQL = """
+SELECT doc_id,
+       FIRST_VALUE(doc_id) OVER (
+         PARTITION BY md5(text)
+         ORDER BY LEN(STRING_SPLIT(text, ' ')) DESC, doc_id ASC
+       ) AS canonical_id
+FROM documents
+"""
+
+
 def dup_groups(sf_dir: str) -> pa.Table:
     """Groups of byte-identical documents (size > 1)."""
 

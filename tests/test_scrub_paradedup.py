@@ -735,3 +735,67 @@ def test_repetition_full_sql_oracle(ray_session, tmp_path):
             assert (exp["dup_line_frac"] > 0).any()
             assert (exp["top2gram_char_frac"] > 0).any()
             assert (exp["dup5gram_char_frac"] > 0).any()
+
+
+def test_exact_dedup_keep_best_matches_sql_window(ray_session):
+    """Quality-aware canonical pick ≡ the DuckDB window (n_tokens
+    desc, doc_id asc per md5 cluster) over a crafted corpus with a
+    real quality spread inside one near-cluster and exact duplicates."""
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from nidaba_ray.functions.dedup import (
+        EXACT_DEDUP_KEEP_BEST_SQL,
+        exact_dedup_keep_best,
+    )
+
+    docs = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),          # exact dup of 1 (tie → min id)
+        (7, "alpha beta gamma"),          # third copy
+        (3, "unique short"),
+        (4, "another unique document with more words"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": pa.array([x[0] for x in docs], pa.int64()),
+                      "text": pa.array([x[1] for x in docs], pa.string())}),
+            f"{d}/documents.parquet")
+        got = (exact_dedup_keep_best(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{d}/documents.parquet')")
+        want = (con.execute(EXACT_DEDUP_KEEP_BEST_SQL).fetchdf()
+                .sort_values("doc_id").reset_index(drop=True))
+        assert got["doc_id"].tolist() == want["doc_id"].tolist()
+        assert got["canonical_id"].tolist() == want["canonical_id"].tolist()
+        by = dict(zip(got["doc_id"], got["canonical_id"]))
+        assert by[1] == by[2] == by[7] == 1
+        assert by[3] == 3 and by[4] == 4
+
+
+def test_exact_dedup_keep_best_on_corpus(ray_session):
+    """At sf0.001 the keep-best canonical map matches the SQL window
+    over the real table (and agrees with exact_dedup where quality
+    ties, i.e. everywhere for byte-identical texts)."""
+    import duckdb
+
+    from nidaba_ray.functions.dedup import (
+        EXACT_DEDUP_KEEP_BEST_SQL,
+        exact_dedup_keep_best,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (exact_dedup_keep_best(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf}/documents.parquet')")
+    want = (con.execute(EXACT_DEDUP_KEEP_BEST_SQL).fetchdf()
+            .sort_values("doc_id").reset_index(drop=True))
+    assert got["canonical_id"].tolist() == want["canonical_id"].tolist()
