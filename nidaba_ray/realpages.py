@@ -2830,6 +2830,174 @@ geworden.</p>
          "glanzend is geworden."],
         lang="nl",
     ),
+    # 118. harbor regulations: numbered rules are content; the permit
+    # strip is chrome.
+    _page(
+        "harbor_regulations",
+        f"""<html><body><header><h1>Port Authority</h1>{_NAV}</header>
+<main><article>
+<h1>Rules for the small-boat anchorage, summer season</h1>
+<p>The following rules apply inside the marked anchorage from May
+through September and are enforced by the harbor patrol.</p>
+<ol class="rules">
+<li>No vessel may anchor within fifty feet of the dredged channel
+edge, marked by the green cans.</li>
+<li>Rafting is limited to three boats in settled weather and is
+prohibited when the storm pennant flies.</li>
+<li>Holding tanks must be sealed inside the anchorage; the free
+pump-out boat answers channel six-eight.</li>
+</ol>
+<p>Violations are logged against the vessel's registration, and
+three entries in a season forfeit the anchoring privilege.</p>
+</article></main>
+<div class="permits"><a href="/permit">Apply for a mooring permit</a>
+<a href="/fees">Fee schedule</a></div>
+{_FOOTER}</body></html>""",
+        ["Rules for the small-boat anchorage, summer season",
+         "The following rules apply inside the marked anchorage from "
+         "May through September and are enforced by the harbor "
+         "patrol.",
+         "No vessel may anchor within fifty feet of the dredged "
+         "channel edge, marked by the green cans.",
+         "Rafting is limited to three boats in settled weather and "
+         "is prohibited when the storm pennant flies.",
+         "Holding tanks must be sealed inside the anchorage; the "
+         "free pump-out boat answers channel six-eight.",
+         "Violations are logged against the vessel's registration, "
+         "and three entries in a season forfeit the anchoring "
+         "privilege."],
+    ),
+    # 119. craft pattern: materials list and step paragraphs are
+    # content; the kit-shop strip is chrome.
+    _page(
+        "craft_pattern",
+        f"""<html><body><header><h1>Net Loft Crafts</h1>{_NAV}</header>
+<main><article>
+<h1>A rope doormat in the flat five-strand weave</h1>
+<p>This is the mat the ferry crews make from retired mooring line,
+and one worn three-strand warp will yield two mats with rope to
+spare.</p>
+<h2>You will need</h2>
+<ul class="materials">
+<li>Forty feet of half-inch rope, washed and dried as in our line
+care guide.</li>
+<li>A sail needle and waxed twine for the hidden seizings at each
+turn.</li>
+</ul>
+<h2>Working the weave</h2>
+<p>Lay five bights side by side and weave the working end over and
+under across the full width, snugging each pass before you turn,
+until the mat squares up at about two feet.</p>
+</article></main>
+<div class="kits"><a href="/kit">Buy the rope kit</a>
+<a href="/patterns">More patterns</a></div>
+{_FOOTER}</body></html>""",
+        ["A rope doormat in the flat five-strand weave",
+         "This is the mat the ferry crews make from retired mooring "
+         "line, and one worn three-strand warp will yield two mats "
+         "with rope to spare.",
+         "You will need",
+         "Forty feet of half-inch rope, washed and dried as in our "
+         "line care guide.",
+         "A sail needle and waxed twine for the hidden seizings at "
+         "each turn.",
+         "Working the weave",
+         "Lay five bights side by side and weave the working end "
+         "over and under across the full width, snugging each pass "
+         "before you turn, until the mat squares up at about two "
+         "feet."],
+    ),
+    # 120. award citation: the citation prose is content; the
+    # nomination strip is chrome.
+    _page(
+        "award_citation",
+        f"""<html><body><header><h1>Maritime Society</h1>{_NAV}</header>
+<main><article>
+<h1>Citation for the lifesaving medal, awarded to Dan Okafor</h1>
+<p>On the night of the February gale, Okafor took his skiff through
+breaking seas to reach two kayakers swept off the breakwater, making
+three trips when the skiff could safely carry only one survivor at a
+time.</p>
+<p>The committee notes that he refused to be named in the newspaper
+account, and that the society learned of the rescue only from the
+survivors themselves.</p>
+</article></main>
+<div class="nominate"><a href="/nominate">Nominate a rescuer</a>
+<a href="/medals">Past citations</a></div>
+{_FOOTER}</body></html>""",
+        ["Citation for the lifesaving medal, awarded to Dan Okafor",
+         "On the night of the February gale, Okafor took his skiff "
+         "through breaking seas to reach two kayakers swept off the "
+         "breakwater, making three trips when the skiff could safely "
+         "carry only one survivor at a time.",
+         "The committee notes that he refused to be named in the "
+         "newspaper account, and that the society learned of the "
+         "rescue only from the survivors themselves."],
+    ),
+    # 121. field-guide entry: description and identification list are
+    # content; the checklist strip is chrome.
+    _page(
+        "field_guide_entry",
+        f"""<html><body><header><h1>Shore Guide</h1>{_NAV}</header>
+<main><article>
+<h1>Common eider, the winter duck of the outer ledges</h1>
+<p>Large rafts of eiders winter on the ledges beyond the breakwater,
+diving for mussels where the swell breaks, and their low crooning
+carries over calm water at dawn.</p>
+<h2>How to know it</h2>
+<ul class="idmarks">
+<li>The drake shows clean black and white with a wedge-shaped head
+that meets the bill in one straight line.</li>
+<li>The hen is barred warm brown overall and is usually the bird
+you hear first.</li>
+</ul>
+</article></main>
+<div class="checklist"><a href="/list">Add to your list</a>
+<a href="/sightings">Report a sighting</a></div>
+{_FOOTER}</body></html>""",
+        ["Common eider, the winter duck of the outer ledges",
+         "Large rafts of eiders winter on the ledges beyond the "
+         "breakwater, diving for mussels where the swell breaks, and "
+         "their low crooning carries over calm water at dawn.",
+         "How to know it",
+         "The drake shows clean black and white with a wedge-shaped "
+         "head that meets the bill in one straight line.",
+         "The hen is barred warm brown overall and is usually the "
+         "bird you hear first."],
+    ),
+    # 122. volunteer call: the appeal and shift list are content; the
+    # signup strip is chrome.
+    _page(
+        "volunteer_call",
+        f"""<html><body><header><h1>Festival Office</h1>{_NAV}</header>
+<main><article>
+<h1>Volunteers needed for the harbor festival weekend</h1>
+<p>The festival runs on volunteer crews, and this year the committee
+needs forty more pairs of hands across the weekend to keep every
+float staffed and every gate open.</p>
+<ul class="shifts">
+<li>Morning crews rig the parade floats at the boatyard and must be
+comfortable working around slings and jack stands.</li>
+<li>Afternoon crews staff the gates and the information tent, where
+a calm voice matters more than a strong back.</li>
+</ul>
+<p>Every volunteer gets a festival shirt, two meal chits and the
+committee's undying gratitude at the wrap-up supper.</p>
+</article></main>
+<div class="signup"><a href="/volunteer">Sign up</a>
+<a href="/schedule">Shift schedule</a></div>
+{_FOOTER}</body></html>""",
+        ["Volunteers needed for the harbor festival weekend",
+         "The festival runs on volunteer crews, and this year the "
+         "committee needs forty more pairs of hands across the "
+         "weekend to keep every float staffed and every gate open.",
+         "Morning crews rig the parade floats at the boatyard and "
+         "must be comfortable working around slings and jack stands.",
+         "Afternoon crews staff the gates and the information tent, "
+         "where a calm voice matters more than a strong back.",
+         "Every volunteer gets a festival shirt, two meal chits and "
+         "the committee's undying gratitude at the wrap-up supper."],
+    ),
 ]
 
 
