@@ -6,7 +6,13 @@ A real (public-spec) PDF *subset* parser, pure stdlib:
   * xref-free scan: every ``<< dict >> stream … endstream`` object is
     located by pattern, in file order (damaged xref tables don't
     matter — the same recovery strategy real extractors use);
-  * ``/Filter /FlateDecode`` streams are inflated with ``zlib``;
+  * stream ``/Filter`` chains decode in array order — FlateDecode
+    (zlib), LZWDecode (from-scratch TIFF-variant LZW incl. the
+    /EarlyChange parm), ASCIIHexDecode, ASCII85Decode and
+    RunLengthDecode, so ``[/ASCII85Decode /FlateDecode]``-style
+    mail-safe encodings read transparently; streams declaring image
+    codecs (DCTDecode, CCITT, JBIG2, JPX) or a /Predictor are skipped
+    as non-text rather than parsed as binary soup;
   * content streams are tokenized per the PDF syntax: literal strings
     with nested parens + all escapes (\\n \\t … \\ooo octal, line
     continuations), hex strings, arrays, names, numbers, comments;
@@ -60,11 +66,15 @@ __all__ = ["is_pdf", "extract_pdf_blocks", "PDF_MAGIC"]
 
 PDF_MAGIC = b"%PDF-"
 
-# nearest-`<<` dict immediately preceding a stream keyword (dicts with
-# nested `<<` sub-dicts are outside the subset; the guard keeps a
-# text-bearing stream body from swallowing the next object's dict)
+# nearest-`<<` dict immediately preceding a stream keyword. ONE level
+# of `<< nested >>` sub-dict is consumed atomically (the alternative is
+# tried before the any-char branch) so `/DecodeParms << /EarlyChange 0 >>`
+# style parameter dicts stay inside the captured dict source; deeper
+# nesting is outside the subset. The guard keeps a text-bearing stream
+# body from swallowing the next object's dict.
 _STREAM_RE = re.compile(
-    rb"<<((?:(?!<<).)*?)>>\s*stream(?:\r\n|\n|\r)(.*?)(?:\r\n|\n|\r)?endstream",
+    rb"<<((?:<<(?:(?!<<).)*?>>|(?:(?!<<).))*?)>>\s*stream"
+    rb"(?:\r\n|\n|\r)(.*?)(?:\r\n|\n|\r)?endstream",
     re.S,
 )
 # (?!\d) pins the capture to the FULL integer — without it the
@@ -72,6 +82,201 @@ _STREAM_RE = re.compile(
 # would capture b"1") and mis-slice the stream body
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\d)(?!\s+\d+\s+R)")
 _WS_BYTES = frozenset(b" \t\r\n\f\x00")
+
+# ---------------------------------------------------------------------------
+# Stream filters (spec §7.4): the lossless text-bearing filters, applied
+# as a CHAIN in /Filter array order — `[/ASCII85Decode /FlateDecode]`
+# means "85-decode, then inflate". Image filters (DCTDecode, JPXDecode,
+# CCITTFaxDecode, JBIG2Decode) can't carry content text, so streams
+# declaring one are skipped outright (per-stream isolation) instead of
+# being parsed as binary soup. /DecodeParms support is /EarlyChange for
+# LZW; a /Predictor other than 1 marks the stream undecodable for this
+# subset (predictors live on xref/image streams, which we don't read).
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+_FILTER_NAME_RE = re.compile(rb"/([A-Za-z0-9]+)")
+_EARLY_RE = re.compile(rb"/EarlyChange\s+(\d+)(?!\d)")
+_PREDICTOR_RE = re.compile(rb"/Predictor\s+(\d+)(?!\d)")
+_HEX_DIGITS = frozenset(b"0123456789abcdefABCDEF")
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (§7.4.2): hex pairs, whitespace ignored, `>` is
+    EOD, a dangling final digit reads as if followed by 0."""
+    out = bytearray()
+    hi = -1
+    for b in data:
+        if b == 0x3E:  # '>'
+            break
+        if b in _WS_BYTES:
+            continue
+        if b not in _HEX_DIGITS:
+            raise ValueError("ASCIIHex: bad digit")
+        v = int(chr(b), 16)
+        if hi < 0:
+            hi = v
+        else:
+            out.append(hi * 16 + v)
+            hi = -1
+    if hi >= 0:
+        out.append(hi * 16)
+    return bytes(out)
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (§7.4.3): base-85 groups of 5 chars → 4 bytes,
+    `z` = four zero bytes (only between groups), `~>` is EOD, partial
+    final group pads with 'u' and drops the pad bytes."""
+    if data.startswith(b"<~"):  # btoa framing, tolerated
+        data = data[2:]
+    out = bytearray()
+    group: list[int] = []
+    for b in data:
+        if b == 0x7E:  # '~' — EOD marker
+            break
+        if b in _WS_BYTES:
+            continue
+        if b == 0x7A:  # 'z'
+            if group:
+                raise ValueError("ASCII85: z inside group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= b <= 0x75:  # '!'..'u'
+            raise ValueError("ASCII85: char out of range")
+        group.append(b - 0x21)
+        if len(group) == 5:
+            n = 0
+            for g in group:
+                n = n * 85 + g
+            if n > 0xFFFFFFFF:
+                raise ValueError("ASCII85: group overflow")
+            out += n.to_bytes(4, "big")
+            group.clear()
+    if group:
+        if len(group) == 1:
+            raise ValueError("ASCII85: lone final digit")
+        k = len(group)
+        n = 0
+        for g in group + [84] * (5 - k):
+            n = n * 85 + g
+        out += n.to_bytes(4, "big")[: k - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (§7.4.5): length byte L<128 copies L+1 literal
+    bytes, L>128 repeats the next byte 257−L times, L=128 is EOD."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        length = data[i]
+        if length == 128:
+            break
+        if length < 128:
+            chunk = data[i + 1 : i + 2 + length]
+            if len(chunk) != length + 1:
+                raise ValueError("RunLength: truncated literal run")
+            out += chunk
+            i += 2 + length
+        else:
+            if i + 1 >= n:
+                raise ValueError("RunLength: truncated repeat run")
+            out += data[i + 1 : i + 2] * (257 - length)
+            i += 2
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (§7.4.4 — the TIFF variant): MSB-first bit packing,
+    9-bit codes growing to 12, 256=ClearTable, 257=EOD, new entries
+    from 258. ``early`` (the /EarlyChange parm, default 1) widens the
+    code ONE entry before the table size actually demands it — the
+    encoder quirk the spec standardizes."""
+    out = bytearray()
+    table: dict[int, bytes] = {}
+    width = 9
+    prev: bytes | None = None
+    next_code = 258
+    bitbuf = 0
+    nbits = 0
+
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:
+                table.clear()
+                width = 9
+                prev = None
+                next_code = 258
+                continue
+            if code == 257:
+                return bytes(out)
+            if prev is None:
+                if code > 255:
+                    raise ValueError("LZW: first code not a literal")
+                entry = bytes([code])
+            elif code < 256:
+                entry = bytes([code])
+            elif code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise ValueError("LZW: code beyond table")
+            if prev is not None:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code + early >= (1 << width) and width < 12:
+                    width += 1
+            out += entry
+            prev = entry
+    return bytes(out)  # missing EOD tolerated (common malformation)
+
+
+_FILTER_DECODERS = {
+    b"FlateDecode": zlib.decompress,
+    b"Fl": zlib.decompress,
+    b"ASCIIHexDecode": _ascii_hex_decode,
+    b"AHx": _ascii_hex_decode,
+    b"ASCII85Decode": _ascii85_decode,
+    b"A85": _ascii85_decode,
+    b"RunLengthDecode": _runlength_decode,
+    b"RL": _runlength_decode,
+    b"LZWDecode": None,  # handled specially (EarlyChange parm)
+    b"LZW": None,
+}
+
+
+def _stream_filter_chain(dict_src: bytes) -> list[bytes] | None:
+    """The declared /Filter names in application order; [] when the
+    stream is unfiltered, None when it declares a filter this subset
+    cannot decode (image codecs, predictors, unknown names)."""
+    m = _FILTER_RE.search(dict_src)
+    if not m:
+        return []
+    names = _FILTER_NAME_RE.findall(m.group(1))
+    if not names or any(n not in _FILTER_DECODERS for n in names):
+        return None
+    pm = _PREDICTOR_RE.search(dict_src)
+    if pm and int(pm.group(1)) != 1:
+        return None
+    return names
+
+
+def _apply_filter_chain(body: bytes, names: list[bytes],
+                        dict_src: bytes) -> bytes:
+    for name in names:
+        if name in (b"LZWDecode", b"LZW"):
+            em = _EARLY_RE.search(dict_src)
+            early = int(em.group(1)) if em else 1
+            body = _lzw_decode(body, early=1 if early else 0)
+        else:
+            body = _FILTER_DECODERS[name](body)
+    return body
+
 _NUM_RE = re.compile(rb"[-+]?(?:\d+\.?\d*|\.\d+)")
 _NAME_RE = re.compile(rb"/[^\s()<>\[\]{}/%]*")
 _OP_RE = re.compile(rb"[^\s()<>\[\]{}/%]+")
@@ -832,9 +1037,14 @@ def _decoded_stream_body(payload: bytes, m: re.Match) -> bytes | None:
     byte — the exact ambiguity /Length exists to resolve (spec
     §7.3.8.1). Direct integer lengths only. Tries the declared slice
     FIRST, then the pattern capture (tolerates the common malformation
-    of an under-declared /Length — zlib ignores trailing bytes)."""
+    of an under-declared /Length — zlib and the EOD-marked filters
+    ignore trailing bytes). The /Filter chain decodes in array
+    order; a chain this subset can't decode skips the stream."""
     dict_src, captured = m.group(1), m.group(2)
-    if b"FlateDecode" not in dict_src:
+    chain = _stream_filter_chain(dict_src)
+    if chain is None:
+        return None  # image codec / predictor / unknown — not text
+    if not chain:
         return captured
     candidates = []
     lm = _LENGTH_RE.search(dict_src)
@@ -846,8 +1056,8 @@ def _decoded_stream_body(payload: bytes, m: re.Match) -> bytes | None:
     candidates.append(captured)
     for body in candidates:
         try:
-            return zlib.decompress(body)
-        except zlib.error:
+            return _apply_filter_chain(body, chain, dict_src)
+        except (ValueError, zlib.error):
             continue
     return None
 
