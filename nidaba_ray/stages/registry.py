@@ -195,3 +195,10 @@ def _ensure_builtin() -> None:
     from nidaba_ray.stages.metadata import jsonld_rows
 
     register_stage("extract.jsonld")(jsonld_rows)
+    from nidaba_ray.functions.license import (
+        annotate_license_batch,
+        license_filter_batch,
+    )
+
+    register_stage("extract.license")(annotate_license_batch)
+    register_stage("clean.license")(license_filter_batch)
