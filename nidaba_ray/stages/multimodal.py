@@ -7,7 +7,9 @@ from-scratch codecs (:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` /
 ``.gif`` / ``.tiff`` — public-spec, zlib-only, same approach as the
 PDF parser), converted to grayscale with integer BT.601 luma. AUDIO decodes for real since
 round 5: RIFF/WAVE payloads (8/16/24/32-bit PCM + IEEE float, incl.
-EXTENSIBLE) via :mod:`nidaba_ray.algorithms.wav`. VIDEO decodes for
+EXTENSIBLE) via :mod:`nidaba_ray.algorithms.wav`, and AIFF/AIFF-C
+(big-endian PCM, ``sowt``, ``fl32``/``fl64``) via
+:mod:`nidaba_ray.algorithms.aiff`. VIDEO decodes for
 real since round 5 as well: AVI/RIFF containers with Motion-JPEG
 (``00dc`` = baseline JPEG per frame) or uncompressed DIB frames via
 :mod:`nidaba_ray.algorithms.avi`, and animated GIF via ``.gif`` —
@@ -93,6 +95,13 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
                                     dtype="<i2")
                 payloads.append(
                     encode_wav(pcm, rate=8000 + (i % 3) * 4000))
+            elif (i // 6) % 2:  # real AIFF bytes (int16 BE PCM mono)
+                from nidaba_ray.algorithms.aiff import encode_aiff
+
+                pcm = np.frombuffer(_bytes_for(f"aiff{i}", 2 * n),
+                                    dtype="<i2")
+                payloads.append(
+                    encode_aiff(pcm, rate=8000 + (i % 3) * 4000))
             else:  # legacy FAKEAUD container coverage
                 payloads.append(
                     AUD_MAGIC + struct.pack("<I", n)
@@ -221,18 +230,22 @@ class ImageDecoder:
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     """Format-dispatching audio decode → ((frames, ch) float64,
-    sample_rate). Real format first: RIFF/WAVE via the from-scratch
+    sample_rate). Real formats first: RIFF/WAVE via the from-scratch
     codec in algorithms/wav.py (8/16/24/32-bit PCM, IEEE float,
-    EXTENSIBLE); the FAKEAUD container remains for legacy synthetic
+    EXTENSIBLE) and AIFF/AIFF-C via algorithms/aiff.py (BE PCM, sowt,
+    fl32/fl64); the FAKEAUD container remains for legacy synthetic
     corpora (its int8 samples normalize onto the same [-1, 1) scale
     so features are comparable across containers). ValueError on
     anything malformed — the per-row quarantine path."""
+    from nidaba_ray.algorithms.aiff import decode_aiff, is_aiff
     from nidaba_ray.algorithms.wav import decode_wav, is_wav
 
     if is_wav(payload):
         return decode_wav(payload)
+    if is_aiff(payload):
+        return decode_aiff(payload)
     if payload[:8] != AUD_MAGIC:
-        raise ValueError("not a WAV or FAKEAUD payload")
+        raise ValueError("not a WAV, AIFF or FAKEAUD payload")
     (n,) = struct.unpack("<I", payload[8:12])
     samples = np.frombuffer(payload[12:12 + n], dtype=np.uint8).astype(
         np.float64
