@@ -1,15 +1,22 @@
-"""From-scratch baseline JPEG codec — ITU-T T.81 (ISO/IEC 10918-1),
-baseline sequential DCT, the same build-from-public-spec pattern as
+"""From-scratch JPEG codec — ITU-T T.81 (ISO/IEC 10918-1), baseline +
+progressive DCT, the same build-from-public-spec pattern as
 :mod:`nidaba_ray.algorithms.png` (round-4 verdict item 5: real Common
-Crawl images are overwhelmingly JPEG).
+Crawl images are overwhelmingly JPEG — and the majority of those are
+PROGRESSIVE, added round 5).
 
 Decoder scope (errors — never silent wrongness — outside it):
 
 * markers: SOI, APPn/COM (skipped), DQT (8/16-bit precision, multiple
-  tables per segment), SOF0 (baseline; SOF1/2/… raise), DHT (DC+AC,
-  multiple per segment), DRI + RST0-7 restart intervals, SOS, EOI
+  tables per segment), SOF0/SOF1 (sequential) and SOF2 (progressive;
+  other SOFn raise), DHT (DC+AC, multiple per segment, redefinable
+  between scans), DRI + RST0-7 restart intervals, multi-SOS, EOI
 * entropy: canonical Huffman per T.81 annex C, 0xFF00 byte unstuffing,
   the EXTEND sign procedure (F.2.2.1)
+* progressive: spectral selection + successive approximation per
+  annex G — DC first/refine (interleaved), AC first/refine
+  (single-component scans) with EOB-run decoding and the
+  correction-bit walk; coefficients accumulate across scans and the
+  IDCT runs once at the end (batched einsum over every block)
 * sampling: any h/v factors whose max divides evenly (4:4:4, 4:2:2,
   4:2:0, …) with pixel-replication chroma upsampling; single-component
   scans use the T.81 A.2 non-interleaved block order
@@ -17,11 +24,14 @@ Decoder scope (errors — never silent wrongness — outside it):
 
 The encoder (grayscale + 4:4:4 YCbCr, Annex K quantization tables
 scaled by the libjpeg quality formula, standard Annex K Huffman
-tables, optional restart intervals) exists so tests are self-contained
-— JPEG is lossy, so roundtrips assert bounded reconstruction error
-plus EXACT reconstruction of hand-built single-coefficient streams.
-Tables always travel in the stream (DQT/DHT), so decode correctness
-never depends on the encoder's table choice."""
+tables, optional restart intervals, and a ``progressive=True`` mode
+emitting a DC-first / banded-AC-first / AC-refine / DC-refine scan
+script) exists so tests are self-contained — JPEG is lossy, so
+roundtrips assert bounded reconstruction error, and the progressive
+differential oracle is EXACT: both modes quantize identically, so
+``decode(progressive) == decode(baseline)`` bit-for-bit. Tables
+always travel in the stream (DQT/DHT), so decode correctness never
+depends on the encoder's table choice."""
 
 from __future__ import annotations
 
@@ -203,15 +213,13 @@ def _split_scan(data: bytes, pos: int) -> tuple[list[bytes], int]:
     raise ValueError("scan data ran past end of stream")
 
 
-def _decode_block(r: _BitReader, dc_tab: dict, ac_tab: dict,
-                  qt: np.ndarray, pred: int) -> tuple[np.ndarray, int]:
-    """One 8×8 block: Huffman → dequantize → de-zigzag → IDCT.
-    Returns (spatial block float64, new DC predictor)."""
-    zz = np.zeros(64, dtype=np.float64)
+def _decode_block_seq(r: _BitReader, dc_tab: dict, ac_tab: dict,
+                      coef: np.ndarray, pred: int) -> int:
+    """Sequential full-band block → zigzag integer coefficients into
+    ``coef`` (a length-64 int view). Returns the new DC predictor."""
     t = r.decode_symbol(dc_tab)
-    diff = _extend(r.receive(t), t)
-    pred += diff
-    zz[0] = pred
+    pred += _extend(r.receive(t), t)
+    coef[0] = pred
     k = 1
     while k < 64:
         rs = r.decode_symbol(ac_tab)
@@ -224,31 +232,113 @@ def _decode_block(r: _BitReader, dc_tab: dict, ac_tab: dict,
         k += run
         if k > 63:
             raise ValueError("AC run past end of block")
-        zz[k] = _extend(r.receive(size), size)
+        coef[k] = _extend(r.receive(size), size)
         k += 1
-    blk = np.zeros(64, dtype=np.float64)
-    blk[_ZZ] = zz * qt
-    return _M.T @ blk.reshape(8, 8) @ _M, pred
+    return pred
+
+
+def _decode_block_ac_first(r: _BitReader, ac_tab: dict, coef: np.ndarray,
+                           ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC first pass (G.1.2.2): band coefficients at
+    point-transform Al, EOB-run aware. Returns the remaining eobrun."""
+    if eobrun > 0:
+        return eobrun - 1   # whole band is zero in this block
+    k = ss
+    while k <= se:
+        rs = r.decode_symbol(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:   # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1     # EOBn: this block ends now
+            if run:
+                eobrun += r.receive(run)
+            break
+        k += run
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        coef[k] = _extend(r.receive(size), size) << al
+        k += 1
+    return eobrun
+
+
+def _decode_block_ac_refine(r: _BitReader, ac_tab: dict, coef: np.ndarray,
+                            ss: int, se: int, al: int, eobrun: int) -> int:
+    """Progressive AC refinement (G.1.2.3): the correction-bit walk —
+    every nonzero-history coefficient encountered consumes one bit;
+    zero-history runs place new ±1<<Al values."""
+    p1, m1 = 1 << al, -(1 << al)
+
+    def correct(k: int) -> None:
+        if r.read_bit() and not (int(coef[k]) & p1):
+            coef[k] += p1 if coef[k] >= 0 else m1
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.decode_symbol(ac_tab)
+            run, size = rs >> 4, rs & 0x0F
+            newval = 0
+            if size:
+                if size != 1:
+                    raise ValueError("AC refine size must be 1")
+                newval = p1 if r.read_bit() else m1
+            elif run != 15:
+                eobrun = (1 << run)     # EOBn
+                if run:
+                    eobrun += r.receive(run)
+                break
+            # advance: skip `run` zero-history slots (16 for ZRL),
+            # correcting nonzero-history coefficients along the way
+            while k <= se:
+                if coef[k] != 0:
+                    correct(k)
+                else:
+                    if run == 0:
+                        if newval:
+                            coef[k] = newval
+                        k += 1
+                        break
+                    run -= 1
+                k += 1
+    if eobrun > 0:          # EOB-run tail: corrections only
+        while k <= se:
+            if coef[k] != 0:
+                correct(k)
+            k += 1
+        eobrun -= 1
+    return eobrun
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → uint8 array: (h, w) for grayscale,
-    (h, w, 3) RGB for 3-component YCbCr. ValueError on malformed or
-    non-baseline input (the per-row quarantine contract)."""
+    """JPEG bytes (baseline SOF0/SOF1 or progressive SOF2) → uint8
+    array: (h, w) for grayscale, (h, w, 3) RGB for 3-component YCbCr.
+    Coefficients accumulate across scans; dequantization + a batched
+    IDCT run once at the end. ValueError on malformed/unsupported
+    input (the per-row quarantine contract)."""
     if not is_jpeg(data):
         raise ValueError("not a JPEG (missing SOI)")
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) → code table
-    frame = None           # (h, w, [(cid, hs, vs, tq), ...])
+    frame = None           # (h, w, comps, progressive)
+    coef: dict[int, np.ndarray] = {}        # cid → (bh, bw, 64) int32
+    nblocks: dict[int, tuple[int, int]] = {}  # cid → non-interleaved dims
+    mcu_dims = (0, 0)
     restart = 0
+    any_scan = False
     pos = 2
     n = len(data)
-    while pos + 4 <= n:
+    while pos + 2 <= n:
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at byte {pos}")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1        # fill bytes before a marker are legal
         marker = data[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if pos + 4 > n:
+            raise ValueError("truncated marker segment")
         (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
         body = data[pos + 4:pos + 2 + seglen]
         if len(body) != seglen - 2:
@@ -276,7 +366,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(body[i + 17:i + 17 + nv])
                 huff[(tc, th)] = _canonical_codes(bits, vals)
                 i += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -284,97 +374,165 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = (h, w, comps, marker == 0xC2)
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            for _, hs, vs, _ in comps:
+                if hmax % hs or vmax % vs:
+                    raise ValueError("non-integer sampling ratio")
+            mx = -(-w // (8 * hmax))
+            my = -(-h // (8 * vmax))
+            mcu_dims = (my, mx)
+            for cid, hs, vs, _tq in comps:
+                # interleaved dims cover the non-interleaved grid too
+                coef[cid] = np.zeros((my * vs, mx * hs, 64), np.int32)
+                cw, ch = -(-w * hs // hmax), -(-h * vs // vmax)
+                nblocks[cid] = (-(-ch // 8), -(-cw // 8))
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                f"non-baseline JPEG (SOF{marker - 0xC0}) unsupported")
+                f"unsupported JPEG coding process (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — one scan's entropy data follows
             if frame is None:
                 raise ValueError("SOS before SOF")
-            return _decode_scan(data, pos + 2 + seglen, body, frame,
-                                qts, huff, restart)
+            pos = _decode_scan(data, pos + 2 + seglen, body, frame,
+                               coef, nblocks, mcu_dims, huff, restart)
+            any_scan = True
+            continue
         # APPn / COM / others: skipped
         pos += 2 + seglen
-    raise ValueError("no SOS marker found")
+    if frame is None or not any_scan:
+        raise ValueError("no SOS marker found")
+    return _finish(frame, coef, nblocks, qts)
 
 
-def _decode_scan(data: bytes, pos: int, sos: bytes, frame, qts, huff,
-                 restart: int) -> np.ndarray:
-    h, w, comps = frame
+def _decode_scan(data: bytes, pos: int, sos: bytes, frame, coef,
+                 nblocks, mcu_dims, huff, restart: int) -> int:
+    """Decode ONE scan's entropy data into the coefficient arrays.
+    Returns the stream position of the terminating marker."""
+    h, w, comps, progressive = frame
     ns = sos[0]
     sel = {}
     for i in range(ns):
         cs, tabs = sos[1 + 2 * i], sos[2 + 2 * i]
         sel[cs] = (tabs >> 4, tabs & 0x0F)
+    ss, se, ahal = sos[1 + 2 * ns:4 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
     scan_comps = [c for c in comps if c[0] in sel]
-    if len(scan_comps) != len(comps) or ns != len(comps):
-        raise ValueError("multi-scan streams unsupported (baseline "
-                         "interleaved scans only)")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    for _, hs, vs, _ in comps:
-        if hmax % hs or vmax % vs:
-            raise ValueError("non-integer sampling ratio")
-    segs, _end = _split_scan(data, pos)
-    if ns == 1:
-        cid, hs, vs, tq = comps[0]
-        cw = -(-w * hs // hmax)
-        ch = -(-h * vs // vmax)
-        mx, my = -(-cw // 8), -(-ch // 8)
-        grid = [[(0, 0, 0)]]  # one block per MCU, the sole component
-        planes = {cid: np.zeros((my * 8, mx * 8))}
-        block_dims = {cid: (my, mx)}
-        n_mcus = mx * my
-    else:
-        mx = -(-w // (8 * hmax))
-        my = -(-h // (8 * vmax))
-        planes = {c[0]: np.zeros((my * 8 * c[2], mx * 8 * c[1]))
-                  for c in comps}
-        block_dims = None
-        n_mcus = mx * my
+    if len(scan_comps) != ns:
+        raise ValueError("SOS names a component missing from SOF")
+    if not progressive and (ss, se, ah, al) != (0, 63, 0, 0):
+        raise ValueError("spectral selection in a sequential frame")
+    if progressive:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scans are single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral band")
+    segs, end = _split_scan(data, pos)
 
-    dc_pred = {c[0]: 0 for c in comps}
+    if ns == 1:
+        cid = scan_comps[0][0]
+        bh, bw = nblocks[cid]
+        n_mcus = bh * bw
+    else:
+        my, mx = mcu_dims
+        n_mcus = my * mx
+
+    dc_pred = {c[0]: 0 for c in scan_comps}
+    eobrun = 0
     seg_idx = 0
     reader = _BitReader(segs[0])
+
+    def tables(cid):
+        dct, act = sel[cid]
+        dc_tab = huff.get((0, dct))
+        ac_tab = huff.get((1, act))
+        return dc_tab, ac_tab
+
+    ac_decode = _decode_block_ac_refine if ah else _decode_block_ac_first
     for m in range(n_mcus):
         if restart and m and m % restart == 0:
-            seg_idx += 1        # RST boundary: new segment, reset DC
+            seg_idx += 1        # RST boundary: new segment, reset state
             if seg_idx >= len(segs):
                 raise ValueError("missing restart segment")
             reader = _BitReader(segs[seg_idx])
-            dc_pred = {c[0]: 0 for c in comps}
-        for cid, hs, vs, tq in comps:
-            if tq not in qts:
-                raise ValueError(f"undefined quant table {tq}")
-            dct, act = sel[cid]
-            dc_tab = huff.get((0, dct))
-            ac_tab = huff.get((1, act))
-            if dc_tab is None or ac_tab is None:
-                raise ValueError("undefined Huffman table")
-            if ns == 1:
-                bmy, bmx = block_dims[cid]
-                by, bx = divmod(m, bmx)
-                blk, dc_pred[cid] = _decode_block(
-                    reader, dc_tab, ac_tab, qts[tq], dc_pred[cid])
-                planes[cid][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = blk
+            dc_pred = {c[0]: 0 for c in scan_comps}
+            eobrun = 0
+        if ns == 1:
+            cid, hs, vs, _tq = scan_comps[0]
+            by, bx = divmod(m, nblocks[cid][1])
+            blk = coef[cid][by, bx]
+            if not progressive:
+                dc_tab, ac_tab = tables(cid)
+                if dc_tab is None or ac_tab is None:
+                    raise ValueError("undefined Huffman table")
+                dc_pred[cid] = _decode_block_seq(
+                    reader, dc_tab, ac_tab, blk, dc_pred[cid])
+            elif ss == 0:
+                dc_tab, _ = tables(cid)
+                if ah == 0:
+                    if dc_tab is None:
+                        raise ValueError("undefined Huffman table")
+                    t = reader.decode_symbol(dc_tab)
+                    dc_pred[cid] += _extend(reader.receive(t), t)
+                    blk[0] = dc_pred[cid] << al
+                else:
+                    blk[0] |= reader.read_bit() << al
             else:
-                mcy, mcx = divmod(m, mx)
+                _, ac_tab = tables(cid)
+                if ac_tab is None:
+                    raise ValueError("undefined Huffman table")
+                eobrun = ac_decode(reader, ac_tab, blk, ss, se, al, eobrun)
+        else:
+            if progressive and ss != 0:
+                raise ValueError("interleaved progressive AC scan")
+            my, mx = mcu_dims
+            mcy, mcx = divmod(m, mx)
+            for cid, hs, vs, _tq in scan_comps:
+                dc_tab, ac_tab = tables(cid)
                 for by in range(vs):
                     for bx in range(hs):
-                        blk, dc_pred[cid] = _decode_block(
-                            reader, dc_tab, ac_tab, qts[tq], dc_pred[cid])
-                        y0 = (mcy * vs + by) * 8
-                        x0 = (mcx * hs + bx) * 8
-                        planes[cid][y0:y0 + 8, x0:x0 + 8] = blk
+                        blk = coef[cid][mcy * vs + by, mcx * hs + bx]
+                        if not progressive:
+                            if dc_tab is None or ac_tab is None:
+                                raise ValueError("undefined Huffman table")
+                            dc_pred[cid] = _decode_block_seq(
+                                reader, dc_tab, ac_tab, blk, dc_pred[cid])
+                        elif ah == 0:   # DC first
+                            if dc_tab is None:
+                                raise ValueError("undefined Huffman table")
+                            t = reader.decode_symbol(dc_tab)
+                            dc_pred[cid] += _extend(reader.receive(t), t)
+                            blk[0] = dc_pred[cid] << al
+                        else:           # DC refine
+                            blk[0] |= reader.read_bit() << al
+    return end
 
+
+def _finish(frame, coef, nblocks, qts) -> np.ndarray:
+    """Dequantize + batched IDCT + upsample + color convert."""
+    h, w, comps, _prog = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     out_planes = []
-    for cid, hs, vs, _tq in comps:
-        p = planes[cid] + 128.0
-        p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
-        out_planes.append(p[:h, :w])
+    for cid, hs, vs, tq in comps:
+        if tq not in qts:
+            raise ValueError(f"undefined quant table {tq}")
+        c = coef[cid]
+        bh, bw = c.shape[:2]
+        natural = np.zeros((bh * bw, 64), np.float64)
+        natural[:, _ZZ] = c.reshape(-1, 64) * qts[tq]
+        spatial = np.einsum(
+            "ij,njk,kl->nil", _M.T, natural.reshape(-1, 8, 8), _M)
+        plane = (spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+                 .reshape(bh * 8, bw * 8)) + 128.0
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0),
+                          hmax // hs, axis=1)
+        out_planes.append(plane[:h, :w])
     if len(out_planes) == 1:
         return np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
     if len(out_planes) != 3:
@@ -440,12 +598,19 @@ def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
 
 
+def _quantize_block(blk: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """FDCT + quantize one spatial 8×8 block → zigzag int64[64].
+    Shared by the baseline and progressive emitters so the two modes
+    quantize IDENTICALLY (the differential oracle depends on it)."""
+    f = _M @ (blk.astype(np.float64) - 128.0) @ _M.T
+    q = np.round(f.reshape(64) / qt.reshape(64)).astype(np.int64)
+    return q[_ZZ]
+
+
 def _encode_component_block(bw: _BitWriter, blk: np.ndarray,
                             qt: np.ndarray, pred: int,
                             dc_enc: dict, ac_enc: dict) -> int:
-    f = _M @ (blk.astype(np.float64) - 128.0) @ _M.T
-    q = np.round(f.reshape(64) / qt.reshape(64)).astype(np.int64)
-    zz = q[_ZZ]
+    zz = _quantize_block(blk, qt)
     t, bits_v = _magnitude(int(zz[0]) - pred)
     code, ln = dc_enc[t]
     bw.write(code, ln)
@@ -474,11 +639,128 @@ def _encode_component_block(bw: _BitWriter, blk: np.ndarray,
     return pred
 
 
+def _emit_ac_first(bw: _BitWriter, blocks_zz: np.ndarray, ss: int,
+                   se: int, al: int, ac_enc: dict) -> None:
+    """Progressive AC first-pass scan body (G.1.2.2 encode side):
+    point-transformed band runs with cross-block EOB-run accumulation."""
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_enc[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            eobrun = 0
+
+    for zz in blocks_zz:
+        band = zz[ss:se + 1]
+        a = np.abs(band) >> al
+        t = np.where(band < 0, -a, a)  # round-toward-zero point transform
+        nz = np.nonzero(t)[0]
+        if len(nz) == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+            continue
+        flush()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = int(t[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_enc[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            s, bits_v = _magnitude(v)
+            code, ln = ac_enc[(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(bits_v, s)
+            run = 0
+        if nz[-1] < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush()
+    flush()
+
+
+def _emit_ac_refine(bw: _BitWriter, blocks_zz: np.ndarray, ss: int,
+                    se: int, al: int, ac_enc: dict) -> None:
+    """Progressive AC refinement scan body (G.1.2.3 encode side).
+
+    Correction bits attach POSITIONALLY to the symbol whose decoder
+    walk consumes them: a ZRL's walk ends at its 16th zero-history
+    slot, so it carries only the history bits BEFORE that slot; the
+    bits between that slot and the next placement ride the next
+    symbol. Block tails past the last placement fold into the EOB
+    run, whose correction bits (in block order) ride the EOBn flush."""
+    eobrun = 0
+    pending: list[int] = []     # EOB-run tail corrections, block order
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            code, ln = ac_enc[nbits << 4]
+            bw.write(code, ln)
+            if nbits:
+                bw.write(eobrun - (1 << nbits), nbits)
+            for b in pending:
+                bw.write(b, 1)
+            pending.clear()
+            eobrun = 0
+
+    for zz in blocks_zz:
+        band = zz[ss:se + 1]
+        absv = np.abs(band) >> al
+
+        def hist_bits(a: int, b: int) -> list[int]:
+            return [int(absv[j]) & 1 for j in range(a, b) if absv[j] > 1]
+
+        k = 0
+        for p in np.nonzero(absv == 1)[0]:
+            p = int(p)
+            zeros = np.nonzero(absv[k:p] == 0)[0] + k  # absolute slots
+            run = len(zeros)
+            consumed = 0
+            while run > 15:
+                q = int(zeros[consumed + 15])  # this window's 16th zero
+                flush_eob()
+                code, ln = ac_enc[0xF0]
+                bw.write(code, ln)
+                for b in hist_bits(k, q):
+                    bw.write(b, 1)
+                k = q + 1
+                consumed += 16
+                run -= 16
+            flush_eob()
+            code, ln = ac_enc[(run << 4) | 1]
+            bw.write(code, ln)
+            bw.write(1 if band[p] > 0 else 0, 1)
+            for b in hist_bits(k, p):
+                bw.write(b, 1)
+            k = p + 1
+        if k < len(band):           # tail folds into the EOB run
+            pending.extend(hist_bits(k, len(band)))
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
 def encode_jpeg(img: np.ndarray, quality: int = 90,
-                restart: int = 0) -> bytes:
-    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline JPEG bytes
-    (4:4:4 for color). ``restart`` > 0 emits DRI + RST markers every
-    ``restart`` MCUs (exercises the decoder's restart path)."""
+                restart: int = 0, progressive: bool = False) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → JPEG bytes (4:4:4
+    for color). ``restart`` > 0 emits DRI + RST markers every
+    ``restart`` MCUs (exercises the decoder's restart path; baseline
+    only). ``progressive=True`` emits SOF2 with a DC-first /
+    banded-AC-first / two AC-refine rounds / DC-refine scan script —
+    quantization is shared with the baseline path, so decoding both
+    encodings of the same image yields IDENTICAL pixels."""
     img = np.asarray(img)
     if img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise ValueError("need uint8 (h, w) or (h, w, 3)")
@@ -515,16 +797,96 @@ def encode_jpeg(img: np.ndarray, quality: int = 90,
         zzq = qt.reshape(64)[_ZZ].astype(np.uint8).tobytes()
         out += b"\xff\xdb" + struct.pack(">HB", 67, tq) + zzq
     nc = len(planes)
+    if progressive and restart:
+        raise ValueError("restart intervals unsupported in progressive "
+                         "encode (decode handles both)")
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for i in range(nc):
         sof += bytes([i + 1, 0x11, qt_ids[i]])
-    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    out += sof_marker + struct.pack(">H", 2 + len(sof)) + sof
     for tc, (bits, vals) in ((0, (_DC_BITS, _DC_VALS)),
                              (1, (_AC_BITS, _AC_VALS))):
         body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
         out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
     if restart:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart)
+
+    if progressive:
+        # The Annex K AC table carries only EOB0 — progressive scans
+        # need EOBn (0x10..0xE0), so ship a dedicated flat 9-bit table
+        # as AC id 1 (176 symbols ≤ 2^9; canonical, decoder reads it
+        # from this DHT like any other). Real encoders optimize per
+        # scan; a uniform static table is equally valid.
+        prog_vals = sorted(
+            [(r << 4) | s for r in range(16) for s in range(1, 11)]
+            + [r << 4 for r in range(15)] + [0xF0]
+        )
+        prog_bits = [0] * 16
+        prog_bits[8] = len(prog_vals)  # all codes at length 9
+        body = bytes([0x11]) + bytes(prog_bits) + bytes(prog_vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+        ac_prog = _encode_codes(prog_bits, prog_vals)
+        # precompute every block's zigzag coefficients once (raster
+        # block order per component; 4:4:4 ⇒ MCU order == raster)
+        zz_all = []
+        for i, p in enumerate(planes):
+            qt = qts[qt_ids[i]]
+            blocks = np.empty((my * mx, 64), np.int64)
+            for m in range(my * mx):
+                by, bx = divmod(m, mx)
+                blocks[m] = _quantize_block(
+                    p[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8], qt)
+            zz_all.append(blocks)
+
+        def sos_header(comp_ids, ss, se, ah, al) -> bytes:
+            body = bytes([len(comp_ids)])
+            tabs = 0x00 if ss == 0 else 0x01  # AC scans use table id 1
+            for ci in comp_ids:
+                body += bytes([ci + 1, tabs])
+            body += bytes([ss, se, (ah << 4) | al])
+            return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+        def scan(comp_ids, ss, se, ah, al, emit) -> None:
+            nonlocal out
+            out += sos_header(comp_ids, ss, se, ah, al)
+            bw = _BitWriter()
+            emit(bw)
+            bw.flush()
+            out += bw.out
+
+        def dc_first(bw: _BitWriter) -> None:
+            preds = [0] * nc
+            for m in range(my * mx):
+                for ci in range(nc):
+                    v = int(zz_all[ci][m, 0]) >> 1  # Al=1 arith shift
+                    s, bits_v = _magnitude(v - preds[ci])
+                    preds[ci] = v
+                    code, ln = dc_enc[s]
+                    bw.write(code, ln)
+                    bw.write(bits_v, s)
+
+        def dc_refine(bw: _BitWriter) -> None:
+            for m in range(my * mx):
+                for ci in range(nc):
+                    bw.write(int(zz_all[ci][m, 0]) & 1, 1)
+
+        scan(list(range(nc)), 0, 0, 0, 1, dc_first)
+        for ss, se in ((1, 5), (6, 63)):
+            for ci in range(nc):
+                scan([ci], ss, se, 0, 2,
+                     lambda bw, c=ci, a=ss, b=se:
+                     _emit_ac_first(bw, zz_all[c], a, b, 2, ac_prog))
+        for ah, al in ((2, 1), (1, 0)):
+            for ss, se in ((1, 5), (6, 63)):
+                for ci in range(nc):
+                    scan([ci], ss, se, ah, al,
+                         lambda bw, c=ci, a=ss, b=se, lo=al:
+                         _emit_ac_refine(bw, zz_all[c], a, b, lo, ac_prog))
+        scan(list(range(nc)), 0, 0, 1, 0, dc_refine)
+        out += b"\xff\xd9"
+        return bytes(out)
+
     sos = bytes([nc])
     for i in range(nc):
         sos += bytes([i + 1, 0x00])

@@ -74,7 +74,11 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             elif wire == 2:
                 from nidaba_ray.algorithms.jpeg import encode_jpeg
 
-                payloads.append(encode_jpeg(px, quality=92))
+                # alternate baseline / progressive on-wire (decoded
+                # pixels are identical by the shared-quantization
+                # differential, so downstream features never move)
+                payloads.append(
+                    encode_jpeg(px, quality=92, progressive=bool(i % 2)))
             elif wire == 3:
                 from nidaba_ray.algorithms.gif import encode_gif
 

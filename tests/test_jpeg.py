@@ -108,11 +108,18 @@ def test_malformed_and_unsupported_raise():
         decode_jpeg(b"\x89PNG")         # not a JPEG
     with pytest.raises(ValueError):
         decode_jpeg(good[:40])          # truncated mid-segment
-    # progressive (SOF2) must raise, not silently misdecode
+    # lossless (SOF3) must raise, not silently misdecode
+    lossless = bytearray(good)
+    idx = lossless.find(b"\xff\xc0")
+    lossless[idx + 1] = 0xC3
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_jpeg(bytes(lossless))
+    # a baseline full-band scan under a tampered SOF2 header is an
+    # inconsistent stream (progressive decodes for real since r5, but
+    # a progressive DC scan must have Se=0)
     prog = bytearray(good)
-    idx = prog.find(b"\xff\xc0")
     prog[idx + 1] = 0xC2
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(prog))
     # undefined quant table id
     bad = bytearray(good)
