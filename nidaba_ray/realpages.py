@@ -2998,6 +2998,213 @@ committee's undying gratitude at the wrap-up supper.</p>
          "Every volunteer gets a festival shirt, two meal chits and "
          "the committee's undying gratitude at the wrap-up supper."],
     ),
+    # 123. Japanese news article (no spaces — paragraphs single-line so
+    # whitespace collapse cannot alter the bytes; 13th non-English
+    # lexicon path, first ja)
+    _page(
+        "ja_news_article",
+        """<html lang="ja"><body><header><h1>港町新聞</h1>
+<nav><ul><li><a href="/">トップ</a></li><li><a href="/keizai">経済</a></li>
+<li><a href="/chiiki">地域</a></li><li><a href="/toiawase">お問い合わせ</a></li>
+</ul></nav></header>
+<main><article>
+<h1>市議会、防波堤の改修予算を可決</h1>
+<p>市議会は火曜日、長時間の審議の末に防波堤改修の新年度予算を可決し、議論は深夜まで続いて市内すべての部局に及んだ。</p>
+<p>賛成派は老朽化した桟橋の補修と図書館網の拡充につながると主張し、反対派は今後十年の借入費用の増加に警鐘を鳴らした。</p>
+</article></main>
+<aside class="sidebar"><h3>注目</h3><ul><li><a href="/t/1">嵐で港が閉鎖
+</a></li><li><a href="/t/2">鉄道が運転再開</a></li></ul></aside>
+<footer><p><a href="/privacy">プライバシー</a> © 2024 港町新聞</p></footer>
+</body></html>""",
+        ["市議会、防波堤の改修予算を可決",
+         "市議会は火曜日、長時間の審議の末に防波堤改修の新年度予算を可決し、議論は深夜まで続いて市内すべての部局に及んだ。",
+         "賛成派は老朽化した桟橋の補修と図書館網の拡充につながると主張し、反対派は今後十年の借入費用の増加に警鐘を鳴らした。"],
+        lang="ja",
+    ),
+    # 124. Turkish how-to page (14th non-English path; dotted/dotless
+    # i and other Turkish letters exercise the NFC + casefold chain)
+    _page(
+        "tr_howto_page",
+        """<html lang="tr"><body><header><h1>Liman Rehberi</h1>
+<nav><ul><li><a href="/">Anasayfa</a></li><li><a href="/rehber">Rehber</a>
+</li><li><a href="/iletisim">İletişim</a></li></ul></nav></header>
+<main><article>
+<h1>Küçük teknenizi kışa hazırlamanın üç adımı</h1>
+<p>Sezon kapanmadan önce yapılan birkaç saatlik bakım, ilkbaharda
+günlerce sürecek onarımların önüne geçer ve teknenin değerini korur.</p>
+<ol class="adimlar">
+<li>Gövdeyi tatlı suyla yıkayın ve tuz kalıntısını tamamen
+çıkarana kadar durulamaya devam edin.</li>
+<li>Motoru yağlayıp yakıt deposunu ağzına kadar doldurun ki kış
+boyunca yoğuşma olmasın.</li>
+<li>Örtüyü bağlamadan önce sintineyi kuru bir bezle silin ve
+havalandırma deliklerini açık bırakın.</li>
+</ol>
+</article></main>
+<div class="paylas"><a href="/paylas">Paylaş</a>
+<a href="/yazdir">Yazdır</a></div>
+<footer><p><a href="/gizlilik">Gizlilik</a> © 2024 Liman Rehberi</p>
+</footer></body></html>""",
+        ["Küçük teknenizi kışa hazırlamanın üç adımı",
+         "Sezon kapanmadan önce yapılan birkaç saatlik bakım, "
+         "ilkbaharda günlerce sürecek onarımların önüne geçer ve "
+         "teknenin değerini korur.",
+         "Gövdeyi tatlı suyla yıkayın ve tuz kalıntısını tamamen "
+         "çıkarana kadar durulamaya devam edin.",
+         "Motoru yağlayıp yakıt deposunu ağzına kadar doldurun ki "
+         "kış boyunca yoğuşma olmasın.",
+         "Örtüyü bağlamadan önce sintineyi kuru bir bezle silin ve "
+         "havalandırma deliklerini açık bırakın."],
+        lang="tr",
+    ),
+    # 125. course syllabus: description and weekly schedule are
+    # content; the enrollment strip is chrome.
+    _page(
+        "course_syllabus",
+        f"""<html><body><header><h1>Harbor College</h1>{_NAV}</header>
+<main><article>
+<h1>Coastal Navigation 201, spring syllabus</h1>
+<p>This course covers chart reading, tide and current calculation,
+and dead reckoning under sail, with two evening practicals on the
+training sloop weather permitting.</p>
+<h2>Schedule by week</h2>
+<ul class="weeks">
+<li>Weeks one and two introduce the chart datum, symbols and the
+compass rose, ending with a plotting exercise across the sound.</li>
+<li>Weeks three through five cover tide tables and secondary port
+corrections, including the rule of twelfths worked by hand.</li>
+<li>The final weeks run passage planning drills, and each student
+files a complete plan for the island circuit as the exam.</li>
+</ul>
+<p>Grading weighs the passage plan at half, the practicals at a
+quarter, and weekly plotting sheets for the remainder.</p>
+</article></main>
+<div class="enroll"><a href="/register">Register</a>
+<a href="/fees">Fee schedule</a> <a href="/advising">Advising</a></div>
+{_FOOTER}</body></html>""",
+        ["Coastal Navigation 201, spring syllabus",
+         "This course covers chart reading, tide and current "
+         "calculation, and dead reckoning under sail, with two "
+         "evening practicals on the training sloop weather permitting.",
+         "Schedule by week",
+         "Weeks one and two introduce the chart datum, symbols and "
+         "the compass rose, ending with a plotting exercise across "
+         "the sound.",
+         "Weeks three through five cover tide tables and secondary "
+         "port corrections, including the rule of twelfths worked "
+         "by hand.",
+         "The final weeks run passage planning drills, and each "
+         "student files a complete plan for the island circuit as "
+         "the exam.",
+         "Grading weighs the passage plan at half, the practicals "
+         "at a quarter, and weekly plotting sheets for the remainder."],
+    ),
+    # 126. quarterly results: narrative and the figures DATA table are
+    # content (fixture 5's convention); the investor-relations rail is
+    # chrome.
+    _page(
+        "financial_results",
+        f"""<html><body><header><h1>Harbor Ferries Ltd</h1>{_NAV}</header>
+<main><article>
+<h1>Third quarter results show steady ridership</h1>
+<p>The company carried more passengers than in any autumn quarter on
+record, and fuel hedging kept operating costs within the guidance
+given at the spring meeting.</p>
+<table class="figures"><caption>Quarter at a glance</caption>
+<tr><th>Measure</th><th>This year</th><th>Last year</th></tr>
+<tr><td>Passengers carried</td><td>Two point one million</td>
+<td>One point nine million</td></tr>
+<tr><td>Operating margin</td><td>Eleven percent</td>
+<td>Nine percent</td></tr>
+</table>
+<p>The board declared an unchanged interim dividend and reiterated
+its plan to retire the oldest vessel next summer.</p>
+</article></main>
+<aside class="ir"><a href="/reports">Annual reports</a>
+<a href="/webcast">Results webcast</a> <a href="/alerts">Email alerts</a>
+</aside>
+{_FOOTER}</body></html>""",
+        ["Third quarter results show steady ridership",
+         "The company carried more passengers than in any autumn "
+         "quarter on record, and fuel hedging kept operating costs "
+         "within the guidance given at the spring meeting.",
+         "Quarter at a glance", "Measure", "This year", "Last year",
+         "Passengers carried", "Two point one million",
+         "One point nine million",
+         "Operating margin", "Eleven percent", "Nine percent",
+         "The board declared an unchanged interim dividend and "
+         "reiterated its plan to retire the oldest vessel next summer."],
+    ),
+    # 127. software download page: the release notes paragraph and the
+    # artifact DATA table (names + checksums) are content; the mirror
+    # strip is chrome. Hex checksum cells pin that data tables keep
+    # non-prose tokens.
+    _page(
+        "software_downloads",
+        f"""<html><body><header><h1>TideChart Project</h1>{_NAV}</header>
+<main><article>
+<h1>TideChart 3.2 downloads</h1>
+<p>This release adds offline chart packs and fixes the daylight
+saving fault in the tide clock; verify every file against the
+checksum before installing.</p>
+<table class="artifacts"><caption>Release artifacts</caption>
+<tr><th>File name</th><th>Checksum</th></tr>
+<tr><td>tidechart-3.2-linux.tar.gz</td><td>9f86d081884c7d65</td></tr>
+<tr><td>tidechart-3.2-windows.zip</td><td>2c26b46b68ffc68f</td></tr>
+</table>
+<p>Older releases remain available in the archive and receive
+security fixes for one year from their release date.</p>
+</article></main>
+<div class="mirrors"><a href="/mirror/eu">EU mirror</a>
+<a href="/mirror/us">US mirror</a> <a href="/torrent">Torrent</a></div>
+{_FOOTER}</body></html>""",
+        ["TideChart 3.2 downloads",
+         "This release adds offline chart packs and fixes the "
+         "daylight saving fault in the tide clock; verify every file "
+         "against the checksum before installing.",
+         "Release artifacts", "File name", "Checksum",
+         "tidechart-3.2-linux.tar.gz", "9f86d081884c7d65",
+         "tidechart-3.2-windows.zip", "2c26b46b68ffc68f",
+         "Older releases remain available in the archive and receive "
+         "security fixes for one year from their release date."],
+    ),
+    # 128. cinema showtimes: film blurbs are content; the showtime
+    # button strip and ticket links are chrome.
+    _page(
+        "movie_showtimes",
+        f"""<html><body><header><h1>Pier Cinema</h1>{_NAV}</header>
+<main><article>
+<h1>Now showing at the Pier</h1>
+<section class="film">
+<h2>The Long Watch</h2>
+<p>A lighthouse keeper's final season turns strange when the relief
+boat stops coming, in a slow-burning drama shot entirely on the
+outer islands.</p>
+<div class="times"><a href="/t/1415">2:15</a> <a href="/t/1700">5:00</a>
+<a href="/t/2045">8:45</a></div>
+</section>
+<section class="film">
+<h2>Gulls</h2>
+<p>An animated comedy about a harbor flock that organizes to win
+back the best pilings from the weekend sailors, suitable for all
+ages.</p>
+<div class="times"><a href="/t/1300">1:00</a> <a href="/t/1530">3:30</a>
+</div>
+</section>
+</article></main>
+<div class="tickets"><a href="/buy">Buy tickets</a>
+<a href="/gift">Gift cards</a> <a href="/members">Membership</a></div>
+{_FOOTER}</body></html>""",
+        ["Now showing at the Pier",
+         "The Long Watch",
+         "A lighthouse keeper's final season turns strange when the "
+         "relief boat stops coming, in a slow-burning drama shot "
+         "entirely on the outer islands.",
+         "Gulls",
+         "An animated comedy about a harbor flock that organizes to "
+         "win back the best pilings from the weekend sailors, "
+         "suitable for all ages."],
+    ),
 ]
 
 
