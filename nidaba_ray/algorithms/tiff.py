@@ -6,8 +6,10 @@ Public-spec implementation only (TIFF 6.0, Adobe 1992): both byte
 orders (``II`` little-endian / ``MM`` big-endian), classic 32-bit
 offsets, IFD entry walk with inline-vs-offset value storage, strip
 assembly via StripOffsets/StripByteCounts/RowsPerStrip, Compression
-1 (none) and 32773 (PackBits, Section 9 — runs never span rows),
-Predictor 2 (horizontal differencing, mod-256 cumulative sum).
+1 (none), 5 (LZW, §13 — the shared early-change codec in
+algorithms/lzw.py), 8/32946 (Adobe deflate via zlib) and 32773
+(PackBits, §9 — runs never span rows), Predictor 2 (horizontal
+differencing, mod-256 cumulative sum) on both decode and encode.
 
 Pixel scope (errors — never silent wrongness — outside it):
 - 8-bit grayscale, Photometric 0 (WhiteIsZero, inverted) and 1
@@ -17,16 +19,20 @@ Pixel scope (errors — never silent wrongness — outside it):
 Tiled TIFFs, planar configuration 2, and other bit depths raise
 ValueError (the multimodal stages' per-row quarantine path).
 
-An encoder exists (gray / RGB / RGBA, none / PackBits, both byte
-orders, configurable strip height) so tests are self-contained
-roundtrips with no external library.
+An encoder exists (gray / RGB / RGBA, none / LZW / deflate /
+PackBits, optional predictor 2, both byte orders, configurable strip
+height) so tests are self-contained roundtrips with no external
+library.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
+
+from nidaba_ray.algorithms.lzw import lzw_decode, lzw_encode
 
 __all__ = ["is_tiff", "decode_tiff", "encode_tiff", "tiff_n_pages",
            "packbits_decode", "packbits_encode"]
@@ -200,9 +206,9 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
     fill_order = int(_tag(tags, 266, (1,))[0])
     if planar != 1:
         raise ValueError(f"planar configuration {planar} not supported")
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 8, 32773, 32946):
         raise ValueError(f"TIFF compression {comp} not supported "
-                         "(none/PackBits only)")
+                         "(none/LZW/Deflate/PackBits only)")
     if predictor not in (1, 2):
         raise ValueError(f"TIFF predictor {predictor} not supported")
     bilevel = bits == (1,) and spp == 1
@@ -231,6 +237,17 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
         rows = min(rps, h - i * rps)
         if comp == 32773:
             raw = packbits_decode(raw, rows * row_bytes)
+        elif comp == 5:
+            raw = lzw_decode(raw)  # TIFF is always the early-change variant
+            if len(raw) != rows * row_bytes:
+                raise ValueError("LZW TIFF strip size mismatch")
+        elif comp in (8, 32946):  # Adobe deflate (+ the legacy code)
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as e:
+                raise ValueError(f"deflate TIFF strip: {e}") from None
+            if len(raw) != rows * row_bytes:
+                raise ValueError("deflate TIFF strip size mismatch")
         elif len(raw) != rows * row_bytes:
             raise ValueError("uncompressed TIFF strip size mismatch")
         buf += raw
@@ -278,12 +295,15 @@ def decode_tiff(data: bytes, page: int = 0) -> np.ndarray:
 
 def encode_tiff(arr, compression: str = "none",
                 byte_order: str = "<", rows_per_strip: int | None = None,
-                ) -> bytes:
+                predictor: int = 1) -> bytes:
     """uint8 (h, w) gray / (h, w, 3) RGB / (h, w, 4) RGBA — or a LIST
     of such arrays for a multi-page TIFF — → classic TIFF bytes.
-    ``compression``: "none" or "packbits" (compressed per row, runs
-    never span rows — §9). ``byte_order``: "<" emits II, ">" emits
-    MM. Strips of ``rows_per_strip`` rows (default: whole image as
+    ``compression``: "none", "packbits" (compressed per row, runs
+    never span rows — §9) or "lzw" (TIFF 6.0 §13, compressed per
+    strip, shared codec with the PDF LZWDecode filter).
+    ``predictor``: 2 applies horizontal differencing before
+    compression (the classic LZW companion; tag 317 travels in the
+    IFD). ``byte_order``: "<" emits II, ">" emits MM. Strips of ``rows_per_strip`` rows (default: whole image as
     one strip) so the decoder's strip walk is testable."""
     if byte_order not in ("<", ">"):
         raise ValueError("byte_order must be '<' or '>'")
@@ -305,6 +325,13 @@ def encode_tiff(arr, compression: str = "none",
             raise ValueError("encode_tiff wants (h,w), (h,w,3) or (h,w,4)")
         h, w = a.shape[:2]
         rps = h if rows_per_strip is None else max(1, min(rows_per_strip, h))
+        if predictor not in (1, 2):
+            raise ValueError(f"unsupported predictor {predictor}")
+        if predictor == 2:
+            m = a.reshape(h, w, spp).astype(np.int16)
+            d = m.copy()
+            d[:, 1:] = (m[:, 1:] - m[:, :-1]) & 0xFF
+            a = d.astype(np.uint8)
         flat = a.reshape(h, w * spp)
         strips = []
         for y0 in range(0, h, rps):
@@ -312,6 +339,10 @@ def encode_tiff(arr, compression: str = "none",
             if compression == "packbits":
                 strips.append(b"".join(packbits_encode(row.tobytes())
                                        for row in block))
+            elif compression == "lzw":
+                strips.append(lzw_encode(block.tobytes()))
+            elif compression == "deflate":
+                strips.append(zlib.compress(block.tobytes()))
             elif compression == "none":
                 strips.append(block.tobytes())
             else:
@@ -324,7 +355,8 @@ def encode_tiff(arr, compression: str = "none",
                 body += b"\x00"
         # entries: (tag, type, count, values); arrays >4 bytes spill
         # to an external value area placed right after each IFD
-        comp_id = 1 if compression == "none" else 32773
+        comp_id = {"none": 1, "lzw": 5, "deflate": 8,
+                   "packbits": 32773}[compression]
         photo = 1 if spp == 1 else 2
         entries = [
             (256, 4, 1, (w,)), (257, 4, 1, (h,)),
@@ -336,6 +368,8 @@ def encode_tiff(arr, compression: str = "none",
         ]
         if spp == 4:
             entries.append((338, 3, 1, (2,)))  # unassociated alpha
+        if predictor == 2:
+            entries.append((317, 3, 1, (2,)))
         entries.sort()  # spec: ascending tag order
         per_page.append(entries)
 

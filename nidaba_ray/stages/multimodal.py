@@ -86,7 +86,12 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
             elif wire == 4:
                 from nidaba_ray.algorithms.tiff import encode_tiff
 
-                payloads.append(encode_tiff(px, compression="packbits"))
+                # alternate PackBits / LZW+predictor on the TIFF slot
+                if i % 2:
+                    payloads.append(encode_tiff(px, compression="lzw",
+                                                predictor=2))
+                else:
+                    payloads.append(encode_tiff(px, compression="packbits"))
             else:
                 payloads.append(_fake_img(f"img{i}", w, h))
             metas.append({"width": w, "height": h, "frames": 1})

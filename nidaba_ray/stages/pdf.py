@@ -186,54 +186,10 @@ def _runlength_decode(data: bytes) -> bytes:
     return bytes(out)
 
 
-def _lzw_decode(data: bytes, early: int = 1) -> bytes:
-    """LZWDecode (§7.4.4 — the TIFF variant): MSB-first bit packing,
-    9-bit codes growing to 12, 256=ClearTable, 257=EOD, new entries
-    from 258. ``early`` (the /EarlyChange parm, default 1) widens the
-    code ONE entry before the table size actually demands it — the
-    encoder quirk the spec standardizes."""
-    out = bytearray()
-    table: dict[int, bytes] = {}
-    width = 9
-    prev: bytes | None = None
-    next_code = 258
-    bitbuf = 0
-    nbits = 0
-
-    for byte in data:
-        bitbuf = (bitbuf << 8) | byte
-        nbits += 8
-        while nbits >= width:
-            code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
-            nbits -= width
-            if code == 256:
-                table.clear()
-                width = 9
-                prev = None
-                next_code = 258
-                continue
-            if code == 257:
-                return bytes(out)
-            if prev is None:
-                if code > 255:
-                    raise ValueError("LZW: first code not a literal")
-                entry = bytes([code])
-            elif code < 256:
-                entry = bytes([code])
-            elif code in table:
-                entry = table[code]
-            elif code == next_code:
-                entry = prev + prev[:1]  # the KwKwK case
-            else:
-                raise ValueError("LZW: code beyond table")
-            if prev is not None:
-                table[next_code] = prev + entry[:1]
-                next_code += 1
-                if next_code + early >= (1 << width) and width < 12:
-                    width += 1
-            out += entry
-            prev = entry
-    return bytes(out)  # missing EOD tolerated (common malformation)
+# LZWDecode (§7.4.4) is the TIFF-variant LZW shared with the TIFF
+# codec — one implementation in algorithms/lzw.py serves both specs
+# (the /EarlyChange parm maps straight onto its ``early`` argument).
+from nidaba_ray.algorithms.lzw import lzw_decode as _lzw_decode
 
 
 _FILTER_DECODERS = {

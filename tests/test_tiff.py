@@ -224,7 +224,7 @@ def test_tiff_malformed_inputs():
         decode_tiff(_build_tiff("<", 2, 2, [g.tobytes()],
                                 {322: (4, (16,)), 323: (4, (16,))}))
     with pytest.raises(ValueError, match="compression"):
-        decode_tiff(_build_tiff("<", 2, 2, [g.tobytes()], {}, comp=5))
+        decode_tiff(_build_tiff("<", 2, 2, [g.tobytes()], {}, comp=7))
     with pytest.raises(ValueError, match="planar"):
         decode_tiff(_build_tiff("<", 2, 2, [g.tobytes()],
                                 {284: (3, (2,))}))
@@ -327,3 +327,87 @@ def test_tiff_ifd_chain_loop_detected():
 
     with pytest.raises(ValueError, match="loops"):
         tiff_n_pages(bytes(data))
+
+
+# ---------------------------------------------------------------------------
+# LZW compression (TIFF 6.0 §13 — codec shared with the PDF filter)
+# ---------------------------------------------------------------------------
+
+
+def test_tiff_lzw_roundtrip_all_layouts():
+    for shape, seed in (((20, 30), 7), ((15, 9, 3), 8), ((8, 8, 4), 9)):
+        a = _img(*shape[:2], shape[2] if len(shape) > 2 else None, seed=seed)
+        for pred in (1, 2):
+            for rps in (None, 5):
+                b = decode_tiff(encode_tiff(a, compression="lzw",
+                                            predictor=pred,
+                                            rows_per_strip=rps))
+                assert np.array_equal(a, b), (shape, pred, rps)
+
+
+def test_tiff_lzw_predictor_improves_smooth_images():
+    g = np.tile(np.arange(256, dtype=np.uint8), (64, 1))
+    raw = 64 * 256
+    plain = len(encode_tiff(g, compression="lzw"))
+    pred = len(encode_tiff(g, compression="lzw", predictor=2))
+    assert pred < plain < raw
+    # tag 317 travels, and the decode reverses the differencing
+    assert np.array_equal(
+        decode_tiff(encode_tiff(g, compression="lzw", predictor=2)), g)
+
+
+def test_lzw_module_roundtrip_and_table_clear():
+    import random
+
+    from nidaba_ray.algorithms.lzw import lzw_decode, lzw_encode
+
+    r = random.Random(13)
+    for n in (0, 1, 257, 5000, 60000):  # 60k forces a mid-stream clear
+        data = bytes(r.choice(b"abcd\x00\xff") for _ in range(n))
+        for early in (0, 1):
+            assert lzw_decode(lzw_encode(data, early), early) == data
+    # the two EarlyChange variants produce different bitstreams on
+    # inputs long enough to cross a width boundary
+    data = bytes(range(256)) * 2
+    assert lzw_encode(data, 0) != lzw_encode(data, 1)
+
+
+def test_tiff_lzw_truncated_strip_raises():
+    a = _img(16, 16, seed=3)
+    data = bytearray(encode_tiff(a, compression="lzw"))
+    # find the strip (right after the 8-byte header) and corrupt its
+    # tail so the decoded length disagrees with rows*row_bytes
+    data[9] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(data))
+
+
+def test_synth_rotation_alternates_tiff_compressions():
+    from nidaba_ray.stages.multimodal import ImageDecoder, synth_media_batch
+
+    # TIFF wire ids: i%3==0 and (i//3)%5==4 → 12, 27, 42, ...
+    t = synth_media_batch([12, 27])
+    p12, p27 = t["payload"].to_pylist()
+    assert is_tiff(p12) and is_tiff(p27)
+    assert b"\x05\x00" not in p12[:2] and struct.pack("<H", 32773) in p12
+    assert struct.pack("<H", 5) in p27  # LZW compression tag value
+    out = ImageDecoder()(t).to_pylist()
+    assert all(r["error"] == "" for r in out)
+
+
+def test_tiff_deflate_roundtrip_and_legacy_code():
+    import zlib
+
+    a = _img(12, 18, 3, seed=21)
+    data = encode_tiff(a, compression="deflate", predictor=2)
+    assert struct.pack("<H", 8) in data
+    assert np.array_equal(decode_tiff(data), a)
+    # the legacy 32946 code decodes identically
+    legacy = data.replace(struct.pack("<HHI", 259, 3, 1)
+                          + struct.pack("<I", 8),
+                          struct.pack("<HHI", 259, 3, 1)
+                          + struct.pack("<I", 32946))
+    assert np.array_equal(decode_tiff(legacy), a)
+    with pytest.raises(ValueError, match="deflate"):
+        g = _img(2, 2)
+        decode_tiff(_build_tiff("<", 2, 2, [b"not-zlib!"], {}, comp=8))
