@@ -1,11 +1,12 @@
 """Multimodal column stages — image / audio / video as opaque binary
 columns with typed metadata (driver instruction).
 
-IMAGES decode for real since round 4: payloads may be PNG, JPEG, GIF,
-TIFF or uncompressed BMP bytes, decoded by the repo's own
-from-scratch codecs (:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` /
-``.gif`` / ``.tiff`` — public-spec, zlib-only, same approach as the
-PDF parser), converted to grayscale with integer BT.601 luma. AUDIO decodes for real since
+IMAGES decode for real since round 4: payloads may be PNG, JPEG
+(baseline + progressive), GIF, TIFF, lossless WebP (VP8L) or
+uncompressed BMP bytes, decoded by the repo's own from-scratch codecs
+(:mod:`nidaba_ray.algorithms.png` / ``.jpeg`` / ``.gif`` / ``.tiff``
+/ ``.webp`` — public-spec, zlib-only, same approach as the PDF
+parser), converted to grayscale with integer BT.601 luma. AUDIO decodes for real since
 round 5: RIFF/WAVE payloads (8/16/24/32-bit PCM + IEEE float, incl.
 EXTENSIBLE) via :mod:`nidaba_ray.algorithms.wav`, and AIFF/AIFF-C
 (big-endian PCM, ``sowt``, ``fl32``/``fl64``) via
@@ -92,6 +93,11 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
                                                 predictor=2))
                 else:
                     payloads.append(encode_tiff(px, compression="packbits"))
+            elif (i // 15) % 2:  # half the former FAKEIMG slots → WebP
+                from nidaba_ray.algorithms.webp import encode_webp
+
+                payloads.append(encode_webp(px, use_palette=False,
+                                            predictor_mode=2))
             else:
                 payloads.append(_fake_img(f"img{i}", w, h))
             metas.append({"width": w, "height": h, "frames": 1})
@@ -169,17 +175,17 @@ def _decode_fake_img(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """Format-dispatching image decode → (h, w) grayscale uint8.
 
-    Real formats first: PNG (signature sniff), baseline JPEG (SOI
-    sniff), GIF ("GIF8", first frame), TIFF ("II*"/"MM*") and BMP
-    ("BM") via the from-scratch public-spec codecs in
-    algorithms/png.py, algorithms/jpeg.py, algorithms/gif.py and
-    algorithms/tiff.py; the FAKEIMG container remains for synthetic
-    corpora. ValueError on anything malformed — the actor stages'
-    per-row quarantine path."""
+    Real formats first: PNG (signature sniff), JPEG (SOI sniff;
+    baseline + progressive), GIF ("GIF8", first frame), TIFF
+    ("II*"/"MM*"), lossless WebP ("RIFF…WEBP", VP8L) and BMP ("BM")
+    via the from-scratch public-spec codecs in algorithms/; the
+    FAKEIMG container remains for synthetic corpora. ValueError on
+    anything malformed — the actor stages' per-row quarantine path."""
     from nidaba_ray.algorithms.gif import decode_gif, is_gif
     from nidaba_ray.algorithms.jpeg import decode_jpeg, is_jpeg
     from nidaba_ray.algorithms.png import PNG_SIG, decode_bmp, decode_png, to_gray
     from nidaba_ray.algorithms.tiff import decode_tiff, is_tiff
+    from nidaba_ray.algorithms.webp import decode_webp, is_webp
 
     if payload[:8] == PNG_SIG:
         return to_gray(decode_png(payload))
@@ -189,6 +195,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return to_gray(decode_gif(payload, max_frames=1)[0])
     if is_tiff(payload):
         return to_gray(decode_tiff(payload))
+    if is_webp(payload):  # lossless VP8L
+        return to_gray(decode_webp(payload))
     if payload[:2] == b"BM":
         return to_gray(decode_bmp(payload))
     return _decode_fake_img(payload)
