@@ -3205,6 +3205,126 @@ ages.</p>
          "win back the best pilings from the weekend sailors, "
          "suitable for all ages."],
     ),
+    # 129. Hindi news article (Devanagari with combining matras — the
+    # 15th non-English lexicon path; single-line paragraphs as the
+    # other no-Latin fixtures)
+    _page(
+        "hi_news_article",
+        """<html lang="hi"><body><header><h1>बंदरगाह समाचार</h1>
+<nav><ul><li><a href="/">मुखपृष्ठ</a></li><li><a href="/desh">देश</a></li>
+<li><a href="/sampark">संपर्क</a></li></ul></nav></header>
+<main><article>
+<h1>नगर परिषद ने बंदरगाह की मरम्मत का बजट पारित किया</h1>
+<p>नगर परिषद ने मंगलवार को लंबी बहस के बाद नया बजट पारित किया, चर्चा देर रात तक चली और शहर के हर विभाग तक पहुंची।</p>
+<p>समर्थकों ने कहा कि योजना से पुराने पुलों की मरम्मत होगी और पुस्तकालयों का विस्तार होगा, जबकि विरोधियों ने अगले दशक में बढ़ती उधारी लागत की चेतावनी दी।</p>
+</article></main>
+<footer><p><a href="/niyam">गोपनीयता</a> © 2024 बंदरगाह समाचार</p></footer>
+</body></html>""",
+        ["नगर परिषद ने बंदरगाह की मरम्मत का बजट पारित किया",
+         "नगर परिषद ने मंगलवार को लंबी बहस के बाद नया बजट पारित किया, चर्चा देर रात तक चली और शहर के हर विभाग तक पहुंची।",
+         "समर्थकों ने कहा कि योजना से पुराने पुलों की मरम्मत होगी और पुस्तकालयों का विस्तार होगा, जबकि विरोधियों ने अगले दशक में बढ़ती उधारी लागत की चेतावनी दी।"],
+        lang="hi",
+    ),
+    # 130. Polish recipe steps (16th non-English path; ogonki and
+    # digraphs through the NFC chain)
+    _page(
+        "pl_recipe_steps",
+        """<html lang="pl"><body><header><h1>Kuchnia Portowa</h1>
+<nav><ul><li><a href="/">Start</a></li><li><a href="/przepisy">Przepisy</a>
+</li><li><a href="/kontakt">Kontakt</a></li></ul></nav></header>
+<main><article>
+<h1>Zupa rybna z wędzonym dorszem w trzech krokach</h1>
+<p>Ta prosta zupa powstała w kuchniach portowych i najlepiej smakuje
+z chlebem żytnim, a cały przepis zajmuje niecałą godzinę.</p>
+<ol class="kroki">
+<li>Podsmaż cebulę i seler na maśle, aż zmiękną i lekko się
+zezłocą, potem dodaj liść laurowy.</li>
+<li>Wlej wywar, dodaj ziemniaki i gotuj kwadrans, aż będą prawie
+miękkie.</li>
+<li>Włóż kawałki wędzonego dorsza i śmietanę, ogrzewaj bez
+gotowania i dopraw świeżym koperkiem.</li>
+</ol>
+</article></main>
+<div class="udostepnij"><a href="/share">Udostępnij</a>
+<a href="/drukuj">Drukuj</a></div>
+<footer><p><a href="/prywatnosc">Prywatność</a> © 2024 Kuchnia
+Portowa</p></footer></body></html>""",
+        ["Zupa rybna z wędzonym dorszem w trzech krokach",
+         "Ta prosta zupa powstała w kuchniach portowych i najlepiej "
+         "smakuje z chlebem żytnim, a cały przepis zajmuje niecałą "
+         "godzinę.",
+         "Podsmaż cebulę i seler na maśle, aż zmiękną i lekko się "
+         "zezłocą, potem dodaj liść laurowy.",
+         "Wlej wywar, dodaj ziemniaki i gotuj kwadrans, aż będą "
+         "prawie miękkie.",
+         "Włóż kawałki wędzonego dorsza i śmietanę, ogrzewaj bez "
+         "gotowania i dopraw świeżym koperkiem."],
+        lang="pl",
+    ),
+    # 131. parliament transcript: speaker-labelled exchanges are
+    # content; the session toolbar is chrome.
+    _page(
+        "parliament_transcript",
+        f"""<html><body><header><h1>Assembly Record</h1>{_NAV}</header>
+<main><article>
+<h1>Transcript: question period on the ferry subsidy</h1>
+<div class="session-tools"><a href="/video">Session video</a>
+<a href="/pdf">Download PDF</a> <a href="/search">Search record</a></div>
+<p>The Speaker: The member for the outer islands has the floor for
+the first question of the afternoon.</p>
+<p>Ms. Harmon: Will the minister confirm that the winter ferry
+subsidy survives this budget unchanged, because island clinics
+depend on the Tuesday crossing for their supplies?</p>
+<p>The Minister of Transport: The subsidy is preserved in full, and
+the Tuesday sailing gains a backup vessel from January onward.</p>
+<p>Ms. Harmon: I thank the minister, and the islands will hold him
+to the January date.</p>
+</article></main>
+{_FOOTER}</body></html>""",
+        ["Transcript: question period on the ferry subsidy",
+         "The Speaker: The member for the outer islands has the floor "
+         "for the first question of the afternoon.",
+         "Ms. Harmon: Will the minister confirm that the winter ferry "
+         "subsidy survives this budget unchanged, because island "
+         "clinics depend on the Tuesday crossing for their supplies?",
+         "The Minister of Transport: The subsidy is preserved in "
+         "full, and the Tuesday sailing gains a backup vessel from "
+         "January onward.",
+         "Ms. Harmon: I thank the minister, and the islands will "
+         "hold him to the January date."],
+    ),
+    # 132. lecture notes: definition paragraph and worked example are
+    # content; the course-nav rail is chrome.
+    _page(
+        "lecture_notes",
+        f"""<html><body><header><h1>Open Courseware</h1>{_NAV}</header>
+<main><article>
+<h1>Lecture 7: why the tide turns before the current does</h1>
+<p>High water and slack water are different events, and confusing
+them is the most common error in small-craft passage planning; the
+tide is a height, the current is a flow, and in a long channel the
+flow keeps running after the height has peaked.</p>
+<h2>Worked example</h2>
+<p>In the narrows the height peaks at nine but the flood keeps
+pushing north until half past ten, so a southbound boat that leaves
+at high water fights the current for ninety minutes.</p>
+</article></main>
+<aside class="coursenav"><h3>This course</h3><ul>
+<li><a href="/l6">Lecture 6</a></li><li><a href="/l8">Lecture 8</a></li>
+<li><a href="/problems">Problem sets</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Lecture 7: why the tide turns before the current does",
+         "High water and slack water are different events, and "
+         "confusing them is the most common error in small-craft "
+         "passage planning; the tide is a height, the current is a "
+         "flow, and in a long channel the flow keeps running after "
+         "the height has peaked.",
+         "Worked example",
+         "In the narrows the height peaks at nine but the flood "
+         "keeps pushing north until half past ten, so a southbound "
+         "boat that leaves at high water fights the current for "
+         "ninety minutes."],
+    ),
 ]
 
 
