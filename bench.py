@@ -120,6 +120,10 @@ TIMED_QUERIES = [
     # resolves via _extra_timed (it ceded its driver-surface slot to
     # dsir_select).
     "dsir_select",
+    # round-5 session-5 addition, appended LAST (same warm-worker
+    # protocol): CC license scan over the deterministic license-page
+    # corpus — the binary-safe RE2 raw-bytes annotator shape
+    "license_counts",
 ]
 
 
@@ -217,7 +221,18 @@ def _extra_timed() -> dict:
         "semdedup_kept": lambda sf: semdedup.semdedup_kept(sf, threshold=0.25),
         "bpe_token_count": bpe.bpe_token_count,
         "url_dedup_pages": _url_dedup_pages,
+        # round-5 session-5: license scan over the deterministic
+        # license-page corpus (binary-safe RE2, zero decode — times
+        # the raw-bytes annotator shape; generator-replay oracle in
+        # tests/test_license.py)
+        "license_counts": _license_counts,
     }
+
+
+def _license_counts(sf_dir: str):
+    from nidaba_ray.functions.license import license_counts
+
+    return license_counts(sf_dir)
 
 
 def _url_dedup_pages(sf_dir: str):

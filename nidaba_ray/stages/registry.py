@@ -202,3 +202,6 @@ def _ensure_builtin() -> None:
 
     register_stage("extract.license")(annotate_license_batch)
     register_stage("clean.license")(license_filter_batch)
+    from nidaba_ray.functions.robots import robots_filter_batch
+
+    register_stage("clean.robots")(robots_filter_batch)
