@@ -124,6 +124,10 @@ TIMED_QUERIES = [
     # protocol): CC license scan over the deterministic license-page
     # corpus — the binary-safe RE2 raw-bytes annotator shape
     "license_counts",
+    # round-5 session-5 addition, appended LAST: perceptual image
+    # near-dup pairs over the synthetic media corpus (decode-once
+    # hashing in the actor pool + pigeonhole chunk self-join)
+    "image_near_dups",
 ]
 
 
@@ -226,7 +230,15 @@ def _extra_timed() -> dict:
         # the raw-bytes annotator shape; generator-replay oracle in
         # tests/test_license.py)
         "license_counts": _license_counts,
+        "image_near_dups": _image_near_dups,
     }
+
+
+def _image_near_dups(sf_dir: str):
+    from nidaba_ray.functions.imagededup import image_near_dup_pairs
+    from nidaba_ray.pipelines.media import media_dataset
+
+    return image_near_dup_pairs(media_dataset(sf_dir))
 
 
 def _license_counts(sf_dir: str):
