@@ -19,17 +19,18 @@ Scale notes (100 TB shape):
   chunk, so candidates come from hash-partitioned self-joins on the
   chunk value and pixels/payloads never shuffle
 * the pigeonhole ≡ brute-force equivalence is pinned in
-  tests/test_imagededup.py (the simhash precedent)
+  tests/test_imagededup.py (the simhash precedent); the generic
+  exact/near machinery lives in functions/hammingdedup.py, shared
+  with the audio fingerprints
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray.data as rd
 
-from nidaba_ray.util import ensure_columns, join_partitions
+from nidaba_ray.functions.hammingdedup import exact_dup_groups, near_dup_pairs
 
 __all__ = [
     "dhash64", "ahash64", "ImageHasher", "image_hash_table",
@@ -109,80 +110,14 @@ def image_hash_table(media: rd.Dataset) -> rd.Dataset:
 
 def image_exact_dup_groups(media: rd.Dataset) -> pa.Table:
     """(media_id, group_id) for images sharing BOTH hashes — group_id
-    is the min media_id of the group (total order). One narrow
-    groupby; payloads never shuffle."""
-    from ray.data.aggregate import Min
-
-    hashes = image_hash_table(media).map_batches(
-        lambda b: b.filter(pc.equal(b["error"], "")),
-        batch_format="pyarrow").drop_columns(["error"]).materialize()
-    mins = hashes.groupby(["dhash", "ahash"]).aggregate(
-        Min("media_id", alias_name="group_id"))
-    joined = hashes.join(
-        mins, "inner", join_partitions(8), on=("dhash", "ahash"))
-    out = (joined.to_pandas()[["media_id", "group_id"]]
-           .sort_values("media_id").reset_index(drop=True)
-           .astype({"media_id": "int64", "group_id": "int64"}))
-    return pa.Table.from_pandas(out, preserve_index=False)
-
-
-_PAIR_SCHEMA = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()),
-                          ("hamming", pa.int64())])
+    is the min media_id of the group (total order)."""
+    return exact_dup_groups(image_hash_table(media),
+                            ("dhash", "ahash"), "media_id")
 
 
 def image_near_dup_pairs(media: rd.Dataset,
                          max_hamming: int = 6) -> pa.Table:
     """Near-dup image pairs by dHash Hamming distance ≤ ``max_hamming``
-    (must be < 8): pigeonhole on 8 × 8-bit chunks, hash-partitioned
-    self-join, vectorized XOR-popcount verify — the simhash_dup_pairs
-    shape on the image modality."""
-    if not 0 <= max_hamming < 8:
-        raise ValueError("pigeonhole on 8 chunks needs max_hamming < 8")
-
-    def explode(batch: pa.Table) -> pa.Table:
-        mid, cid, cval, full = [], [], [], []
-        for m, h in zip(batch["media_id"].to_pylist(),
-                        batch["dhash"].to_pylist()):
-            uh = int(np.int64(h).astype(np.uint64))
-            for c in range(8):
-                mid.append(m)
-                cid.append(c)
-                cval.append((uh >> (8 * c)) & 0xFF)
-                full.append(h)
-        return pa.table({
-            "media_id": pa.array(mid, pa.int64()),
-            "chunk_id": pa.array(cid, pa.int32()),
-            "chunk_val": pa.array(cval, pa.int32()),
-            "dhash": pa.array(full, pa.int64()),
-        })
-
-    def to_pairs(batch: pa.Table) -> pa.Table:
-        b = batch.filter(pc.less(batch["media_id_a"], batch["media_id_b"]))
-        ha = b["dhash_a"].to_numpy(zero_copy_only=False).astype(
-            np.int64).view(np.uint64)
-        hb = b["dhash_b"].to_numpy(zero_copy_only=False).astype(
-            np.int64).view(np.uint64)
-        x = (ha ^ hb).view(np.uint8).reshape(-1, 8)
-        d = np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
-        keep = d <= max_hamming
-        return pa.table({
-            "id_a": pa.array(np.asarray(b["media_id_a"])[keep], pa.int64()),
-            "id_b": pa.array(np.asarray(b["media_id_b"])[keep], pa.int64()),
-            "hamming": pa.array(d[keep], pa.int64()),
-        })
-
-    exploded = image_hash_table(media).map_batches(
-        lambda b: b.filter(pc.equal(b["error"], "")),
-        batch_format="pyarrow").map_batches(
-        explode, batch_format="pyarrow").materialize()
-    joined = exploded.join(
-        exploded, "inner", join_partitions(8),
-        on=("chunk_id", "chunk_val"),
-        left_suffix="_a", right_suffix="_b",
-    )
-    out = joined.map_batches(to_pairs, batch_format="pyarrow").to_pandas()
-    out = ensure_columns(out, _PAIR_SCHEMA)
-    out = (out.drop_duplicates(["id_a", "id_b"])
-           .sort_values(["id_a", "id_b"]).reset_index(drop=True)
-           .astype({"id_a": "int64", "id_b": "int64", "hamming": "int64"}))
-    return pa.Table.from_pandas(out, preserve_index=False)
+    (< 8): the shared pigeonhole machinery on the image modality."""
+    return near_dup_pairs(image_hash_table(media), "dhash", "media_id",
+                          max_hamming)
