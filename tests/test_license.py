@@ -149,3 +149,31 @@ def test_license_counts_generator_oracle(ray_session):
 def test_pattern_is_shared_verbatim():
     # the SQL expression embeds the exact Arrow pattern (drift guard)
     assert CC_LICENSE_PATTERN in license_expr_sql("s").replace("''", "'")
+
+
+def test_license_curation_example_spec(ray_session):
+    """examples/license_curation.yaml end-to-end: robots gate →
+    license annotate → license gate → extraction."""
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    spec = registry.load_spec("examples/license_curation.yaml")
+    ok = (b"<html><body><p>Keep this licensed page with enough words "
+          b"to pass every gate in the chain today.</p>"
+          b"<footer><a href='https://creativecommons.org/licenses/by/4.0/'>"
+          b"CC</a></footer></body></html>")
+    nc = ok.replace(b"/by/", b"/by-nc/")
+    t = pa.table({
+        "url": pa.array(["https://example.org/a",
+                         "https://example.org/private/x",
+                         "https://example.org/b",
+                         "https://example.org/c"]),
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "lang": pa.array(["en"] * 4),
+        "html": pa.array([ok, ok, nc, b"<p>no license</p>"], pa.binary()),
+    })
+    out = registry.compile_pipeline(rd.from_arrow(t), spec).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert out["license"].tolist() == ["cc-by-4.0"]
+    assert "Keep this licensed page" in out["text"].iloc[0]
