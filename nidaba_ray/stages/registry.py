@@ -205,3 +205,6 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.robots import robots_filter_batch
 
     register_stage("clean.robots")(robots_filter_batch)
+    from nidaba_ray.functions.imgtext import harvest_img_batch
+
+    register_stage("extract.imgtext")(harvest_img_batch)
