@@ -3325,6 +3325,179 @@ at high water fights the current for ninety minutes.</p>
          "boat that leaves at high water fights the current for "
          "ninety minutes."],
     ),
+    # 133. tide table: the predictions DATA table is content (fixture
+    # 5's convention); the station picker is chrome.
+    _page(
+        "tide_table",
+        f"""<html><body><header><h1>Tide Service</h1>{_NAV}</header>
+<main><article>
+<h1>Tide predictions for the inner harbor, this weekend</h1>
+<p>Heights are in feet above chart datum and times are local; storm
+surge can raise observed water well above any prediction.</p>
+<table class="tides"><caption>Saturday and Sunday</caption>
+<tr><th>Which day</th><th>High water</th><th>Low water</th></tr>
+<tr><td>Saturday</td><td>Nine twenty, eleven point one feet</td>
+<td>Three forty, one point two feet</td></tr>
+<tr><td>Sunday</td><td>Ten oh five, ten point eight feet</td>
+<td>Four thirty, one point five feet</td></tr>
+</table>
+</article></main>
+<div class="stations"><a href="/s/outer">Outer harbor</a>
+<a href="/s/narrows">The narrows</a> <a href="/s/flats">The flats</a></div>
+{_FOOTER}</body></html>""",
+        ["Tide predictions for the inner harbor, this weekend",
+         "Heights are in feet above chart datum and times are local; "
+         "storm surge can raise observed water well above any "
+         "prediction.",
+         "Saturday and Sunday", "Which day", "High water", "Low water",
+         "Saturday", "Nine twenty, eleven point one feet",
+         "Three forty, one point two feet",
+         "Sunday", "Ten oh five, ten point eight feet",
+         "Four thirty, one point five feet"],
+    ),
+    # 134. marine forecast: period paragraphs are content; the
+    # zone-selection strip is chrome.
+    _page(
+        "marine_forecast",
+        f"""<html><body><header><h1>Marine Weather</h1>{_NAV}</header>
+<main><article>
+<h1>Coastal waters forecast, harbor approaches</h1>
+<h2>Tonight</h2>
+<p>Southwest winds fifteen to twenty knots becoming west after
+midnight, seas three to five feet with a long southerly swell, and
+patchy fog lifting before dawn.</p>
+<h2>Tomorrow</h2>
+<p>West winds ten knots backing light and variable by afternoon,
+seas subsiding to two feet, with visibility unrestricted and a
+small-craft-friendly evening.</p>
+</article></main>
+<div class="zones"><a href="/z/150">Zone 150</a>
+<a href="/z/152">Zone 152</a> <a href="/z/154">Zone 154</a></div>
+{_FOOTER}</body></html>""",
+        ["Coastal waters forecast, harbor approaches",
+         "Tonight",
+         "Southwest winds fifteen to twenty knots becoming west "
+         "after midnight, seas three to five feet with a long "
+         "southerly swell, and patchy fog lifting before dawn.",
+         "Tomorrow",
+         "West winds ten knots backing light and variable by "
+         "afternoon, seas subsiding to two feet, with visibility "
+         "unrestricted and a small-craft-friendly evening."],
+    ),
+    # 135. auction catalog lot: description and provenance are
+    # content; the bidding widget is chrome.
+    _page(
+        "auction_lot",
+        f"""<html><body><header><h1>Harbor Auctions</h1>{_NAV}</header>
+<main><article>
+<h1>Lot 47: ship portrait of the schooner Meridian</h1>
+<p>Oil on canvas, signed lower right and dated, showing the schooner
+close-hauled off the lighthouse with the pilot cutter standing by;
+original carved frame with old gilding.</p>
+<h2>Provenance</h2>
+<p>From the estate of the builder's granddaughter, by descent in the
+family since the launch, and exhibited once at the maritime museum's
+centenary show.</p>
+</article></main>
+<div class="bidding"><a href="/bid">Place bid</a>
+<a href="/watch">Watch lot</a> <a href="/terms">Buyer terms</a></div>
+{_FOOTER}</body></html>""",
+        ["Lot 47: ship portrait of the schooner Meridian",
+         "Oil on canvas, signed lower right and dated, showing the "
+         "schooner close-hauled off the lighthouse with the pilot "
+         "cutter standing by; original carved frame with old gilding.",
+         "Provenance",
+         "From the estate of the builder's granddaughter, by descent "
+         "in the family since the launch, and exhibited once at the "
+         "maritime museum's centenary show."],
+    ),
+    # 136. election results: the returns DATA table and the summary
+    # paragraph are content; the precinct navigation is chrome.
+    _page(
+        "election_results",
+        f"""<html><body><header><h1>County Clerk</h1>{_NAV}</header>
+<main><article>
+<h1>Harbor district council seat, certified returns</h1>
+<p>All twelve precincts reporting; turnout reached forty one percent
+of registered voters, the highest for an off-year council race in
+two decades.</p>
+<table class="returns"><caption>Certified totals</caption>
+<tr><th>Candidate</th><th>Votes</th><th>Share</th></tr>
+<tr><td>Alvarez</td><td>Four thousand ninety</td>
+<td>Fifty two percent</td></tr>
+<tr><td>Chen</td><td>Three thousand seven hundred</td>
+<td>Forty seven percent</td></tr>
+</table>
+</article></main>
+<div class="precincts"><a href="/p/1">Precinct maps</a>
+<a href="/audit">Audit trail</a> <a href="/past">Past results</a></div>
+{_FOOTER}</body></html>""",
+        ["Harbor district council seat, certified returns",
+         "All twelve precincts reporting; turnout reached forty one "
+         "percent of registered voters, the highest for an off-year "
+         "council race in two decades.",
+         "Certified totals", "Candidate", "Votes", "Share",
+         "Alvarez", "Four thousand ninety", "Fifty two percent",
+         "Chen", "Three thousand seven hundred", "Forty seven percent"],
+    ),
+    # 137. church bulletin: notices are content; the giving links are
+    # chrome.
+    _page(
+        "church_bulletin",
+        f"""<html><body><header><h1>Seamen's Chapel</h1>{_NAV}</header>
+<main><article>
+<h1>Parish notices for the second week of the month</h1>
+<p>The blessing of the fleet moves to the town pier this year, and
+skippers who want their boats included should arrive by nine so the
+procession can walk the full float line.</p>
+<p>The winter clothing drive continues through the month; sea boots
+and wool in any condition are welcome, and the mending circle meets
+Wednesday to patch what can be patched.</p>
+</article></main>
+<div class="giving"><a href="/give">Give online</a>
+<a href="/pledge">Pledge card</a></div>
+{_FOOTER}</body></html>""",
+        ["Parish notices for the second week of the month",
+         "The blessing of the fleet moves to the town pier this "
+         "year, and skippers who want their boats included should "
+         "arrive by nine so the procession can walk the full float "
+         "line.",
+         "The winter clothing drive continues through the month; sea "
+         "boots and wool in any condition are welcome, and the "
+         "mending circle meets Wednesday to patch what can be "
+         "patched."],
+    ),
+    # 138. release diff notes: prose plus a pre/code block of config
+    # changes is content (the code_article convention); the version
+    # switcher is chrome.
+    _page(
+        "release_diff_notes",
+        f"""<html><body><header><h1>TideChart Docs</h1>{_NAV}</header>
+<main><article>
+<h1>Upgrading from 3.1: configuration changes</h1>
+<p>The chart cache moved out of the user directory, and two renamed
+keys must change in every config file before first launch.</p>
+<pre><code>- cache_dir = ~/.tidechart/cache
++ cache_dir = /var/cache/tidechart
+- offline = true
++ packs.offline = true</code></pre>
+<p>The migration tool rewrites both keys in place and keeps a backup
+beside the original file.</p>
+</article></main>
+<div class="versions"><a href="/v/3.1">3.1 docs</a>
+<a href="/v/3.2">3.2 docs</a></div>
+{_FOOTER}</body></html>""",
+        ["Upgrading from 3.1: configuration changes",
+         "The chart cache moved out of the user directory, and two "
+         "renamed keys must change in every config file before first "
+         "launch.",
+         "- cache_dir = ~/.tidechart/cache "
+         "+ cache_dir = /var/cache/tidechart "
+         "- offline = true "
+         "+ packs.offline = true",
+         "The migration tool rewrites both keys in place and keeps a "
+         "backup beside the original file."],
+    ),
 ]
 
 
