@@ -50,6 +50,8 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
                 payload = gzip.decompress(payload)
             except (OSError, EOFError):
                 return "invalid", [], "gzip: corrupt stream"
+        if payload[:4] == b"PK\x03\x04":
+            return _extract_office(payload)
         if pdfmod.is_pdf(payload):
             blocks = pdfmod.extract_pdf_blocks(payload)
             spans = [
@@ -112,6 +114,48 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
         return "invalid", [], "payload is neither PDF nor valid UTF-8"
     except Exception as e:  # per-row isolation: never kill the task
         return "invalid", [], f"extract error: {type(e).__name__}: {e}"
+
+
+def _extract_office(payload: bytes) -> tuple[str, list[dict], str]:
+    """DOCX/EPUB zip containers (stages/office.py). DOCX paragraphs
+    take the PDF span convention (documents carry no chrome); EPUB
+    chapters flow through the SAME html segment+score chain as web
+    pages, concatenated in spine order."""
+    from nidaba_ray.stages import office
+
+    kind = office.sniff_office(payload)
+    if kind == "docx":
+        paras = office.extract_docx_paragraphs(payload)
+        spans = [
+            {
+                "block_id": i,
+                "kind": "docx",
+                "depth": 0,
+                "text_density": float(len(t)),
+                "link_density": 0.0,
+                "score": float(len(t)),
+                "text": sanitize(t),
+                "start": -1,
+                "end": -1,
+            }
+            for i, t in enumerate(paras)
+        ]
+        if not spans:
+            return "docx", [], "docx: no visible text"
+        return "docx", spans, ""
+    if kind == "epub":
+        spans: list[dict] = []
+        for chapter in office.epub_chapters(payload):
+            ck, cspans, cerr = extract_row(chapter)
+            if cerr or ck != "html":
+                continue  # cover images / nav docs: skip, keep prose
+            for s in cspans:
+                s["block_id"] = len(spans)
+                spans.append(s)
+        if not spans:
+            return "epub", [], "epub: no text blocks in any chapter"
+        return "epub", spans, ""
+    return "invalid", [], "unrecognized zip container (not docx/epub)"
 
 
 class ExtractCandidates:

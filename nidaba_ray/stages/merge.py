@@ -71,11 +71,11 @@ def vote_row(
     if n_blocks == 0:
         return "", [], [{"stage": "extract", "variant": "empty"}], 0, 0
     scores = np.fromiter((s["score"] for s in spans), dtype=np.float64, count=n_blocks)
-    if payload_kind == "pdf":
+    if payload_kind in ("pdf", "docx"):
         # The layout parse already yields content blocks only — a PDF
-        # page has no DOM chrome to binarize away; both variants keep
-        # everything (nidaba likewise binarizes *images*, not the
-        # recognizer's own output).
+        # page (or a DOCX body, round 5) has no DOM chrome to binarize
+        # away; both variants keep everything (nidaba likewise
+        # binarizes *images*, not the recognizer's own output).
         keep_a = scores >= 0
         keep_b = keep_a
         keep_c = keep_a

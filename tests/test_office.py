@@ -1,0 +1,162 @@
+"""DOCX/EPUB container extraction: hand-built zips (stdlib writers),
+entity/run/tab handling, spine ordering, the extract_row dispatch
+(incl. gzip-wrapped containers), chrome handling on EPUB chapters,
+and quarantine on malformed zips."""
+from __future__ import annotations
+
+import gzip
+import io
+import zipfile
+
+import pytest
+
+from nidaba_ray.stages.extract import extract_row
+from nidaba_ray.stages.merge import vote_row
+from nidaba_ray.stages.office import (
+    epub_chapters,
+    extract_docx_paragraphs,
+    sniff_office,
+)
+
+
+def make_docx(paragraph_xml: list[str]) -> bytes:
+    body = "".join(paragraph_xml)
+    doc = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main"><w:body>'
+           f"{body}</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("word/document.xml", doc)
+    return buf.getvalue()
+
+
+def _p(*runs: str) -> str:
+    inner = "".join(f"<w:r><w:t>{r}</w:t></w:r>" for r in runs)
+    return f"<w:p>{inner}</w:p>"
+
+
+def make_epub(chapters: dict[str, str], spine: list[str],
+              subdir: str = "OEBPS") -> bytes:
+    items = "".join(
+        f'<item id="{cid}" href="{cid}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for cid in chapters
+    ) + '<item id="cover" href="cover.png" media-type="image/png"/>'
+    refs = "".join(f'<itemref idref="{cid}"/>' for cid in spine)
+    opf = ('<?xml version="1.0"?><package xmlns="http://www.idpf.org/'
+           f'2007/opf"><manifest>{items}</manifest>'
+           f"<spine>{refs}</spine></package>")
+    container = ('<?xml version="1.0"?><container><rootfiles>'
+                 f'<rootfile full-path="{subdir}/content.opf" '
+                 'media-type="application/oebps-package+xml"/>'
+                 "</rootfiles></container>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/epub+zip")
+        z.writestr("META-INF/container.xml", container)
+        z.writestr(f"{subdir}/content.opf", opf)
+        z.writestr(f"{subdir}/cover.png", b"\x89PNG fake")
+        for cid, html in chapters.items():
+            z.writestr(f"{subdir}/{cid}.xhtml", html)
+    return buf.getvalue()
+
+
+def test_docx_paragraphs_runs_entities_tabs():
+    payload = make_docx([
+        _p("Hello ", "world"),
+        "<w:p><w:r><w:t>tab</w:t></w:r><w:tab/><w:r><w:t>sep</w:t>"
+        "</w:r></w:p>",
+        _p("a &amp; b &lt;tag&gt;"),
+        '<w:p><w:r><w:t xml:space="preserve"> kept </w:t></w:r></w:p>',
+        "<w:p/>",          # empty paragraph: skipped
+        _p(""),
+    ])
+    assert sniff_office(payload) == "docx"
+    assert extract_docx_paragraphs(payload) == [
+        "Hello world", "tab sep", "a & b <tag>", "kept"]
+
+
+def test_docx_through_extract_row_and_vote():
+    payload = make_docx([_p("First paragraph of the memo."),
+                         _p("Second paragraph, all content.")])
+    kind, spans, err = extract_row(payload)
+    assert (kind, err) == ("docx", "")
+    final, kept, _prov, nb, nk = vote_row(spans, None, kind, "en")
+    assert nb == nk == 2    # docx keeps everything (no chrome)
+    assert final == ("First paragraph of the memo. "
+                     "Second paragraph, all content.")
+    # gzip-wrapped container: the sniff chain inflates first
+    kind2, spans2, err2 = extract_row(gzip.compress(payload))
+    assert (kind2, err2) == ("docx", "") and len(spans2) == 2
+
+
+CH1 = ("<html><body><nav><a href='/toc'>Contents</a></nav>"
+       "<p>Chapter one opens on the harbor at dawn, with the fleet "
+       "still sleeping against the pilings.</p></body></html>")
+CH2 = ("<html><body><p>Chapter two follows the pilot out past the "
+       "ledges before the fog lifts.</p></body></html>")
+
+
+def test_epub_spine_order_and_extraction():
+    # manifest lists c2 before c1; the SPINE decides the order
+    payload = make_epub({"c2": CH2, "c1": CH1}, spine=["c1", "c2"])
+    assert sniff_office(payload) == "epub"
+    assert [b"Chapter one" in c for c in epub_chapters(payload)] == [
+        True, False]
+    kind, spans, err = extract_row(payload)
+    assert (kind, err) == ("epub", "")
+    final, kept, _prov, nb, nk = vote_row(spans, None, kind, "en")
+    # the chapter nav is chrome and drops; both prose paragraphs stay
+    assert "Chapter one opens on the harbor" in final
+    assert "Chapter two follows the pilot" in final
+    assert "Contents" not in final
+    assert final.index("Chapter one") < final.index("Chapter two")
+
+
+def test_epub_ignores_non_html_spine_entries():
+    # a spine idref pointing at the PNG: chapter skipped, prose kept
+    payload = make_epub({"c1": CH1}, spine=["c1", "cover"])
+    kind, spans, err = extract_row(payload)
+    assert (kind, err) == ("epub", "")
+
+
+def test_malformed_and_unknown_zip_quarantine():
+    kind, _, err = extract_row(b"PK\x03\x04 not a real zip")
+    assert kind == "invalid" and err
+    # a zip that is neither docx nor epub
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("data.txt", "hello")
+    kind, _, err = extract_row(buf.getvalue())
+    assert kind == "invalid" and "zip" in err
+    # docx with corrupt inner xml payload still quarantines per row
+    broken = make_docx([_p("x")])[:80]
+    kind, _, err = extract_row(broken)
+    assert kind == "invalid" and err
+    # epub with an empty spine
+    with pytest.raises(ValueError):
+        epub_chapters(make_epub({"c1": CH1}, spine=[]))
+
+
+def test_office_pipeline_end_to_end(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from nidaba_ray.pipelines.extract import extract_pipeline
+
+    pages = pa.table({
+        "url": pa.array(["d1", "e1"], pa.string()),
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "html": pa.array([
+            make_docx([_p("A memo body that is long enough to keep.")]),
+            make_epub({"c1": CH1}, spine=["c1"]),
+        ], pa.binary()),
+    })
+    out = extract_pipeline(rd.from_arrow(pages)).to_pandas()
+    out = out.sort_values("doc_id")
+    assert out["error"].tolist() == ["", ""]
+    assert "memo body" in out["text"].iloc[0]
+    assert "Chapter one opens" in out["text"].iloc[1]
