@@ -107,6 +107,31 @@ def extract_documents_pdf6(sf_dir: str) -> rd.Dataset:
     )
 
 
+def extract_documents_docx(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate with the dialect-slot docs packaged as
+    DOCX (synth.make_docx: WordprocessingML runs with preserved
+    spaces) — proves the zip-container extraction (stages/office.py)
+    preserves the identity. Off the 50-entry driver surface; pinned
+    against EXTRACT_SQL in tests/test_oracle_conformance.py."""
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="docx")
+    return extract_pipeline(pages, spell=False).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
+
+
+def extract_documents_epub(sf_dir: str) -> rd.Dataset:
+    """Same byte-identity gate with the dialect-slot docs packaged as
+    EPUB (synth.make_epub: multi-chapter spine, chrome-wrapped
+    chapters) — the chapters flow through the html segment+score
+    chain, so this also proves publisher chrome drops without
+    touching content. Off the 50-entry driver surface; pinned against
+    EXTRACT_SQL in tests/test_oracle_conformance.py."""
+    pages = pages_dataset_from_documents(sf_dir, pdf_variant="epub")
+    return extract_pipeline(pages, spell=False).map_batches(
+        _project_identity, batch_format="pyarrow"
+    )
+
+
 def extract_documents_gzip(sf_dir: str) -> rd.Dataset:
     """Same byte-identity gate with HTML payloads per-record gzipped
     (the CC WARC convention) — proves the transparent-inflate sniff in

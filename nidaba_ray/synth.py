@@ -110,6 +110,93 @@ def make_html(doc_id: int, text: str, lang: str) -> bytes:
     ).encode("utf-8")
 
 
+def _zip_add(z, name: str, data: bytes, stored: bool = False) -> None:
+    """Deterministic zip member (fixed timestamp — zipfile stamps
+    NOW() by default, which would break byte-identity across runs)."""
+    import zipfile
+
+    info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+    info.compress_type = (zipfile.ZIP_STORED if stored
+                          else zipfile.ZIP_DEFLATED)
+    z.writestr(info, data)
+
+
+def make_docx(doc_id: int, text: str) -> bytes:
+    """OOXML WordprocessingML container: one ``<w:p>`` per paragraph,
+    text split into 1-3 ``<w:t xml:space="preserve">`` runs at
+    deterministic word boundaries (trailing spaces ride the runs), so
+    extraction is the identity on ``text``."""
+    import html as _html
+    import io
+    import zipfile
+
+    parts = []
+    for i, p in enumerate(paragraphs_for(doc_id, text)):
+        words = p.split(" ")
+        k = 1 + (doc_id + i) % 3
+        step = max(1, -(-len(words) // k))
+        runs = [" ".join(words[j:j + step])
+                for j in range(0, len(words), step)]
+        xml_runs = []
+        for r_i, r in enumerate(runs):
+            t = _html.escape(r + (" " if r_i < len(runs) - 1 else ""))
+            xml_runs.append(
+                f'<w:r><w:t xml:space="preserve">{t}</w:t></w:r>')
+        parts.append("<w:p>" + "".join(xml_runs) + "</w:p>")
+    doc = ('<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+           '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+           'wordprocessingml/2006/main"><w:body>'
+           + "".join(parts) + "</w:body></w:document>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_add(z, "[Content_Types].xml", b"<Types/>")
+        _zip_add(z, "word/document.xml", doc.encode("utf-8"))
+    return buf.getvalue()
+
+
+def make_epub(doc_id: int, text: str, lang: str = "en") -> bytes:
+    """EPUB/OCF container: the paragraphs split across 1-3 spine
+    chapters, each chapter the SAME chrome-wrapped page template as
+    make_html (publisher nav/footer must drop like site chrome), so
+    extraction is the identity on ``text``."""
+    import html as _html
+    import io
+    import zipfile
+
+    paras = paragraphs_for(doc_id, text)
+    n_ch = min(1 + doc_id % 3, len(paras)) or 1
+    per = -(-len(paras) // n_ch)
+    chapters = [paras[i:i + per] for i in range(0, len(paras), per)]
+    items, refs, files = [], [], []
+    for c, ch_paras in enumerate(chapters):
+        rng = random.Random(f"epub-{SEED}-{doc_id}-{c}")
+        header, aside, footer = _chrome(rng, host_for(doc_id))
+        body = "".join(f"<p>{_html.escape(p)}</p>" for p in ch_paras)
+        html = (f'<!DOCTYPE html><html lang="{lang}"><head>'
+                f"<title>ch {c}</title></head><body>{header}"
+                f"<main><article>{body}</article></main>{aside}{footer}"
+                "</body></html>")
+        items.append(f'<item id="c{c}" href="c{c}.xhtml" '
+                     'media-type="application/xhtml+xml"/>')
+        refs.append(f'<itemref idref="c{c}"/>')
+        files.append((f"OEBPS/c{c}.xhtml", html.encode("utf-8")))
+    opf = ('<?xml version="1.0"?><package xmlns="http://www.idpf.org/'
+           f'2007/opf"><manifest>{"".join(items)}</manifest>'
+           f'<spine>{"".join(refs)}</spine></package>')
+    container = ('<?xml version="1.0"?><container><rootfiles>'
+                 '<rootfile full-path="OEBPS/content.opf" '
+                 'media-type="application/oebps-package+xml"/>'
+                 "</rootfiles></container>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_add(z, "mimetype", b"application/epub+zip", stored=True)
+        _zip_add(z, "META-INF/container.xml", container.encode())
+        _zip_add(z, "OEBPS/content.opf", opf.encode())
+        for name, data in files:
+            _zip_add(z, name, data)
+    return buf.getvalue()
+
+
 def pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
@@ -644,6 +731,10 @@ def make_page(doc_id: int, text: str, lang: str,
                 # R6's Algorithm-2.B hash is intentionally ~1s/doc and
                 # stays a single-doc unit test
                 "aes256r5": lambda d, t: make_pdf_aes256(d, t, rev=5),
+                # the zip-container document formats ride the same
+                # dialect slot (round-5: DOCX/EPUB extraction)
+                "docx": make_docx,
+                "epub": make_epub,
                 }[pdf_variant](doc_id, text)
     else:
         html = make_html(doc_id, text, lang)

@@ -82,6 +82,8 @@ def test_query_matches_oracle(name, ray_session, oracle_con):
     "extract_documents_pdf4",   # RC4 V2/R3
     "extract_documents_pdf5",   # AES-128 V4/R4 /AESV2
     "extract_documents_pdf6",   # AES-256 V5/R5 /AESV3
+    "extract_documents_docx",   # OOXML zip container (round 5)
+    "extract_documents_epub",   # EPUB/OCF multi-chapter container
 ])
 def test_encrypted_dialects_match_oracle(ray_session, oracle_con, qname):
     """The encrypted PDF dialects (off the 50-entry driver surface)
