@@ -52,6 +52,8 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
                 return "invalid", [], "gzip: corrupt stream"
         if payload[:4] == b"PK\x03\x04":
             return _extract_office(payload)
+        if payload[:5] == b"{\\rtf":
+            return _extract_rtf(payload)
         if pdfmod.is_pdf(payload):
             blocks = pdfmod.extract_pdf_blocks(payload)
             spans = [
@@ -116,6 +118,35 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
         return "invalid", [], f"extract error: {type(e).__name__}: {e}"
 
 
+def _doc_spans(paras: list[str], kind: str) -> list[dict]:
+    """Paragraph texts → spans in the PDF no-chrome convention."""
+    return [
+        {
+            "block_id": i,
+            "kind": kind,
+            "depth": 0,
+            "text_density": float(len(t)),
+            "link_density": 0.0,
+            "score": float(len(t)),
+            "text": sanitize(t),
+            "start": -1,
+            "end": -1,
+        }
+        for i, t in enumerate(paras)
+    ]
+
+
+def _extract_rtf(payload: bytes) -> tuple[str, list[dict], str]:
+    """RTF documents (stages/office.py scanner) — the PDF no-chrome
+    span convention, like DOCX."""
+    from nidaba_ray.stages import office
+
+    spans = _doc_spans(office.extract_rtf_paragraphs(payload), "rtf")
+    if not spans:
+        return "rtf", [], "rtf: no visible text"
+    return "rtf", spans, ""
+
+
 def _extract_office(payload: bytes) -> tuple[str, list[dict], str]:
     """DOCX/EPUB zip containers (stages/office.py). DOCX paragraphs
     take the PDF span convention (documents carry no chrome); EPUB
@@ -125,24 +156,15 @@ def _extract_office(payload: bytes) -> tuple[str, list[dict], str]:
 
     kind = office.sniff_office(payload)
     if kind == "docx":
-        paras = office.extract_docx_paragraphs(payload)
-        spans = [
-            {
-                "block_id": i,
-                "kind": "docx",
-                "depth": 0,
-                "text_density": float(len(t)),
-                "link_density": 0.0,
-                "score": float(len(t)),
-                "text": sanitize(t),
-                "start": -1,
-                "end": -1,
-            }
-            for i, t in enumerate(paras)
-        ]
+        spans = _doc_spans(office.extract_docx_paragraphs(payload), "docx")
         if not spans:
             return "docx", [], "docx: no visible text"
         return "docx", spans, ""
+    if kind == "odt":
+        spans = _doc_spans(office.extract_odt_paragraphs(payload), "odt")
+        if not spans:
+            return "odt", [], "odt: no visible text"
+        return "odt", spans, ""
     if kind == "epub":
         spans: list[dict] = []
         for chapter in office.epub_chapters(payload):
@@ -155,7 +177,7 @@ def _extract_office(payload: bytes) -> tuple[str, list[dict], str]:
         if not spans:
             return "epub", [], "epub: no text blocks in any chapter"
         return "epub", spans, ""
-    return "invalid", [], "unrecognized zip container (not docx/epub)"
+    return "invalid", [], "unrecognized zip container (not docx/epub/odt)"
 
 
 class ExtractCandidates:

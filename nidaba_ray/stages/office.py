@@ -29,9 +29,11 @@ import zipfile
 from html import unescape
 
 __all__ = ["ZIP_MAGIC", "sniff_office", "extract_docx_paragraphs",
-           "epub_chapters"]
+           "epub_chapters", "extract_odt_paragraphs",
+           "extract_rtf_paragraphs", "is_rtf"]
 
 ZIP_MAGIC = b"PK\x03\x04"
+RTF_MAGIC = b"{\\rtf"
 
 _WP_RE = re.compile(rb"<w:p[ >].*?</w:p>|<w:p/>", re.S)
 _WT_RE = re.compile(rb"<w:t(?: [^>]*)?>(.*?)</w:t>|<w:(?:tab|br)\s*/>",
@@ -58,6 +60,8 @@ def sniff_office(payload: bytes) -> str | None:
         return "docx"
     if "META-INF/container.xml" in names:
         return "epub"
+    if "content.xml" in names:
+        return "odt"
     return None
 
 
@@ -80,6 +84,132 @@ def extract_docx_paragraphs(payload: bytes) -> list[str]:
         if text:
             out.append(text)
     return out
+
+
+_ODT_P_RE = re.compile(rb"<text:[ph][^>]*>.*?</text:[ph]>", re.S)
+# group 1 = a <text:s …/> run-of-spaces element (NOT <text:span> — the
+# alternation requires /> or whitespace right after the name), group 2
+# = tab/line-break, group 3 = a text node
+_ODT_TOK_RE = re.compile(
+    rb"(<text:s(?:/>|\s[^>]*/>))"
+    rb"|(<text:(?:tab|line-break)\s*/>)"
+    rb"|<[^>]+>"
+    rb"|([^<]+)", re.S)
+_ODT_SC_RE = re.compile(rb"text:c\s*=\s*[\"'](\d+)[\"']")
+
+
+def extract_odt_paragraphs(payload: bytes) -> list[str]:
+    """ODT (OpenDocument text) bytes → visible paragraph texts.
+    ``<text:p>``/``<text:h>`` elements; ``<text:s text:c="n"/>`` is a
+    run of n spaces, ``<text:tab/>``/``<text:line-break/>`` contribute
+    a space; nested spans keep their text, other markup strips."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            doc = z.read("content.xml")
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError) as e:
+        raise ValueError(f"odt: {e}") from None
+    out = []
+    for pm in _ODT_P_RE.finditer(doc):
+        parts = []
+        for m in _ODT_TOK_RE.finditer(pm.group(0)):
+            if m.group(3) is not None:          # text run
+                parts.append(unescape(m.group(3).decode("utf-8")))
+            elif m.group(1) is not None:        # explicit spaces
+                cm = _ODT_SC_RE.search(m.group(1))
+                parts.append(" " * int(cm.group(1) if cm else 1))
+            elif m.group(2) is not None:        # tab / line break
+                parts.append(" ")
+        text = "".join(parts).strip()
+        if text:
+            out.append(text)
+    return out
+
+
+def is_rtf(payload: bytes) -> bool:
+    return payload[:5] == RTF_MAGIC
+
+
+_RTF_TOK_RE = re.compile(
+    rb"\\'([0-9a-fA-F]{2})"          # hex escape
+    rb"|\\([a-z]+)(-?\d+)? ?"        # control word + optional param
+    rb"|\\([^a-z])"                  # control symbol (\{ \} \\ \~ …)
+    rb"|([{}])"                      # group delimiters
+    rb"|([^\\{}]+)", re.S)
+
+# destinations whose content is not body text (spec: readers must
+# skip unknown destinations marked \*; these are the common ones)
+_RTF_SKIP = {b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+             b"header", b"footer", b"footnote", b"annotation", b"field",
+             b"object", b"themedata", b"listtable", b"listoverridetable"}
+
+
+def extract_rtf_paragraphs(payload: bytes,
+                           encoding: str = "cp1252") -> list[str]:
+    """RTF bytes → visible paragraph texts: group-aware scan with
+    destination skipping, ``\\par``/``\\line`` breaks, hex and symbol
+    escapes, ``\\u<n>?`` unicode words (with the substitute byte
+    consumed)."""
+    if not is_rtf(payload):
+        raise ValueError("rtf: missing {\\rtf header")
+    paras: list[str] = []
+    cur: list[str] = []
+    depth = 0
+    skip_until: int | None = None    # skip while depth > this
+    pending_uskip = 0
+
+    def flush() -> None:
+        text = "".join(cur).strip()
+        if text:
+            paras.append(text)
+        cur.clear()
+
+    for m in _RTF_TOK_RE.finditer(payload):
+        if m.group(5):                      # { or }
+            depth += 1 if m.group(5) == b"{" else -1
+            if skip_until is not None and depth <= skip_until:
+                skip_until = None
+            continue
+        if skip_until is not None:
+            continue
+        if m.group(1) is not None:          # \'hh
+            if pending_uskip:
+                pending_uskip -= 1
+                continue
+            cur.append(bytes([int(m.group(1), 16)]).decode(
+                encoding, "replace"))
+        elif m.group(2) is not None:        # control word
+            word, param = m.group(2), m.group(3)
+            if word in _RTF_SKIP:
+                skip_until = depth - 1
+            elif word == b"par":
+                flush()
+            elif word in (b"line", b"tab", b"cell"):
+                cur.append(" ")
+            elif word == b"u":
+                cp = int(param or 0)
+                cur.append(chr(cp + 65536 if cp < 0 else cp))
+                pending_uskip = 1           # eat the fallback char
+            elif word in (b"row", b"sect", b"page"):
+                flush()
+        elif m.group(4) is not None:        # control symbol
+            sym = m.group(4)
+            if sym in b"\\{}":
+                cur.append(sym.decode("ascii"))
+            elif sym == b"~":
+                cur.append("\u00a0")  # \~ IS the non-breaking space
+            elif sym == b"*":
+                skip_until = depth - 1      # \* marks a destination
+        else:                               # plain text
+            if pending_uskip:
+                pending_uskip = 0
+                txt = m.group(6).replace(b"\r", b"").replace(b"\n", b"")
+                txt = txt[1:]               # the \u substitute char
+            else:
+                txt = m.group(6).replace(b"\r", b"").replace(b"\n", b"")
+            if txt:
+                cur.append(txt.decode(encoding, "replace"))
+    flush()
+    return paras
 
 
 def epub_chapters(payload: bytes) -> list[bytes]:

@@ -160,3 +160,77 @@ def test_office_pipeline_end_to_end(ray_session):
     assert out["error"].tolist() == ["", ""]
     assert "memo body" in out["text"].iloc[0]
     assert "Chapter one opens" in out["text"].iloc[1]
+
+
+def make_odt(paragraph_xml: list[str]) -> bytes:
+    content = ('<?xml version="1.0"?><office:document-content '
+               'xmlns:office="urn:oasis" xmlns:text="urn:text">'
+               "<office:body><office:text>"
+               + "".join(paragraph_xml)
+               + "</office:text></office:body></office:document-content>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("mimetype", "application/vnd.oasis.opendocument.text")
+        z.writestr("content.xml", content)
+    return buf.getvalue()
+
+
+def test_odt_paragraphs_and_dispatch():
+    from nidaba_ray.stages.office import extract_odt_paragraphs
+
+    payload = make_odt([
+        "<text:p>Plain paragraph text.</text:p>",
+        '<text:h text:outline-level="1">A heading</text:h>',
+        "<text:p>spans <text:span text:style-name=\"T1\">inside</text:span>"
+        " kept</text:p>",
+        '<text:p>gap<text:s text:c="3"/>wide, tab<text:tab/>sep, '
+        "ent &amp; ity</text:p>",
+        "<text:p></text:p>",
+    ])
+    assert sniff_office(payload) == "odt"
+    assert extract_odt_paragraphs(payload) == [
+        "Plain paragraph text.", "A heading", "spans inside kept",
+        "gap   wide, tab sep, ent & ity"]
+    kind, spans, err = extract_row(payload)
+    assert (kind, err) == ("odt", "")
+    final, kept, _p, nb, nk = vote_row(spans, None, kind, "en")
+    assert nb == nk == 4 and final.startswith("Plain paragraph")
+
+
+def test_rtf_paragraphs_and_dispatch():
+    from nidaba_ray.stages.office import extract_rtf_paragraphs
+
+    rtf = (rb"{\rtf1\ansi{\fonttbl{\f0 Times;}}{\colortbl;\red0;}"
+           rb"{\info{\title secret}}"
+           rb"First paragraph body.\par"
+           rb"Escapes: 50\'25 off, braces \{x\}, tilde\~space\par"
+           rb"Unicode: \u233?clair and \u8212?dash\par"
+           rb"{\*\unknowndest hidden stuff}Tail after skip.\par}")
+    paras = extract_rtf_paragraphs(rtf)
+    assert paras == [
+        "First paragraph body.",
+        "Escapes: 50% off, braces {x}, tilde\u00a0space",
+        "Unicode: éclair and —dash",
+        "Tail after skip.",
+    ]
+    kind, spans, err = extract_row(rtf)
+    assert (kind, err) == ("rtf", "")
+    final, kept, _p, nb, nk = vote_row(spans, None, kind, "en")
+    assert nb == nk == 4
+    # table rows flush via \row; \line is a soft break (space)
+    assert extract_rtf_paragraphs(
+        rb"{\rtf1 cell one\cell cell two\row after\par}") == [
+        "cell one cell two", "after"]
+    assert extract_rtf_paragraphs(
+        rb"{\rtf1 soft\line break\par}") == ["soft break"]
+    with pytest.raises(ValueError):
+        extract_rtf_paragraphs(b"not rtf at all")
+
+
+def test_odt_rtf_gzip_and_quarantine():
+    payload = make_odt(["<text:p>Zipped text survives gzip.</text:p>"])
+    kind, spans, err = extract_row(gzip.compress(payload))
+    assert (kind, err) == ("odt", "") and len(spans) == 1
+    # an empty-body odt quarantines with a reason
+    kind, _, err = extract_row(make_odt(["<text:p></text:p>"]))
+    assert kind == "odt" and "no visible text" in err
