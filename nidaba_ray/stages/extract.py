@@ -74,15 +74,25 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
                 return "pdf", [], "pdf: no text operators found"
             return "pdf", spans, ""
         # HTML path: strict decode first — payloads that are neither PDF
-        # nor valid UTF-8 text are quarantined (latin-1 fallback below
-        # requires unambiguous html structure).
+        # nor valid UTF-8 text are quarantined (declared-charset and
+        # latin-1 fallbacks below require the page to identify itself:
+        # a meta/xml charset declaration, or unambiguous html structure).
         try:
             text = payload.decode("utf-8")
         except UnicodeDecodeError:
-            text = payload.decode("latin-1")
-            low512 = text[:512].lower()
-            if "<html" not in low512 and "<!doctype" not in low512:
-                return "invalid", [], "payload is neither PDF nor valid UTF-8"
+            text = None
+            cs = _sniff_charset(payload[:2048])
+            if cs:
+                try:
+                    text = payload.decode(cs)
+                except (UnicodeDecodeError, LookupError):
+                    text = None
+            if text is None:
+                text = payload.decode("latin-1")
+                low512 = text[:512].lower()
+                if "<html" not in low512 and "<!doctype" not in low512:
+                    return ("invalid", [],
+                            "payload is neither PDF nor valid UTF-8")
         low = text[:512].lower()
         if "<" not in text:
             return "invalid", [], "payload is not markup"
@@ -116,6 +126,45 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
         return "invalid", [], "payload is neither PDF nor valid UTF-8"
     except Exception as e:  # per-row isolation: never kill the task
         return "invalid", [], f"extract error: {type(e).__name__}: {e}"
+
+
+import re as _re
+
+# <meta charset=…> / http-equiv Content-Type / XML declaration — the
+# three places a legacy page declares its encoding
+_CHARSET_RE = _re.compile(
+    rb"""(?i)(?:charset|encoding)\s*=\s*["']?\s*([a-z0-9_:.\-]+)""")
+
+# allowlist of legacy web charsets (codecs.lookup on arbitrary
+# attacker-controlled names would accept bytes-to-bytes and escape
+# codecs — never decode through an unlisted name)
+_WEB_CHARSETS = {
+    "windows-1250", "windows-1251", "windows-1252", "windows-1253",
+    "windows-1254", "windows-1255", "windows-1256", "windows-1257",
+    "windows-1258", "cp1250", "cp1251", "cp1252", "cp1253", "cp1254",
+    "cp1255", "cp1256", "cp1257", "cp1258",
+    "iso-8859-1", "iso-8859-2", "iso-8859-3", "iso-8859-4",
+    "iso-8859-5", "iso-8859-6", "iso-8859-7", "iso-8859-8",
+    "iso-8859-9", "iso-8859-10", "iso-8859-13", "iso-8859-14",
+    "iso-8859-15", "iso-8859-16", "latin-1", "latin1",
+    "koi8-r", "koi8-u", "shift_jis", "shift-jis", "sjis", "cp932",
+    "euc-jp", "euc-kr", "cp949", "gbk", "gb2312", "gb18030", "big5",
+    "tis-620", "windows-874", "cp874", "ascii", "us-ascii",
+}
+
+
+def _sniff_charset(head: bytes) -> str | None:
+    """The page's declared legacy charset, or None. utf-8 returns None
+    (the strict default already tried it); unlisted names return None
+    (quarantine via the latin-1 marker gate instead of decoding
+    through an unknown codec)."""
+    m = _CHARSET_RE.search(head)
+    if not m:
+        return None
+    name = m.group(1).decode("ascii", "replace").lower().strip(".")
+    if name in ("utf-8", "utf8"):
+        return None
+    return name if name in _WEB_CHARSETS else None
 
 
 def _doc_spans(paras: list[str], kind: str) -> list[dict]:

@@ -165,3 +165,40 @@ def test_pdf_length_regex_indirect_refs():
     # backtracking bug used to capture the digit prefix b"1"
     assert _LENGTH_RE.search(b"<< /Length 15 0 R /Filter /FlateDecode >>") is None
     assert _LENGTH_RE.search(b"<< /Length 7 0 R >>") is None
+
+
+def test_declared_charset_decode():
+    from nidaba_ray.stages.extract import extract_row
+
+    """Legacy-encoding pages that declare their charset decode through
+    it (round 5): cp1251 Cyrillic, Shift-JIS Japanese; an unlisted or
+    lying declaration falls back to the latin-1 marker gate."""
+    ru = ("<html><head><meta charset=windows-1251></head><body>"
+          "<p>Совет одобрил новый бюджет после долгих прений в зале "
+          "у гавани сегодня вечером.</p></body></html>").encode("cp1251")
+    kind, spans, err = extract_row(ru)
+    assert (kind, err) == ("html", "")
+    assert any("Совет одобрил" in s["text"] for s in spans)
+
+    ja = ('<html><head><meta http-equiv="Content-Type" '
+          'content="text/html; charset=Shift_JIS"></head><body>'
+          "<p>議会は火曜日に新しい予算を承認した。</p></body></html>"
+          ).encode("shift_jis")
+    kind, spans, err = extract_row(ja)
+    assert (kind, err) == ("html", "")
+    assert any("議会は火曜日" in s["text"] for s in spans)
+
+    # a declared charset that can't decode the bytes: falls through to
+    # the latin-1 gate, which the <html marker satisfies
+    lying = (b"<html><head><meta charset=shift_jis></head><body><p>"
+             b"caf\xe9 fa\xe7ade</p></body></html>")
+    kind, spans, err = extract_row(lying)
+    assert kind == "html" and err == ""
+    # an UNLISTED codec name is never looked up (no decode escape)
+    evil = (b"<html><meta charset=unicode_escape><body><p>x\xff</p>"
+            b"</body></html>")
+    kind, _, err = extract_row(evil)
+    assert kind == "html"  # latin-1 marker gate, not the evil codec
+    # binary with a charset-like string but no html: still quarantined
+    kind, _, err = extract_row(b"charset=cp1251 \xff\xfe\x00 garbage")
+    assert kind == "invalid"
