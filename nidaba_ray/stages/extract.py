@@ -95,10 +95,11 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
                             "payload is neither PDF nor valid UTF-8")
         low = text[:512].lower()
         if "<" not in text:
-            return "invalid", [], "payload is not markup"
+            return _extract_plain_text(text, "payload is not markup")
         if "<html" not in low and "<!doctype" not in low and "<body" not in low \
                 and "<p" not in low and "<div" not in low:
-            return "invalid", [], "payload has no recognizable html structure"
+            return _extract_plain_text(
+                text, "payload has no recognizable html structure")
         blocks = segment_html(sanitize(text, "NFC"))
         if not blocks:
             return "html", [], "html: no text blocks"
@@ -165,6 +166,30 @@ def _sniff_charset(head: bytes) -> str | None:
     if name in ("utf-8", "utf8"):
         return None
     return name if name in _WEB_CHARSETS else None
+
+
+_PARA_SPLIT_RE = _re.compile(r"\n[ \t]*\n+")
+_WS_RUN_RE = _re.compile(r"[ \t\r\n]+")
+
+
+def _extract_plain_text(text: str, gate_error: str) -> tuple:
+    """text/plain payloads (round 5): paragraphs split on blank lines,
+    internal newlines collapse to spaces, the PDF no-chrome span
+    convention. The gate is deliberately conservative — ≥200 chars,
+    ≥97% printable, ≥3 words — so short/binary junk (and the synth
+    corpus's ≤64-byte invalid docs, whose quarantine the oracles pin)
+    still quarantines with the original markup error."""
+    if len(text) < 200:
+        return "invalid", [], gate_error
+    printable = sum(ch.isprintable() or ch in "\n\t\r " for ch in text)
+    if printable / len(text) < 0.97 or text.count(" ") < 3:
+        return "invalid", [], gate_error
+    paras = [_WS_RUN_RE.sub(" ", p).strip()
+             for p in _PARA_SPLIT_RE.split(text)]
+    spans = _doc_spans([p for p in paras if p], "text")
+    if not spans:
+        return "invalid", [], gate_error
+    return "text", spans, ""
 
 
 def _doc_spans(paras: list[str], kind: str) -> list[dict]:

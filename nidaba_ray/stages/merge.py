@@ -71,7 +71,7 @@ def vote_row(
     if n_blocks == 0:
         return "", [], [{"stage": "extract", "variant": "empty"}], 0, 0
     scores = np.fromiter((s["score"] for s in spans), dtype=np.float64, count=n_blocks)
-    if payload_kind in ("pdf", "docx", "odt", "rtf"):
+    if payload_kind in ("pdf", "docx", "odt", "rtf", "text"):
         # The layout parse already yields content blocks only — a PDF
         # page (or a DOCX body, round 5) has no DOM chrome to binarize
         # away; both variants keep everything (nidaba likewise

@@ -202,3 +202,32 @@ def test_declared_charset_decode():
     # binary with a charset-like string but no html: still quarantined
     kind, _, err = extract_row(b"charset=cp1251 \xff\xfe\x00 garbage")
     assert kind == "invalid"
+
+
+def test_plain_text_payloads_extract():
+    """text/plain crawl payloads (round 5): blank-line paragraphs,
+    newline collapse; the conservative gate keeps binary junk and the
+    synth invalid docs quarantined."""
+    from nidaba_ray.stages.extract import extract_row
+    from nidaba_ray.stages.merge import vote_row
+
+    body = ("The harbor office publishes its winter schedule today, and\n"
+            "every slip holder should read the dredging notice closely.\n"
+            "\n"
+            "Second paragraph covers the haul-out calendar, which moves\n"
+            "two weeks earlier because the travel lift needs new cables.\n")
+    body += "Filler sentence to cross the length gate comfortably. " * 2
+    kind, spans, err = extract_row(body.encode())
+    assert (kind, err) == ("text", "")
+    assert len(spans) == 2
+    assert spans[0]["text"].startswith("The harbor office")
+    assert "\n" not in spans[0]["text"]
+    final, _k, _p, nb, nk = vote_row(spans, None, kind, "en")
+    assert nb == nk == 2 and "dredging notice closely. Second" in final
+    # short plain text still quarantines (the synth invalid contract)
+    kind, _, err = extract_row(b"just a few words")
+    assert kind == "invalid"
+    # low-printable junk quarantines even when long
+    junk = (b"x" * 100 + bytes(range(1, 32)) * 8)
+    kind, _, err = extract_row(junk)
+    assert kind == "invalid"
