@@ -299,6 +299,19 @@ def lang_id(sf_dir: str) -> rd.Dataset:
     )
 
 
+def profile_values_sql() -> str:
+    """The Cavnar-Trenkle language profiles as a SQL VALUES body
+    (lang, gram) — built from the SAME ``_lang_profiles`` the Ray-side
+    classifier uses, so an oracle inlining it cannot drift. Shared by
+    ``lang_id_sql`` and the per-paragraph segmentation replay
+    (functions/langseg.py)."""
+    vals = []
+    for lang in sorted(_lang_profiles()):
+        for g in sorted(_lang_profiles()[lang]):
+            vals.append(f"('{lang}', '{g.replace(chr(39), chr(39) * 2)}')")
+    return ", ".join(vals)
+
+
 def lang_id_sql() -> str:
     """Driver oracle for :func:`lang_id`: the Cavnar-Trenkle profile
     match replayed in SQL — the ~470-gram-per-language profiles are
@@ -307,12 +320,8 @@ def lang_id_sql() -> str:
     token trigrams, score = |grams ∩ profile| / |grams|, and the
     argmax tie-break (first language in sorted order) is the
     ``ORDER BY score DESC, cand ASC`` row_number pick."""
-    vals = []
-    for lang in sorted(_lang_profiles()):
-        for g in sorted(_lang_profiles()[lang]):
-            vals.append(f"('{lang}', '{g.replace(chr(39), chr(39) * 2)}')")
     return f"""
-WITH profile(lang, g) AS (VALUES {", ".join(vals)}),
+WITH profile(lang, g) AS (VALUES {profile_values_sql()}),
 base AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
 toks AS (
   SELECT DISTINCT doc_id, tok FROM

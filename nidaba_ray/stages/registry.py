@@ -208,3 +208,6 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.imgtext import harvest_img_batch
 
     register_stage("extract.imgtext")(harvest_img_batch)
+    from nidaba_ray.functions.langseg import lang_segment_batch
+
+    register_stage("clean.langseg")(lang_segment_batch)
