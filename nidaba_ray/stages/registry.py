@@ -154,6 +154,10 @@ def _ensure_builtin() -> None:
 
     register_stage("postprocess.quality", batch_size=256,
                    concurrency=(1, 4), num_cpus=1)(QualityScorer)
+    from nidaba_ray.stages.quality import RealQualityScorer
+
+    register_stage("postprocess.quality_real", batch_size=256,
+                   concurrency=(1, 4), num_cpus=1)(RealQualityScorer)
     from nidaba_ray.stages.multimodal import (
         AudioFeatures, ImageDecoder, VideoFrameSampler,
     )
