@@ -117,6 +117,13 @@ def synth_media_batch(ids: list[int]) -> pa.Table:
                                     dtype="<i2")
                 payloads.append(
                     encode_aiff(pcm, rate=8000 + (i % 3) * 4000))
+            elif (i // 12) % 2:  # real FLAC bytes (int16 PCM mono)
+                from nidaba_ray.algorithms.flac import encode_flac
+
+                pcm = np.frombuffer(_bytes_for(f"flac{i}", 2 * n),
+                                    dtype="<i2")
+                payloads.append(
+                    encode_flac(pcm, rate=8000 + (i % 3) * 4000))
             else:  # legacy FAKEAUD container coverage
                 payloads.append(
                     AUD_MAGIC + struct.pack("<I", n)
@@ -255,14 +262,17 @@ def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
     so features are comparable across containers). ValueError on
     anything malformed — the per-row quarantine path."""
     from nidaba_ray.algorithms.aiff import decode_aiff, is_aiff
+    from nidaba_ray.algorithms.flac import decode_flac, is_flac
     from nidaba_ray.algorithms.wav import decode_wav, is_wav
 
     if is_wav(payload):
         return decode_wav(payload)
     if is_aiff(payload):
         return decode_aiff(payload)
+    if is_flac(payload):
+        return decode_flac(payload)
     if payload[:8] != AUD_MAGIC:
-        raise ValueError("not a WAV, AIFF or FAKEAUD payload")
+        raise ValueError("not a WAV, AIFF, FLAC or FAKEAUD payload")
     (n,) = struct.unpack("<I", payload[8:12])
     samples = np.frombuffer(payload[12:12 + n], dtype=np.uint8).astype(
         np.float64

@@ -131,7 +131,10 @@ def test_multimodal_dispatch_and_synth_rotation():
     t = synth_media_batch([1, 4, 7, 10, 13, 16, 22])
     payloads = {i: p for i, p in zip([1, 4, 7, 10, 13, 16, 22],
                                      t["payload"].to_pylist())}
-    assert payloads[4][:8] == AUD_MAGIC and payloads[16][:8] == AUD_MAGIC
+    assert payloads[4][:8] == AUD_MAGIC  # (i//6 and i//12 both even)
+    from nidaba_ray.algorithms.flac import is_flac
+
+    assert is_flac(payloads[16])  # (i//12 odd → FLAC since round 5)
     assert is_aiff(payloads[10]) and is_aiff(payloads[22])
     samples, rate = decode_audio(payloads[10])
     assert rate == 12000 and len(samples) == 1000 + (10 % 5) * 500
