@@ -42,10 +42,13 @@ A real (public-spec) PDF *subset* parser, pure stdlib:
     document-level maps.
 
 Block contract: one block per BT…ET text object; lines within a block
-join with a single space. Out of scope (documented): font objects
-hidden in compressed object streams (per-font resolution then falls
-back to document-level; content streams and ToUnicode CMaps cannot
-live in an ObjStm, so xref/ObjStm parsing stays out), incrementing
+join with a single space. ``/Type /ObjStm`` object streams are
+EXPANDED (round 5): the packed non-stream objects are reconstructed
+as plain ``N 0 obj`` text so font dicts / ``/Differences`` tables that
+modern writers compress there resolve per-font (content streams and
+ToUnicode CMaps cannot live in an ObjStm, so the content pass is
+untouched); ``/Type /XRef`` cross-reference streams are recognized
+and skipped as structure. Out of scope (documented): incrementing
 bfranges that cross a surrogate boundary (bfchar and array-form
 destinations decode fine in any plane, incl. surrogate pairs), and
 non-empty user passwords (empty-user-password RC4 V 1/2 R 2/3 AND
@@ -1018,6 +1021,62 @@ def _decoded_stream_body(payload: bytes, m: re.Match) -> bytes | None:
     return None
 
 
+_OBJSTM_TYPE_RE = re.compile(rb"/Type\s*/ObjStm\b")
+_XREF_TYPE_RE = re.compile(rb"/Type\s*/XRef\b")
+_OBJSTM_N_RE = re.compile(rb"/N\s+(\d+)(?!\d)")
+_OBJSTM_FIRST_RE = re.compile(rb"/First\s+(\d+)(?!\d)")
+
+
+def _expand_object_streams(payload: bytes) -> bytes:
+    """Reconstruct the non-stream objects packed inside ``/Type
+    /ObjStm`` object streams (spec §7.5.7) as plain ``N 0 obj …
+    endobj`` text appended to the payload, so the xref-free object
+    scan (`_font_maps`, `parse_differences`) resolves font dicts and
+    encoding tables that modern writers compress there. Content
+    streams and ToUnicode CMaps cannot live in an ObjStm (they are
+    streams), so this is purely DICTIONARY visibility — the content
+    pass is unchanged. Malformed object streams are skipped
+    (per-stream isolation); the appended text contains no ``stream``
+    keyword, so re-scanning the expanded payload finds no new
+    streams."""
+    if b"/ObjStm" not in payload:
+        return payload
+    extra: list[bytes] = []
+    for m in _STREAM_RE.finditer(payload):
+        d = m.group(1)
+        if not _OBJSTM_TYPE_RE.search(d):
+            continue
+        nm = _OBJSTM_N_RE.search(d)
+        fm = _OBJSTM_FIRST_RE.search(d)
+        if not nm or not fm:
+            continue
+        body = _decoded_stream_body(payload, m)
+        if body is None:
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        if first > len(body):
+            continue
+        toks = body[:first].split()
+        if len(toks) < 2 * n:
+            continue
+        try:
+            pairs = [(int(toks[2 * i]), int(toks[2 * i + 1]))
+                     for i in range(n)]
+        except ValueError:
+            continue
+        # offsets are increasing per spec; sort defensively so a
+        # sloppy writer can't make one object swallow the next
+        pairs.sort(key=lambda p: p[1])
+        for i, (num, off) in enumerate(pairs):
+            start = first + off
+            end = first + pairs[i + 1][1] if i + 1 < n else len(body)
+            if not 0 <= start <= end <= len(body):
+                continue
+            extra.append(b"\n%d 0 obj\n" % num + body[start:end]
+                         + b"\nendobj\n")
+    return payload + b"".join(extra) if extra else payload
+
+
 def extract_pdf_blocks(payload: bytes) -> list[str]:
     """All text blocks in document order (one per BT…ET text object).
 
@@ -1036,10 +1095,17 @@ def extract_pdf_blocks(payload: bytes) -> list[str]:
         if dec is None:
             return []
         payload = dec
+    payload = _expand_object_streams(payload)
     bodies: list[bytes] = []
     found = False
     for m in _STREAM_RE.finditer(payload):
         found = True
+        # object/xref streams are structure, never content: ObjStm
+        # bodies were expanded above; a predictor-less XRef stream
+        # would otherwise inflate to binary soup in the content pass
+        d = m.group(1)
+        if _OBJSTM_TYPE_RE.search(d) or _XREF_TYPE_RE.search(d):
+            continue
         body = _decoded_stream_body(payload, m)
         if body is not None:
             bodies.append(body)

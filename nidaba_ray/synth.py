@@ -473,6 +473,58 @@ def make_pdf_twofont(doc_id: int, text: str) -> bytes:
     )
 
 
+def make_pdf_objstm(doc_id: int, text: str) -> bytes:
+    """The :func:`make_pdf_twofont` document restructured the way
+    modern writers (PDF 1.5+) emit it: the page dict and BOTH font
+    dicts live inside a ``/Type /ObjStm`` object stream, and a
+    ``/Type /XRef`` cross-reference stream replaces the trailer. The
+    overlapping code spaces make the document decodable ONLY when the
+    reader expands the object stream (per-font CMap resolution needs
+    the font dicts) — the merged document-level fallback collides."""
+    import zlib as _zlib
+
+    base = make_pdf_twofont(doc_id, text)
+    # lift the three non-stream objects out of the flat layout
+    packed_objs = [
+        (4, b"<< /Type /Page /Resources << /Font "
+            b"<< /F1 10 0 R /F2 11 0 R >> >> /Contents 3 0 R >>"),
+        (10, b"<< /Type /Font /Subtype /Type0 /ToUnicode 12 0 R >>"),
+        (11, b"<< /Type /Font /Subtype /Type0 /ToUnicode 13 0 R >>"),
+    ]
+    header = " ".join(f"{num} {off}" for num, off in zip(
+        [n for n, _ in packed_objs],
+        # offsets relative to /First
+        np.cumsum([0] + [len(b) + 1 for _, b in packed_objs[:-1]]),
+    )).encode("ascii") + b" "
+    body = header + b" ".join(b for _, b in packed_objs)
+    comp = _zlib.compress(body)
+    objstm = (
+        f"20 0 obj << /Type /ObjStm /N {len(packed_objs)} "
+        f"/First {len(header)} /Length {len(comp)} "
+        f"/Filter /FlateDecode >> stream\n".encode() + comp
+        + b"\nendstream endobj\n"
+    )
+    # a (fake-entry) cross-reference stream: binary rows that would be
+    # mis-tokenized as content if the reader didn't skip /Type /XRef
+    xref_rows = _zlib.compress(b"BT (xref soup) Tj ET" + bytes(40))
+    xrefstm = (
+        f"21 0 obj << /Type /XRef /W [1 2 1] /Size 22 "
+        f"/Length {len(xref_rows)} /Filter /FlateDecode >> stream\n"
+        .encode() + xref_rows + b"\nendstream endobj\n"
+    )
+    # strip the flat copies of objects 4/10/11 from the base document
+    out = []
+    for line in base.split(b"\n"):
+        if line.startswith((b"4 0 obj", b"10 0 obj", b"11 0 obj",
+                            b"trailer")):
+            continue
+        out.append(line)
+    doc = b"\n".join(out)
+    return doc.replace(
+        b"%%EOF\n", b""
+    ) + objstm + xrefstm + b"trailer << /Root 1 0 R >>\n%%EOF\n"
+
+
 def make_pdf_diff(doc_id: int, text: str) -> bytes:
     """Simple-font /Differences variant (the accented-Latin PDF
     shape): non-ASCII characters are assigned byte codes 128-255 and a

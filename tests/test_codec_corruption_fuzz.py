@@ -87,8 +87,11 @@ def test_audio_video_codecs_survive_corruption():
 
         return [t() for _, t in iter_video_frames(p)]
 
+    from nidaba_ray.algorithms.flac import decode_flac, encode_flac
+
     _fuzz("wav", lambda: encode_wav(pcm, rate=8000), decode_wav, rng)
     _fuzz("aiff", lambda: encode_aiff(pcm, rate=8000), decode_aiff, rng)
+    _fuzz("flac", lambda: encode_flac(pcm, rate=8000), decode_flac, rng)
     _fuzz("avi_mjpg", lambda: encode_avi(frames, fps=10, codec="MJPG",
                                          quality=85), decode_video_all, rng)
     _fuzz("avi_dib", lambda: encode_avi(frames, fps=10, codec="DIB "),
