@@ -336,3 +336,190 @@ SELECT lang, doc_id FROM (
                     doc_id) AS rn
   FROM documents) WHERE rn <= {k}
 """
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (per-language training-token budgets)
+# ---------------------------------------------------------------------------
+
+# language → token budget for the mixture (the "sample until the
+# budget is spent" construction real training mixtures use when the
+# unit is tokens, not documents)
+BUDGET_TOKENS: dict[str, int] = {
+    "en": 40_000, "fr": 20_000, "es": 20_000, "de": 10_000, "zh": 5_000,
+}
+_BUDGET_BUCKET_BITS = 20  # 2^20 rank buckets for the histogram pass
+
+
+def _budget_key64(doc_ids) -> list[int]:
+    return [int.from_bytes(
+        hashlib.md5(f"budget:{d}".encode()).digest()[:8], "big")
+        for d in doc_ids]
+
+
+def budget_sample(sf_dir: str, budgets: dict[str, int] | None = None
+                  ) -> rd.Dataset:
+    """Per-language TOKEN-budget sampling: order each language's
+    documents by ``md5_64("budget:" + doc_id)`` (ties by doc_id) and
+    keep the maximal prefix whose inclusive token sum stays within the
+    language's budget — the deterministic "spend the token budget in
+    random order" mixture construction. The kept SET is a pure
+    function of (budgets, data): identical across parallelism levels,
+    block layouts and reruns. Languages without a budget contribute
+    nothing.
+
+    Scale shape — NO per-lang sort of the corpus. The rank key is
+    uniform, so its top ``_BUDGET_BUCKET_BITS`` bits bucket the order
+    statistic: pass 1 builds a (lang, bucket) token-sum histogram (a
+    partial-agg combiner shuffle, driver sees langs × 2^20 rows max,
+    in practice langs × occupied buckets); a driver-side cumulative
+    sum finds each language's BOUNDARY bucket; pass 2 reads only the
+    boundary buckets' rows (corpus/2^20 per lang) and resolves the
+    exact cutoff pair; pass 3 gates the table against the tiny
+    per-lang (boundary, cutoff) map. Exactly the
+    ``curated_by_percentile`` histogram idiom, applied to a weighted
+    (token-mass) order statistic. SQL-replayable (budget_sql) — the
+    replay is the window cumulative sum the distributed plan avoids."""
+    from ray.data.aggregate import Sum
+
+    budgets = BUDGET_TOKENS if budgets is None else budgets
+    shift = 64 - _BUDGET_BUCKET_BITS
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        keys = _budget_key64(df["doc_id"].tolist())
+        g = (
+            pd.DataFrame({
+                "lang": df["lang"],
+                "bucket": pd.array([k >> shift for k in keys],
+                                   dtype="int64"),
+                "tok": (df["text"].str.count(" ") + 1).astype("int64"),
+            })
+            .groupby(["lang", "bucket"], as_index=False)["tok"].sum()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "lang", "text"])
+        .map_batches(hist_partial, batch_format="pyarrow")
+        .groupby(["lang", "bucket"])
+        .aggregate(Sum("tok", alias_name="tok"))
+        .to_pandas()  # ≤ langs × occupied buckets — driver-sized
+    )
+    # per-lang boundary bucket: first bucket whose cumulative token
+    # mass exceeds the budget (None → the whole language fits)
+    boundary: dict[str, int] = {}
+    cum_before: dict[str, int] = {}
+    for lang, g in hist.groupby("lang"):
+        b = budgets.get(lang, 0)
+        if b <= 0:
+            boundary[lang] = -1  # nothing kept
+            cum_before[lang] = 0
+            continue
+        g = g.sort_values("bucket")
+        cum = g["tok"].cumsum().to_numpy()
+        over = cum > b
+        if over.any():
+            i = int(over.argmax())
+            boundary[lang] = int(g["bucket"].to_numpy()[i])
+            cum_before[lang] = int(cum[i - 1]) if i else 0
+        # else: entire language fits — no boundary entry
+
+    # pass 2: resolve the exact cutoff (key, doc_id) inside each
+    # boundary bucket (rows there are corpus/2^bits — tiny)
+    want = {(l, bb) for l, bb in boundary.items() if bb >= 0}
+
+    cutoff: dict[str, tuple[int, int]] = {}
+    if want:
+        def boundary_rows(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas()
+            keys = _budget_key64(df["doc_id"].tolist())
+            mask = [
+                (l, k >> shift) in want
+                for l, k in zip(df["lang"], keys)
+            ]
+            import numpy as np
+
+            df = df.assign(
+                k64=pd.array(keys, dtype="UInt64"),
+                tok=(df["text"].str.count(" ") + 1).astype("int64"),
+            )[np.array(mask, dtype=bool)]
+            return pa.Table.from_pandas(
+                df[["doc_id", "lang", "k64", "tok"]], preserve_index=False)
+
+        rows = (
+            rd.read_parquet(f"{sf_dir}/documents.parquet",
+                            columns=["doc_id", "lang", "text"])
+            .map_batches(boundary_rows, batch_format="pyarrow")
+            .to_pandas()
+        )
+        for lang, g in rows.groupby("lang"):
+            g = g.sort_values(["k64", "doc_id"])
+            cum = cum_before[lang] + g["tok"].cumsum().to_numpy()
+            kept = cum <= budgets.get(lang, 0)
+            n_kept = int(kept.sum())
+            if n_kept:
+                last = g.iloc[n_kept - 1]
+                cutoff[lang] = (int(last["k64"]), int(last["doc_id"]))
+            # else: cutoff absent → only buckets BEFORE the boundary
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        df = batch.to_pandas()
+        keys = _budget_key64(df["doc_id"].tolist())
+        keep = []
+        for l, d, k in zip(df["lang"], df["doc_id"], keys):
+            if l not in budgets or budgets[l] <= 0:
+                keep.append(False)
+                continue
+            bb = boundary.get(l)
+            if bb is None:       # whole language fits
+                keep.append(True)
+                continue
+            bkt = k >> shift
+            if bkt < bb:
+                keep.append(True)
+            elif bkt > bb:
+                keep.append(False)
+            else:
+                co = cutoff.get(l)
+                keep.append(co is not None
+                            and (k, int(d)) <= co)
+        out = pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "lang": df["lang"].astype("string"),
+            "n_tokens": (df["text"].str.count(" ") + 1).astype("int64"),
+        })[np.array(keep, dtype=bool)]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    ).map_batches(gate, batch_format="pyarrow")
+
+
+def budget_sql(budgets: dict[str, int] | None = None) -> str:
+    """The replay: a per-lang window cumulative sum in rank-key order
+    — exactly the corpus-sized sort the distributed plan's histogram
+    avoids."""
+    budgets = BUDGET_TOKENS if budgets is None else budgets
+    vals = ", ".join(f"('{l}', {b})" for l, b in sorted(budgets.items())
+                     if b > 0)
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         ('0x' || substr(md5('budget:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT AS k64
+  FROM documents
+),
+b(lang, budget) AS (VALUES {vals}),
+c AS (
+  SELECT t.doc_id, t.lang, t.n_tokens, b.budget,
+         SUM(t.n_tokens) OVER (
+           PARTITION BY t.lang ORDER BY t.k64, t.doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t JOIN b ON t.lang = b.lang
+)
+SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
+"""
