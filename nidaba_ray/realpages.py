@@ -3498,6 +3498,267 @@ beside the original file.</p>
          "The migration tool rewrites both keys in place and keeps a "
          "backup beside the original file."],
     ),
+    # 139. match report with box-score table: recap paragraph + the
+    # score DATA table are content (the tide_table convention: wordy
+    # cells so no th suppression); standings links are chrome.
+    _page(
+        "match_report_table",
+        f"""<html><body><header><h1>Harbor Sports Desk</h1>{_NAV}</header>
+<main><article>
+<h1>Mariners take the derby in extra time</h1>
+<p>A scrambled winner two minutes into added extra time settled a
+derby that had everything else already: a missed penalty, a
+disallowed header, and a goalkeeper playing the half of his life.</p>
+<table class="boxscore"><caption>Match summary</caption>
+<tr><th>Which side</th><th>First half</th><th>Final score</th></tr>
+<tr><td>Mariners</td><td>One goal, from the corner</td>
+<td>Three after extra time</td></tr>
+<tr><td>Rovers</td><td>One goal, on the break</td>
+<td>Two after extra time</td></tr>
+</table>
+</article></main>
+<div class="standings"><a href="/table">League table</a>
+<a href="/fixtures">Remaining fixtures</a></div>
+{_FOOTER}</body></html>""",
+        ["Mariners take the derby in extra time",
+         "A scrambled winner two minutes into added extra time "
+         "settled a derby that had everything else already: a missed "
+         "penalty, a disallowed header, and a goalkeeper playing the "
+         "half of his life.",
+         "Match summary", "Which side", "First half", "Final score",
+         "Mariners", "One goal, from the corner",
+         "Three after extra time",
+         "Rovers", "One goal, on the break", "Two after extra time"],
+    ),
+    # 140. Q&A thread: question body and both answers are content;
+    # vote widgets and the related-questions rail are chrome by class
+    # token.
+    _page(
+        "qa_thread",
+        f"""<html><body><header><h1>Sailing Answers</h1>{_NAV}</header>
+<main><article>
+<h1>Why does my anchor drag only on the ebb tide?</h1>
+<p>The anchor holds all night on the flood and then drags just after
+the turn; the bottom here is mud over clay and the scope is five to
+one, so what changes at the turn that the holding does not survive?</p>
+<div class="vote-widget"><a href="/up">Upvote</a>
+<a href="/down">Downvote</a></div>
+<h2>Accepted answer</h2>
+<p>At the turn the boat swings through the anchor and loads it from
+the opposite side, and a fluke anchor that set beautifully one way
+can trip itself when reversed; veer more chain before the turn or
+switch to a pattern that resets itself quickly.</p>
+<h2>Another answer</h2>
+<p>Check whether the ebb runs harder than the flood in your spot; in
+many rivers the ebb carries the drainage on top of the tide, so the
+load is simply bigger than anything the night tested before.</p>
+</article></main>
+<aside class="related"><h3>Related questions</h3><ul>
+<li><a href="/q/1">Chain versus rope</a></li>
+<li><a href="/q/2">Anchoring in weed</a></li></ul></aside>
+{_FOOTER}</body></html>""",
+        ["Why does my anchor drag only on the ebb tide?",
+         "The anchor holds all night on the flood and then drags just "
+         "after the turn; the bottom here is mud over clay and the "
+         "scope is five to one, so what changes at the turn that the "
+         "holding does not survive?",
+         "Accepted answer",
+         "At the turn the boat swings through the anchor and loads it "
+         "from the opposite side, and a fluke anchor that set "
+         "beautifully one way can trip itself when reversed; veer "
+         "more chain before the turn or switch to a pattern that "
+         "resets itself quickly.",
+         "Another answer",
+         "Check whether the ebb runs harder than the flood in your "
+         "spot; in many rivers the ebb carries the drainage on top of "
+         "the tide, so the load is simply bigger than anything the "
+         "night tested before."],
+    ),
+    # 141. changelog: version headings + bullet lists of changes are
+    # content (li convention); the download rail is chrome.
+    _page(
+        "changelog",
+        f"""<html><body><header><h1>TideChart</h1>{_NAV}</header>
+<main><article>
+<h1>Release history</h1>
+<h2>Version 3.2, the harbor update</h2>
+<ul>
+<li>Chart packs now download in the background and resume after an
+interrupted connection instead of starting over.</li>
+<li>The depth alarm accepts a draft offset so the warning fires on
+water under the keel, not water under the transducer.</li>
+</ul>
+<h2>Version 3.1, maintenance</h2>
+<ul>
+<li>Fixed the route editor losing its undo history when a waypoint
+was dragged across the date line.</li>
+<li>Reduced battery use while the screen shows a stationary anchor
+watch overnight.</li>
+</ul>
+</article></main>
+<div class="downloads"><a href="/dl/32">Get 3.2</a>
+<a href="/dl/31">Get 3.1</a></div>
+{_FOOTER}</body></html>""",
+        ["Release history",
+         "Version 3.2, the harbor update",
+         "Chart packs now download in the background and resume after "
+         "an interrupted connection instead of starting over.",
+         "The depth alarm accepts a draft offset so the warning fires "
+         "on water under the keel, not water under the transducer.",
+         "Version 3.1, maintenance",
+         "Fixed the route editor losing its undo history when a "
+         "waypoint was dragged across the date line.",
+         "Reduced battery use while the screen shows a stationary "
+         "anchor watch overnight."],
+    ),
+    # 142. encyclopedia article with an infobox: the article prose is
+    # content; the infobox table is chrome BY CLASS TOKEN ("infobox"
+    # is in _CHROME_WORDS) even though it sits inside the article.
+    _page(
+        "encyclopedia_article",
+        f"""<html><body><header><h1>Open Encyclopedia</h1>{_NAV}</header>
+<main><article>
+<h1>Meridian (schooner)</h1>
+<table class="infobox"><tr><th>Launched</th><td>1901</td></tr>
+<tr><th>Builder</th><td>Harbor yard</td></tr>
+<tr><th>Fate</th><td>Preserved</td></tr></table>
+<p>Meridian is a two-masted coasting schooner built for the granite
+trade, one of the last survivors of a fleet that once numbered in
+the hundreds on this coast.</p>
+<p>After sixty years carrying stone she was converted for sail
+training, and she still ships a volunteer crew every summer on the
+same run her cargoes once took.</p>
+</article></main>
+{_FOOTER}</body></html>""",
+        ["Meridian (schooner)",
+         "Meridian is a two-masted coasting schooner built for the "
+         "granite trade, one of the last survivors of a fleet that "
+         "once numbered in the hundreds on this coast.",
+         "After sixty years carrying stone she was converted for sail "
+         "training, and she still ships a volunteer crew every summer "
+         "on the same run her cargoes once took."],
+    ),
+    # 143. incident status page: timestamped update paragraphs are
+    # content; the subscribe strip is chrome by class token.
+    _page(
+        "status_page",
+        f"""<html><body><header><h1>TideChart Status</h1>{_NAV}</header>
+<main><article>
+<h1>Chart downloads degraded in the eastern region</h1>
+<p>Fourteen twenty, investigating: downloads are timing out for
+about a third of requests in the eastern region while map browsing
+remains unaffected everywhere.</p>
+<p>Fifteen oh five, identified: a storage node lost its network path
+after a failed switch update, and traffic is being drained to the
+healthy nodes now.</p>
+<p>Fifteen forty, resolved: error rates returned to baseline and the
+failed switch stays out of rotation until the vendor patch lands.</p>
+</article></main>
+<div class="subscribe"><a href="/notify">Get status updates</a></div>
+{_FOOTER}</body></html>""",
+        ["Chart downloads degraded in the eastern region",
+         "Fourteen twenty, investigating: downloads are timing out "
+         "for about a third of requests in the eastern region while "
+         "map browsing remains unaffected everywhere.",
+         "Fifteen oh five, identified: a storage node lost its "
+         "network path after a failed switch update, and traffic is "
+         "being drained to the healthy nodes now.",
+         "Fifteen forty, resolved: error rates returned to baseline "
+         "and the failed switch stays out of rotation until the "
+         "vendor patch lands."],
+    ),
+    # 144. public notice: docket paragraphs are content; the agency
+    # action rail is chrome.
+    _page(
+        "gov_notice",
+        f"""<html><body><header><h1>Harbor Authority</h1>{_NAV}</header>
+<main><article>
+<h1>Notice of proposed mooring fee schedule, docket 24-117</h1>
+<p>The authority proposes to raise the seasonal mooring fee by six
+percent and to introduce a reduced rate for vessels under twenty
+feet, effective at the start of the next permit year.</p>
+<p>Written comments will be received until the last business day of
+the month and may be submitted by mail or through the docket portal;
+all comments become part of the public record.</p>
+<p>A public hearing will be held in the harbor office if twenty five
+or more residents request one in writing before the comment deadline.</p>
+</article></main>
+<div class="actions"><a href="/docket/24-117">View docket</a>
+<a href="/comment">Submit comment</a></div>
+{_FOOTER}</body></html>""",
+        ["Notice of proposed mooring fee schedule, docket 24-117",
+         "The authority proposes to raise the seasonal mooring fee by "
+         "six percent and to introduce a reduced rate for vessels "
+         "under twenty feet, effective at the start of the next "
+         "permit year.",
+         "Written comments will be received until the last business "
+         "day of the month and may be submitted by mail or through "
+         "the docket portal; all comments become part of the public "
+         "record.",
+         "A public hearing will be held in the harbor office if "
+         "twenty five or more residents request one in writing before "
+         "the comment deadline."],
+    ),
+    # 145. stock quote page: the company summary and the key-figures
+    # DATA table are content; the ticker lookup is chrome (role
+    # search).
+    _page(
+        "stock_quote",
+        f"""<html><body><header><h1>Market Pages</h1>{_NAV}
+<form role="search"><input name="q" placeholder="Ticker"></form></header>
+<main><article>
+<h1>Harbor Logistics, quarterly summary</h1>
+<p>The carrier beat its own guidance on volume while margins held,
+and management raised the full-year outlook on the strength of the
+new coastal feeder routes.</p>
+<table class="figures"><caption>Key figures this quarter</caption>
+<tr><th>Which measure</th><th>Reported value</th></tr>
+<tr><td>Revenue</td><td>Up nine percent on the year</td></tr>
+<tr><td>Operating margin</td><td>Eleven point five percent</td></tr>
+<tr><td>Fleet utilization</td><td>Ninety three percent</td></tr>
+</table>
+</article></main>
+{_FOOTER}</body></html>""",
+        ["Harbor Logistics, quarterly summary",
+         "The carrier beat its own guidance on volume while margins "
+         "held, and management raised the full-year outlook on the "
+         "strength of the new coastal feeder routes.",
+         "Key figures this quarter", "Which measure", "Reported value",
+         "Revenue", "Up nine percent on the year",
+         "Operating margin", "Eleven point five percent",
+         "Fleet utilization", "Ninety three percent"],
+    ),
+    # 146. genealogy record: the record DATA table and the archival
+    # note are content; the tree-building tools are chrome.
+    _page(
+        "genealogy_record",
+        f"""<html><body><header><h1>Coastal Archives</h1>{_NAV}</header>
+<main><article>
+<h1>Crew list entry, schooner Meridian, spring voyage</h1>
+<table class="record"><caption>Transcribed entry</caption>
+<tr><th>Name as written</th><th>Rated position</th><th>Where born</th></tr>
+<tr><td>Josiah Crane</td><td>Master of the vessel</td>
+<td>The harbor parish</td></tr>
+<tr><td>Samuel Obed Lane</td><td>Able seaman, first voyage</td>
+<td>The outer islands</td></tr>
+</table>
+<p>The original list is water-stained along the left margin, and the
+transcriber notes that the second surname could also read Layne in
+the clerk's hand.</p>
+</article></main>
+<div class="tools"><a href="/tree">Add to tree</a>
+<a href="/scan">View original scan</a></div>
+{_FOOTER}</body></html>""",
+        ["Crew list entry, schooner Meridian, spring voyage",
+         "Transcribed entry", "Name as written", "Rated position",
+         "Where born",
+         "Josiah Crane", "Master of the vessel", "The harbor parish",
+         "Samuel Obed Lane", "Able seaman, first voyage",
+         "The outer islands",
+         "The original list is water-stained along the left margin, "
+         "and the transcriber notes that the second surname could "
+         "also read Layne in the clerk's hand."],
+    ),
 ]
 
 
