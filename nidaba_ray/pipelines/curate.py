@@ -523,3 +523,139 @@ c AS (
 )
 SELECT doc_id, lang, n_tokens FROM c WHERE cum <= budget
 """
+
+
+# ---------------------------------------------------------------------------
+# Source-reputation curation (site-level filtering, RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+# flag a source when its duplicate share exceeds NUM/DEN or its mean
+# token count falls below MIN_MEAN — integer-only decisions so the
+# DuckDB replay is exact (no float thresholds anywhere)
+SOURCE_DUP_NUM, SOURCE_DUP_DEN = 10, 100
+SOURCE_MIN_MEAN_TOKENS = 40
+
+
+def source_reputation(sf_dir: str) -> pa.Table:
+    """Per-SOURCE aggregate reputation: document count, distinct-text
+    count, token mass, and the integer-rule ``flagged`` verdict — the
+    site-level filtering signal (a host serving mostly duplicated or
+    ultra-short pages is curated out wholesale, not page by page).
+
+    Scale shape: a per-batch (source, fp) combiner (one row per
+    distinct text per batch) feeds ONE grouped aggregate whose key
+    cardinality is the distinct-text count, then a second combiner
+    collapses to sources — the driver sees n_sources rows. Decisions
+    are pure integer comparisons:
+    ``(n_docs − n_uniq)·DEN > n_docs·NUM`` and
+    ``sum_tokens < MIN_MEAN·n_docs`` — exactly replayable in SQL
+    (SOURCE_REPUTATION_SQL)."""
+    from ray.data.aggregate import Sum
+
+    def fp_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = (
+            pd.DataFrame({
+                "source": df["source"],
+                "fp": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                       for t in df["text"]],
+                "tok": (df["text"].str.count(" ") + 1).astype("int64"),
+            })
+            .groupby(["source", "fp"], as_index=False)
+            .agg(n=("tok", "size"), tok_sum=("tok", "sum"))
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_fp = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["source", "text"])
+        .map_batches(fp_partial, batch_format="pyarrow")
+        .groupby(["source", "fp"])
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("tok_sum", alias_name="tok_sum"))
+    )
+
+    def src_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n", "sum"), n_uniq=("n", "size"),
+            sum_tokens=("tok_sum", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    per_src = (
+        per_fp.map_batches(src_partial, batch_format="pyarrow")
+        .repartition(1)  # ≤ n_sources rows per partial — coalesce
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"),
+                   Sum("n_uniq", alias_name="n_uniq"),
+                   Sum("sum_tokens", alias_name="sum_tokens"))
+        .to_pandas()  # n_sources rows
+        .sort_values("source").reset_index(drop=True)
+    )
+    dup = (per_src["n_docs"] - per_src["n_uniq"]) * SOURCE_DUP_DEN
+    flagged = (dup > per_src["n_docs"] * SOURCE_DUP_NUM) | (
+        per_src["sum_tokens"] < SOURCE_MIN_MEAN_TOKENS * per_src["n_docs"])
+    out = per_src.assign(flagged=flagged).astype(
+        {"source": "string", "n_docs": "int64", "n_uniq": "int64",
+         "sum_tokens": "int64", "flagged": "bool"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+SOURCE_REPUTATION_SQL = f"""
+WITH t AS (
+  SELECT source, md5(text) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+per AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_uniq,
+         CAST(SUM(tok) AS BIGINT) AS sum_tokens
+  FROM t GROUP BY source
+)
+SELECT source, n_docs, n_uniq, sum_tokens,
+       ((n_docs - n_uniq) * {SOURCE_DUP_DEN} > n_docs * {SOURCE_DUP_NUM}
+        OR sum_tokens < {SOURCE_MIN_MEAN_TOKENS} * n_docs) AS flagged
+FROM per ORDER BY source
+"""
+
+
+def curated_by_source(sf_dir: str) -> rd.Dataset:
+    """Apply the source verdicts to the documents table: drop every
+    document of a flagged source (the group-level gate — decide per
+    GROUP, filter per ROW). The verdict map is n_sources entries,
+    broadcast by closure; the filter pass is shuffle-free."""
+    rep = source_reputation(sf_dir).to_pandas()
+    bad = set(rep[rep["flagged"]]["source"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        keep = np.array(
+            [s not in bad for s in batch["source"].to_pylist()], bool)
+        return batch.filter(pa.array(keep))
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "lang"]
+    ).map_batches(gate, batch_format="pyarrow")
+
+
+CURATED_BY_SOURCE_SQL = f"""
+WITH t AS (
+  SELECT source, md5(text) AS fp,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+  FROM documents
+),
+per AS (
+  SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_uniq,
+         SUM(tok) AS sum_tokens
+  FROM t GROUP BY source
+),
+bad AS (
+  SELECT source FROM per
+  WHERE (n_docs - n_uniq) * {SOURCE_DUP_DEN} > n_docs * {SOURCE_DUP_NUM}
+     OR sum_tokens < {SOURCE_MIN_MEAN_TOKENS} * n_docs
+)
+SELECT doc_id, source, lang FROM documents
+WHERE source NOT IN (SELECT source FROM bad)
+"""
