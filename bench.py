@@ -128,6 +128,15 @@ TIMED_QUERIES = [
     # near-dup pairs over the synthetic media corpus (decode-once
     # hashing in the actor pool + pigeonhole chunk self-join)
     "image_near_dups",
+    # round-5 session-6 additions, appended LAST (same warm-worker
+    # protocol): per-paragraph language segmentation summary (the
+    # mixed-language rollup pass), token-budget mixture sampling
+    # (histogram + boundary-bucket + gate, three narrow passes), and
+    # source-reputation curation (two grouped combiners + the
+    # broadcast group-level gate)
+    "lang_seg_summary",
+    "budget_sample",
+    "curated_by_source",
 ]
 
 
@@ -231,7 +240,19 @@ def _extra_timed() -> dict:
         # tests/test_license.py)
         "license_counts": _license_counts,
         "image_near_dups": _image_near_dups,
+        # round-5 session-6: langseg / budget / reputation (DuckDB
+        # parity in tests/test_langseg.py, test_sampling.py,
+        # test_reputation.py)
+        "lang_seg_summary": _lang_seg_summary,
+        "budget_sample": curate.budget_sample,
+        "curated_by_source": curate.curated_by_source,
     }
+
+
+def _lang_seg_summary(sf_dir: str):
+    from nidaba_ray.functions.langseg import lang_seg_summary
+
+    return lang_seg_summary(sf_dir)
 
 
 def _image_near_dups(sf_dir: str):
