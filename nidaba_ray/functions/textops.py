@@ -1264,3 +1264,72 @@ def compression_ratio(sf_dir: str, level: int = 6) -> rd.Dataset:
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (Flesch reading ease / Flesch-Kincaid grade)
+# ---------------------------------------------------------------------------
+
+# ASCII-only regexes on purpose: identical byte semantics in Python re
+# and DuckDB RE2, no lower()/unicode-case dependence anywhere
+_RE_WORD = r"[^ ]+"
+_RE_SENT = r"[.!?]+"
+_RE_SYLL = r"[aeiouyAEIOUY]+"
+
+
+def readability_scores(sf_dir: str) -> rd.Dataset:
+    """Per-doc readability features (the curriculum/quality signals
+    classic selection pipelines use): word, sentence and
+    vowel-group-syllable counts plus the Flesch reading-ease and
+    Flesch-Kincaid grade formulas over them. Counting is three
+    vectorized regex passes; the syllable estimate is the standard
+    vowel-group heuristic (ASCII classes, so Python re and DuckDB RE2
+    agree byte-for-byte). Division guards clamp words/sentences to
+    ≥ 1; scores round 4-dp via round_like_sql. Shuffle-free;
+    READABILITY_SQL replays it exactly."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = batch["text"].to_pandas()
+        n_words = s.str.count(_RE_WORD).clip(lower=1).astype("int64")
+        n_sents = s.str.count(_RE_SENT).clip(lower=1).astype("int64")
+        n_syll = s.str.count(_RE_SYLL).astype("int64")
+        wps = n_words / n_sents
+        spw = n_syll / n_words
+        flesch = round_like_sql(206.835 - 1.015 * wps - 84.6 * spw, 4)
+        fk = round_like_sql(0.39 * wps + 11.8 * spw - 15.59, 4)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_words": pa.array(n_words),
+                "n_sentences": pa.array(n_sents),
+                "n_syllables": pa.array(n_syll),
+                "flesch": pa.array(flesch),
+                "fk_grade": pa.array(fk),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow")
+
+
+READABILITY_SQL = f"""
+WITH c AS (
+  SELECT doc_id,
+         GREATEST(len(regexp_extract_all(text, '{_RE_WORD}')), 1)
+           AS n_words,
+         GREATEST(len(regexp_extract_all(text, '{_RE_SENT}')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(text, '{_RE_SYLL}')) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+             - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4) AS flesch,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+             + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words) - 15.59, 4)
+         AS fk_grade
+FROM c
+"""

@@ -163,3 +163,80 @@ def test_stage_registered():
     from nidaba_ray.stages.registry import get_stage
 
     assert get_stage("clean.langseg") is not None
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (same-file home: the round-5 session-6 text ops)
+# ---------------------------------------------------------------------------
+
+def test_readability_duckdb_parity_crafted():
+    import pyarrow as pa
+
+    from nidaba_ray.functions.compat import round_like_sql
+    from nidaba_ray.functions.textops import (
+        _RE_SENT,
+        _RE_SYLL,
+        _RE_WORD,
+        READABILITY_SQL,
+    )
+
+    docs = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array([
+            "The cat sat on the mat. It was flat! Was it?",
+            "",                                       # empty → guards
+            "no punctuation here just words flowing along",
+            "Ellipsis... and then?! Multi!!! marks.",
+            "Ünïcödé vowels are NOT counted; only ascii aeiouy are.",
+        ], pa.string()),
+    })
+    s = docs["text"].to_pandas()
+    n_words = s.str.count(_RE_WORD).clip(lower=1).astype("int64")
+    n_sents = s.str.count(_RE_SENT).clip(lower=1).astype("int64")
+    n_syll = s.str.count(_RE_SYLL).astype("int64")
+    wps, spw = n_words / n_sents, n_syll / n_words
+    got = pd.DataFrame({
+        "doc_id": docs["doc_id"].to_pandas(),
+        "n_words": n_words, "n_sentences": n_sents,
+        "n_syllables": n_syll,
+        "flesch": round_like_sql(206.835 - 1.015 * wps - 84.6 * spw, 4),
+        "fk_grade": round_like_sql(0.39 * wps + 11.8 * spw - 15.59, 4),
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(READABILITY_SQL).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.astype(got.dtypes.to_dict()))
+
+
+def test_readability_duckdb_parity_real(ray_session):
+    from nidaba_ray.functions.textops import (
+        READABILITY_SQL,
+        readability_scores,
+    )
+
+    got = (readability_scores(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{SF}/documents.parquet'")
+    want = con.execute(READABILITY_SQL).df().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_readability_known_values():
+    """Hand-checked counts on a fixed sentence: 9 words, 2 sentences,
+    vowel groups counted as the syllable proxy."""
+    import pyarrow as pa
+
+    from nidaba_ray.functions.textops import _RE_SENT, _RE_SYLL, _RE_WORD
+
+    t = "The quick brown fox jumps over it. Dogs sleep!"
+    s = pd.Series([t])
+    assert int(s.str.count(_RE_WORD).iloc[0]) == 9
+    assert int(s.str.count(_RE_SENT).iloc[0]) == 2
+    # The(1) quick(ui)(1) brown(1) fox(1) jumps(1) over(o,e=2) it(1)
+    # Dogs(1) sleep(ee=1) → 10 vowel groups
+    assert int(s.str.count(_RE_SYLL).iloc[0]) == 10
