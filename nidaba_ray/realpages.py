@@ -3759,6 +3759,277 @@ the clerk's hand.</p>
          "and the transcriber notes that the second surname could "
          "also read Layne in the clerk's hand."],
     ),
+    # 147. transit timetable: the departures DATA table and the
+    # service-change paragraph are content; route picker is chrome.
+    _page(
+        "transit_timetable",
+        f"""<html><body><header><h1>Harbor Transit</h1>{_NAV}</header>
+<main><article>
+<h1>Route 7 ferry, winter weekday departures</h1>
+<p>The winter schedule trims the late boats and adds a second early
+run for the shipyard shift; times below are departures from the town
+pier and crossings take about twenty minutes.</p>
+<table class="timetable"><caption>Weekday departures</caption>
+<tr><th>Leaves town pier</th><th>Leaves the island</th></tr>
+<tr><td>Six ten in the morning</td><td>Six forty in the morning</td></tr>
+<tr><td>Seven thirty in the morning</td><td>Eight in the morning</td></tr>
+<tr><td>Five fifteen in the evening</td><td>Five forty five in the
+evening</td></tr>
+</table>
+</article></main>
+<div class="routes"><a href="/r/5">Route 5</a>
+<a href="/r/9">Route 9</a> <a href="/alerts">Service alerts</a></div>
+{_FOOTER}</body></html>""",
+        ["Route 7 ferry, winter weekday departures",
+         "The winter schedule trims the late boats and adds a second "
+         "early run for the shipyard shift; times below are "
+         "departures from the town pier and crossings take about "
+         "twenty minutes.",
+         "Weekday departures", "Leaves town pier", "Leaves the island",
+         "Six ten in the morning", "Six forty in the morning",
+         "Seven thirty in the morning", "Eight in the morning",
+         "Five fifteen in the evening",
+         "Five forty five in the evening"],
+    ),
+    # 148. survey results: findings paragraphs + the percentages DATA
+    # table are content; methodology download is chrome.
+    _page(
+        "survey_results",
+        f"""<html><body><header><h1>Harbor Poll</h1>{_NAV}</header>
+<main><article>
+<h1>Residents split on the waterfront rezoning, survey finds</h1>
+<p>Support falls sharply with distance from the water: respondents
+within two blocks favor the plan by a wide margin while the rest of
+the town leans against, and renters are warmer to it than owners in
+every neighborhood.</p>
+<table class="results"><caption>Do you support the rezoning?</caption>
+<tr><th>Answer given</th><th>Share of respondents</th></tr>
+<tr><td>Support it</td><td>Forty four percent</td></tr>
+<tr><td>Oppose it</td><td>Forty one percent</td></tr>
+<tr><td>Not yet decided</td><td>Fifteen percent</td></tr>
+</table>
+<p>The poll reached six hundred adults by phone and online panel,
+and the margin of error is four points either way.</p>
+</article></main>
+<div class="downloads"><a href="/method.pdf">Methodology</a>
+<a href="/crosstabs">Full crosstabs</a></div>
+{_FOOTER}</body></html>""",
+        ["Residents split on the waterfront rezoning, survey finds",
+         "Support falls sharply with distance from the water: "
+         "respondents within two blocks favor the plan by a wide "
+         "margin while the rest of the town leans against, and "
+         "renters are warmer to it than owners in every neighborhood.",
+         "Do you support the rezoning?", "Answer given",
+         "Share of respondents",
+         "Support it", "Forty four percent",
+         "Oppose it", "Forty one percent",
+         "Not yet decided", "Fifteen percent",
+         "The poll reached six hundred adults by phone and online "
+         "panel, and the margin of error is four points either way."],
+    ),
+    # 149. rendered open-source README: install pre block + usage
+    # prose are content (code_article convention); repo toolbar is
+    # chrome.
+    _page(
+        "open_source_readme",
+        f"""<html><body><header><h1>Code Forge</h1>{_NAV}</header>
+<div class="toolbar"><a href="/fork">Fork</a> <a href="/star">Star</a>
+<a href="/issues">Issues</a></div>
+<main><article>
+<h1>tidelib: tide predictions from harmonic constants</h1>
+<p>A small library that turns published harmonic constants into tide
+height and current predictions, with no network dependency and no
+data files beyond the constants you give it.</p>
+<h2>Install</h2>
+<pre><code>pip install tidelib
+python -m tidelib demo --station harbor</code></pre>
+<h2>Usage</h2>
+<p>Construct a station from its constants and ask for heights at any
+timestamp; the result is a plain number in the units the constants
+were published in, and vectorized queries accept any array.</p>
+</article></main>
+{_FOOTER}</body></html>""",
+        ["tidelib: tide predictions from harmonic constants",
+         "A small library that turns published harmonic constants "
+         "into tide height and current predictions, with no network "
+         "dependency and no data files beyond the constants you give "
+         "it.",
+         "Install",
+         "pip install tidelib "
+         "python -m tidelib demo --station harbor",
+         "Usage",
+         "Construct a station from its constants and ask for heights "
+         "at any timestamp; the result is a plain number in the units "
+         "the constants were published in, and vectorized queries "
+         "accept any array."],
+    ),
+    # 150. children's story: plain narrative paragraphs with quoted
+    # dialogue; the reading-level strip is chrome.
+    _page(
+        "childrens_story",
+        f"""<html><body><header><h1>Story Corner</h1>{_NAV}</header>
+<main><article>
+<h1>The buoy who wanted to see the town</h1>
+<p>The red buoy had watched the harbor lights for so many winters
+that it knew every window, and one foggy night it asked the tide,
+very politely, to carry it in for a closer look.</p>
+<p>"Hold fast," laughed the tide, "for you are the one thing out
+here that must never wander," and it told the buoy stories of the
+town instead, until the fog lifted and the lights came back.</p>
+</article></main>
+<div class="meta-level"><a href="/age/5">Ages five and up</a></div>
+{_FOOTER}</body></html>""",
+        ["The buoy who wanted to see the town",
+         "The red buoy had watched the harbor lights for so many "
+         "winters that it knew every window, and one foggy night it "
+         "asked the tide, very politely, to carry it in for a closer "
+         "look.",
+         "\"Hold fast,\" laughed the tide, \"for you are the one "
+         "thing out here that must never wander,\" and it told the "
+         "buoy stories of the town instead, until the fog lifted and "
+         "the lights came back."],
+    ),
+    # 151. video how-to page: the embed is an iframe (skipped subtree,
+    # the iframe_fallback convention) and the step list is content.
+    _page(
+        "video_howto",
+        f"""<html><body><header><h1>Boatwright Channel</h1>{_NAV}</header>
+<main><article>
+<h1>Whipping a rope end without a needle, step by step</h1>
+<iframe src="https://video.example/embed/whip"><p>Your browser does
+not support embedded video.</p></iframe>
+<p>The video runs four minutes; the written steps below match the
+chapters if you prefer to work from text.</p>
+<ol>
+<li>Lay the twine along the rope with a long loop hanging past the
+end you mean to whip.</li>
+<li>Wrap tight turns against the lay, working toward the end, until
+the whipping is as wide as the rope is thick.</li>
+<li>Pass the working end through the loop, then pull the buried tail
+until the loop disappears under the turns, and trim both ends.</li>
+</ol>
+</article></main>
+{_FOOTER}</body></html>""",
+        ["Whipping a rope end without a needle, step by step",
+         "The video runs four minutes; the written steps below match "
+         "the chapters if you prefer to work from text.",
+         "Lay the twine along the rope with a long loop hanging past "
+         "the end you mean to whip.",
+         "Wrap tight turns against the lay, working toward the end, "
+         "until the whipping is as wide as the rope is thick.",
+         "Pass the working end through the loop, then pull the buried "
+         "tail until the loop disappears under the turns, and trim "
+         "both ends."],
+    ),
+    # 152. product recall notice: the affected-models DATA table and
+    # the instruction paragraphs are content; registration rail is
+    # chrome.
+    _page(
+        "recall_notice",
+        f"""<html><body><header><h1>Marine Safety Board</h1>{_NAV}</header>
+<main><article>
+<h1>Recall: inflatable lifejacket auto-release cartridges</h1>
+<p>The affected cartridges can fire years early in humid storage,
+leaving the jacket inflated in its pouch and unusable when it is
+actually needed; no injuries are reported but owners should act
+before the season starts.</p>
+<table class="affected"><caption>Affected production</caption>
+<tr><th>Model family</th><th>Date codes affected</th></tr>
+<tr><td>Coastal one fifty</td><td>Codes alpha through delta</td></tr>
+<tr><td>Offshore two seventy</td><td>Codes alpha through charlie</td></tr>
+</table>
+<p>Check the code stamped under the cartridge collar, and if it
+matches, stop using the jacket and request a free replacement kit;
+manual inflation remains safe in the meantime.</p>
+</article></main>
+<div class="actions"><a href="/register">Request replacement</a>
+<a href="/faq">Recall questions</a></div>
+{_FOOTER}</body></html>""",
+        ["Recall: inflatable lifejacket auto-release cartridges",
+         "The affected cartridges can fire years early in humid "
+         "storage, leaving the jacket inflated in its pouch and "
+         "unusable when it is actually needed; no injuries are "
+         "reported but owners should act before the season starts.",
+         "Affected production", "Model family", "Date codes affected",
+         "Coastal one fifty", "Codes alpha through delta",
+         "Offshore two seventy", "Codes alpha through charlie",
+         "Check the code stamped under the cartridge collar, and if "
+         "it matches, stop using the jacket and request a free "
+         "replacement kit; manual inflation remains safe in the "
+         "meantime."],
+    ),
+    # 153. cooking blog post: the long personal story AND the recipe
+    # card are both content (the infamous shape); the jump link and
+    # print strip are chrome.
+    _page(
+        "cooking_blog_post",
+        f"""<html><body><header><h1>The Galley Stove</h1>{_NAV}</header>
+<main><article>
+<div class="toolbar"><a href="#recipe">Jump to recipe</a>
+<a href="/print">Print recipe</a></div>
+<h1>The chowder my grandmother made on the boat</h1>
+<p>She cooked it on a single burner in a pot with a dented lid, and
+the trick she never wrote down was to let the potatoes sit off the
+heat while the fish finished in the steam, so nothing ever boiled
+after the milk went in.</p>
+<h2>The recipe</h2>
+<ul>
+<li>Render the salt pork slowly, then sweat the onions in the fat
+until they go quiet.</li>
+<li>Add potatoes and just enough water to cover, simmer until almost
+tender, and lay the fish on top off the heat.</li>
+<li>Warm the milk separately and add it last with the butter, then
+let the pot rest, covered, for ten minutes before serving.</li>
+</ul>
+</article></main>
+{_FOOTER}</body></html>""",
+        ["The chowder my grandmother made on the boat",
+         "She cooked it on a single burner in a pot with a dented "
+         "lid, and the trick she never wrote down was to let the "
+         "potatoes sit off the heat while the fish finished in the "
+         "steam, so nothing ever boiled after the milk went in.",
+         "The recipe",
+         "Render the salt pork slowly, then sweat the onions in the "
+         "fat until they go quiet.",
+         "Add potatoes and just enough water to cover, simmer until "
+         "almost tender, and lay the fish on top off the heat.",
+         "Warm the milk separately and add it last with the butter, "
+         "then let the pot rest, covered, for ten minutes before "
+         "serving."],
+    ),
+    # 154. library hours: the hours DATA table and the holiday note
+    # are content; the branch picker is chrome.
+    _page(
+        "library_hours",
+        f"""<html><body><header><h1>Town Library</h1>{_NAV}</header>
+<main><article>
+<h1>Opening hours at the harbor branch</h1>
+<table class="hours"><caption>Regular weekly hours</caption>
+<tr><th>Days of the week</th><th>Hours kept</th></tr>
+<tr><td>Monday through Thursday</td>
+<td>Nine in the morning to eight at night</td></tr>
+<tr><td>Friday and Saturday</td>
+<td>Nine in the morning to five in the afternoon</td></tr>
+<tr><td>Sunday</td><td>Closed all day</td></tr>
+</table>
+<p>The branch closes for town holidays and for the boat parade, and
+the book drop stays open around the clock even when the doors are
+locked.</p>
+</article></main>
+<div class="branches"><a href="/b/main">Main branch</a>
+<a href="/b/island">Island branch</a></div>
+{_FOOTER}</body></html>""",
+        ["Opening hours at the harbor branch",
+         "Regular weekly hours", "Days of the week", "Hours kept",
+         "Monday through Thursday",
+         "Nine in the morning to eight at night",
+         "Friday and Saturday",
+         "Nine in the morning to five in the afternoon",
+         "Sunday", "Closed all day",
+         "The branch closes for town holidays and for the boat "
+         "parade, and the book drop stays open around the clock even "
+         "when the doors are locked."],
+    ),
 ]
 
 
