@@ -137,6 +137,10 @@ TIMED_QUERIES = [
     "lang_seg_summary",
     "budget_sample",
     "curated_by_source",
+    # round-5 session-6, appended LAST: pages → link harvest → host
+    # graph → 5 integer PageRank iterations (one edges pass + one
+    # node-sized rollup per iteration; ranks broadcast via ray.put)
+    "pagerank_pages",
 ]
 
 
@@ -246,7 +250,14 @@ def _extra_timed() -> dict:
         "lang_seg_summary": _lang_seg_summary,
         "budget_sample": curate.budget_sample,
         "curated_by_source": curate.curated_by_source,
+        "pagerank_pages": _pagerank_pages,
     }
+
+
+def _pagerank_pages(sf_dir: str):
+    from nidaba_ray.functions.pagerank import pagerank_pages
+
+    return pagerank_pages(sf_dir)
 
 
 def _lang_seg_summary(sf_dir: str):
