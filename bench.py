@@ -141,6 +141,10 @@ TIMED_QUERIES = [
     # graph → 5 integer PageRank iterations (one edges pass + one
     # node-sized rollup per iteration; ranks broadcast via ray.put)
     "pagerank_pages",
+    # round-5 session-6, appended LAST: BM25 sparse retrieval (stats
+    # + query-vocab df pass, then the scoring pass with per-batch
+    # top-k combiners)
+    "bm25_topk",
 ]
 
 
@@ -251,7 +255,14 @@ def _extra_timed() -> dict:
         "budget_sample": curate.budget_sample,
         "curated_by_source": curate.curated_by_source,
         "pagerank_pages": _pagerank_pages,
+        "bm25_topk": _bm25_topk,
     }
+
+
+def _bm25_topk(sf_dir: str):
+    from nidaba_ray.functions.bm25 import bm25_topk
+
+    return bm25_topk(sf_dir)
 
 
 def _pagerank_pages(sf_dir: str):
