@@ -240,3 +240,26 @@ def test_readability_known_values():
     # The(1) quick(ui)(1) brown(1) fox(1) jumps(1) over(o,e=2) it(1)
     # Dogs(1) sleep(ee=1) → 10 vowel groups
     assert int(s.str.count(_RE_SYLL).iloc[0]) == 10
+
+
+def test_multilingual_quality_example_spec(ray_session):
+    """examples/multilingual_quality.yaml end-to-end: extraction →
+    langseg annotation → fixture-trained quality scoring."""
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    spec = registry.load_spec("examples/multilingual_quality.yaml")
+    html = (b"<html><body><article><p>A paragraph with enough prose "
+            b"to be kept by the extractor and scored by the block "
+            b"quality classifier afterwards.</p></article></body></html>")
+    t = pa.table({
+        "url": pa.array(["https://example.org/a"]),
+        "lang": pa.array(["en"]),
+        "html": pa.array([html], pa.binary()),
+    })
+    out = registry.compile_pipeline(rd.from_arrow(t), spec).to_pandas()
+    assert len(out) == 1
+    assert out["majority_lang"].iloc[0] == "en"
+    assert not bool(out["is_mixed"].iloc[0])
+    assert "block_quality" in out.columns
