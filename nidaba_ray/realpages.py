@@ -4030,6 +4030,251 @@ locked.</p>
          "parade, and the book drop stays open around the clock even "
          "when the doors are locked."],
     ),
+    # 155. municipal ordinance: numbered sections are content; the
+    # code-navigation rail is chrome.
+    _page(
+        "city_ordinance",
+        f"""<html><body><header><h1>Town Code</h1>{_NAV}</header>
+<main><article>
+<h1>Ordinance 24-3: overnight anchoring in the inner harbor</h1>
+<p>Section one. No vessel may anchor overnight in the inner harbor
+between the channel markers and the town float except in an
+emergency declared to the harbormaster.</p>
+<p>Section two. Vessels awaiting a mooring assignment may anchor for
+up to seventy two hours in the designated waiting area shown on the
+harbor plan.</p>
+<p>Section three. A violation of this ordinance is punishable by a
+fine of fifty dollars per night, and repeated violations may result
+in removal of the vessel at the owner's expense.</p>
+</article></main>
+<div class="codenav"><a href="/code/24-2">Previous ordinance</a>
+<a href="/code/24-4">Next ordinance</a></div>
+{_FOOTER}</body></html>""",
+        ["Ordinance 24-3: overnight anchoring in the inner harbor",
+         "Section one. No vessel may anchor overnight in the inner "
+         "harbor between the channel markers and the town float "
+         "except in an emergency declared to the harbormaster.",
+         "Section two. Vessels awaiting a mooring assignment may "
+         "anchor for up to seventy two hours in the designated "
+         "waiting area shown on the harbor plan.",
+         "Section three. A violation of this ordinance is punishable "
+         "by a fine of fifty dollars per night, and repeated "
+         "violations may result in removal of the vessel at the "
+         "owner's expense."],
+    ),
+    # 156. practice exam: question stems and answer options are all
+    # content; the score widget is chrome.
+    _page(
+        "boating_exam_quiz",
+        f"""<html><body><header><h1>Safe Boating Course</h1>{_NAV}</header>
+<main><article>
+<h1>Practice questions: rules of the road</h1>
+<p>Question one. Two power-driven vessels are meeting head on; what
+action should each take?</p>
+<ul>
+<li>Each alters course to starboard and passes port to port.</li>
+<li>Each alters course to port and passes starboard to starboard.</li>
+<li>The smaller vessel gives way and the larger holds course.</li>
+</ul>
+<p>Question two. At night you see a green light ahead and slightly to
+port; what are you looking at?</p>
+<ul>
+<li>The starboard side of a vessel crossing from your left.</li>
+<li>The port side of a vessel crossing from your right.</li>
+<li>A vessel at anchor showing an all-round light.</li>
+</ul>
+</article></main>
+<div class="feedback"><a href="/score">Check answers</a></div>
+{_FOOTER}</body></html>""",
+        ["Practice questions: rules of the road",
+         "Question one. Two power-driven vessels are meeting head on; "
+         "what action should each take?",
+         "Each alters course to starboard and passes port to port.",
+         "Each alters course to port and passes starboard to "
+         "starboard.",
+         "The smaller vessel gives way and the larger holds course.",
+         "Question two. At night you see a green light ahead and "
+         "slightly to port; what are you looking at?",
+         "The starboard side of a vessel crossing from your left.",
+         "The port side of a vessel crossing from your right.",
+         "A vessel at anchor showing an all-round light."],
+    ),
+    # 157. classifieds listing page: each ad paragraph is content;
+    # the post-an-ad rail is chrome.
+    _page(
+        "marine_classifieds",
+        f"""<html><body><header><h1>Harbor Classifieds</h1>{_NAV}</header>
+<main><article>
+<h1>Boats and gear for sale this week</h1>
+<p>Twelve foot sailing dinghy with nearly new sail and galvanized
+trailer, stored under cover, ready for the season; eight hundred or
+best offer, evenings only.</p>
+<p>Pair of bronze winches off a retired cruiser, serviced and
+greased, with handles; sold together, collection from the boatyard
+shed.</p>
+<p>Wanted: a tender under eight feet that fits on a foredeck, rowing
+preferred, condition unimportant if it floats.</p>
+</article></main>
+<div class="actions"><a href="/post">Post an ad</a>
+<a href="/rules">Listing rules</a></div>
+{_FOOTER}</body></html>""",
+        ["Boats and gear for sale this week",
+         "Twelve foot sailing dinghy with nearly new sail and "
+         "galvanized trailer, stored under cover, ready for the "
+         "season; eight hundred or best offer, evenings only.",
+         "Pair of bronze winches off a retired cruiser, serviced and "
+         "greased, with handles; sold together, collection from the "
+         "boatyard shed.",
+         "Wanted: a tender under eight feet that fits on a foredeck, "
+         "rowing preferred, condition unimportant if it floats."],
+    ),
+    # 158. meeting agenda: timed agenda items as a list are content;
+    # the RSVP strip is chrome.
+    _page(
+        "club_meeting_agenda",
+        f"""<html><body><header><h1>Harbor Yacht Club</h1>{_NAV}</header>
+<main><article>
+<h1>Agenda for the annual general meeting</h1>
+<ul>
+<li>Seven o'clock: welcome, apologies, and approval of last year's
+minutes as circulated.</li>
+<li>Seven fifteen: treasurer's report and the proposed dues schedule
+for the coming season.</li>
+<li>Seven forty five: motion to fund the junior sailing fleet's two
+replacement boats from reserves.</li>
+<li>Eight fifteen: any other business and the date of the spring
+work party.</li>
+</ul>
+</article></main>
+<div class="signup"><a href="/rsvp">RSVP</a></div>
+{_FOOTER}</body></html>""",
+        ["Agenda for the annual general meeting",
+         "Seven o'clock: welcome, apologies, and approval of last "
+         "year's minutes as circulated.",
+         "Seven fifteen: treasurer's report and the proposed dues "
+         "schedule for the coming season.",
+         "Seven forty five: motion to fund the junior sailing fleet's "
+         "two replacement boats from reserves.",
+         "Eight fifteen: any other business and the date of the "
+         "spring work party."],
+    ),
+    # 159. notice to mariners: correction entries are content; the
+    # edition picker is chrome.
+    _page(
+        "chart_corrections",
+        f"""<html><body><header><h1>Notices to Mariners</h1>{_NAV}</header>
+<main><article>
+<h1>Chart corrections, harbor approaches edition</h1>
+<p>Correction one. Delete the wreck symbol southeast of the fairway
+buoy; the wreck has been dispersed and the least depth over the site
+is now six fathoms.</p>
+<p>Correction two. Insert a yellow special-purpose buoy marking the
+new outfall, flashing yellow every four seconds, close inshore of
+the bathing beach.</p>
+<p>Correction three. Amend the light characteristic of the breakwater
+head from fixed red to flashing red every three seconds.</p>
+</article></main>
+<div class="versions"><a href="/ed/last">Previous edition</a>
+<a href="/ed/list">All editions</a></div>
+{_FOOTER}</body></html>""",
+        ["Chart corrections, harbor approaches edition",
+         "Correction one. Delete the wreck symbol southeast of the "
+         "fairway buoy; the wreck has been dispersed and the least "
+         "depth over the site is now six fathoms.",
+         "Correction two. Insert a yellow special-purpose buoy "
+         "marking the new outfall, flashing yellow every four "
+         "seconds, close inshore of the bathing beach.",
+         "Correction three. Amend the light characteristic of the "
+         "breakwater head from fixed red to flashing red every three "
+         "seconds."],
+    ),
+    # 160. engine spec sheet: the specification DATA table and the
+    # service note are content; the dealer locator is chrome.
+    _page(
+        "engine_spec_sheet",
+        f"""<html><body><header><h1>Marine Engines</h1>{_NAV}</header>
+<main><article>
+<h1>Coastal 30 inboard diesel, specifications</h1>
+<table class="specs"><caption>Manufacturer figures</caption>
+<tr><th>Which specification</th><th>Stated value</th></tr>
+<tr><td>Rated output</td><td>Thirty horsepower at full throttle</td></tr>
+<tr><td>Displacement</td><td>One point three liters, three
+cylinders</td></tr>
+<tr><td>Dry weight</td><td>One hundred sixty kilograms with
+gearbox</td></tr>
+</table>
+<p>Service intervals assume clean fuel and a freshwater-cooled
+installation; raw-water installations halve the impeller interval
+regardless of engine hours.</p>
+</article></main>
+<div class="tools"><a href="/dealers">Find a dealer</a>
+<a href="/manuals">Owner manuals</a></div>
+{_FOOTER}</body></html>""",
+        ["Coastal 30 inboard diesel, specifications",
+         "Manufacturer figures", "Which specification", "Stated value",
+         "Rated output", "Thirty horsepower at full throttle",
+         "Displacement", "One point three liters, three cylinders",
+         "Dry weight", "One hundred sixty kilograms with gearbox",
+         "Service intervals assume clean fuel and a freshwater-cooled "
+         "installation; raw-water installations halve the impeller "
+         "interval regardless of engine hours."],
+    ),
+    # 161. program registration page: eligibility prose + the fees
+    # DATA table are content; the signup form strip is chrome.
+    _page(
+        "sailing_registration",
+        f"""<html><body><header><h1>Junior Sailing</h1>{_NAV}</header>
+<main><article>
+<h1>Summer program registration, ages eight to fifteen</h1>
+<p>Sailors are grouped by experience rather than age after the first
+day's assessment, and every group spends at least half of each
+session on the water when the flag allows.</p>
+<table class="fees"><caption>Session fees</caption>
+<tr><th>Which session</th><th>Fee charged</th></tr>
+<tr><td>Two week morning session</td><td>Two hundred forty
+dollars</td></tr>
+<tr><td>Full season pass</td><td>Seven hundred dollars with a family
+discount available</td></tr>
+</table>
+</article></main>
+<div class="signup"><a href="/register">Register now</a>
+<a href="/aid">Financial aid</a></div>
+{_FOOTER}</body></html>""",
+        ["Summer program registration, ages eight to fifteen",
+         "Sailors are grouped by experience rather than age after the "
+         "first day's assessment, and every group spends at least "
+         "half of each session on the water when the flag allows.",
+         "Session fees", "Which session", "Fee charged",
+         "Two week morning session", "Two hundred forty dollars",
+         "Full season pass",
+         "Seven hundred dollars with a family discount available"],
+    ),
+    # 162. archival newspaper transcription: transcribed paragraphs
+    # with editorial [illegible] markers are content; the scan viewer
+    # strip is chrome.
+    _page(
+        "newspaper_transcription",
+        f"""<html><body><header><h1>Historical Papers</h1>{_NAV}</header>
+<main><article>
+<h1>The Harbor Gazette, transcription of the storm report</h1>
+<p>The gale of Thursday last drove three coasters ashore on the
+flats, and the crews were taken off by the lifeboat in two trips,
+the second made under [illegible] of darkness.</p>
+<p>The schooner Meridian parted her best bower but rode out the
+night on her second anchor, her master crediting the new chain
+bought only a fortnight [illegible].</p>
+</article></main>
+<div class="tools"><a href="/scan">View original scan</a>
+<a href="/issues">Browse issues</a></div>
+{_FOOTER}</body></html>""",
+        ["The Harbor Gazette, transcription of the storm report",
+         "The gale of Thursday last drove three coasters ashore on "
+         "the flats, and the crews were taken off by the lifeboat in "
+         "two trips, the second made under [illegible] of darkness.",
+         "The schooner Meridian parted her best bower but rode out "
+         "the night on her second anchor, her master crediting the "
+         "new chain bought only a fortnight [illegible]."],
+    ),
 ]
 
 
