@@ -215,3 +215,6 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.langseg import lang_segment_batch
 
     register_stage("clean.langseg")(lang_segment_batch)
+    from nidaba_ray.functions.linkgraph import harvest_links_batch
+
+    register_stage("extract.links")(harvest_links_batch)

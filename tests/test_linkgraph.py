@@ -177,3 +177,25 @@ def test_page_links_distributed(ray_session):
            .to_pandas().sort_values(["url", "link_idx"])
            .reset_index(drop=True))
     assert len(got) == 5
+
+
+def test_crawl_frontier_example_spec(ray_session):
+    """examples/crawl_frontier.yaml: robots gate → link harvest."""
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    spec = registry.load_spec("examples/crawl_frontier.yaml")
+    t = pa.table({
+        "url": pa.array(["https://example.org/a",
+                         "https://example.org/private/x"]),
+        "lang": pa.array(["en", "en"]),
+        "html": pa.array(
+            [b'<a href="https://other.example/y">go</a>',
+             b'<a href="https://never.example/z">hidden</a>'],
+            pa.binary()),
+    })
+    out = registry.compile_pipeline(rd.from_arrow(t), spec).to_pandas()
+    assert out["url"].tolist() == ["https://example.org/a"]
+    assert out["dst_host"].tolist() == ["other.example"]
+    assert registry.get_stage("extract.links") is not None
