@@ -145,6 +145,9 @@ TIMED_QUERIES = [
     # + query-vocab df pass, then the scoring pass with per-batch
     # top-k combiners)
     "bm25_topk",
+    # round-5 session-6, appended LAST: the per-lang data card (one
+    # combiner pass + one (lang, fp) distinct shuffle)
+    "corpus_datacard",
 ]
 
 
@@ -256,7 +259,14 @@ def _extra_timed() -> dict:
         "curated_by_source": curate.curated_by_source,
         "pagerank_pages": _pagerank_pages,
         "bm25_topk": _bm25_topk,
+        "corpus_datacard": _corpus_datacard,
     }
+
+
+def _corpus_datacard(sf_dir: str):
+    from nidaba_ray.pipelines.report import corpus_datacard
+
+    return corpus_datacard(sf_dir)
 
 
 def _bm25_topk(sf_dir: str):
