@@ -37,11 +37,13 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
     """One payload → (kind, spans, error). Pure; unit-testable.
 
     Payload dialects (sniffed in order): gzip member (transparently
-    inflated — CC WARC records are commonly per-record gzip), %PDF,
-    UTF-8 HTML, latin-1 HTML fallback (only when the decoded text has
-    unambiguous html structure — a ``<html``/``<!doctype`` marker; a
-    bare latin-1 decode never fails, so without the marker random
-    binary would stop quarantining)."""
+    inflated — CC WARC records are commonly per-record gzip), bzip2
+    and xz members (dump mirrors — Wikipedia-style archives — serve
+    both; round 5), %PDF, UTF-8 HTML, latin-1 HTML fallback (only
+    when the decoded text has unambiguous html structure — a
+    ``<html``/``<!doctype`` marker; a bare latin-1 decode never
+    fails, so without the marker random binary would stop
+    quarantining)."""
     try:
         if payload[:2] == GZIP_MAGIC:
             import gzip
@@ -50,6 +52,20 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
                 payload = gzip.decompress(payload)
             except (OSError, EOFError):
                 return "invalid", [], "gzip: corrupt stream"
+        elif payload[:3] == b"BZh":
+            import bz2
+
+            try:
+                payload = bz2.decompress(payload)
+            except (OSError, ValueError):
+                return "invalid", [], "bzip2: corrupt stream"
+        elif payload[:6] == b"\xfd7zXZ\x00":
+            import lzma
+
+            try:
+                payload = lzma.decompress(payload)
+            except lzma.LZMAError:
+                return "invalid", [], "xz: corrupt stream"
         if payload[:4] == b"PK\x03\x04":
             return _extract_office(payload)
         if payload[:5] == b"{\\rtf":

@@ -143,3 +143,32 @@ def test_lang_id_discriminates_distinct_vocab():
     })
     out = LangId()(batch)
     assert out["pred_lang"].to_pylist() == want
+
+
+def test_bz2_and_xz_payloads_inflated():
+    """Round-5 dialects: bzip2 and xz members inflate transparently
+    (dump-mirror payloads); corrupt members quarantine."""
+    import bz2
+    import lzma
+
+    from nidaba_ray.stages.extract import extract_row
+
+    html = b"<html><body><p>compressed page body with enough words " \
+           b"to score as the single content block here</p></body></html>"
+    for comp, magic, tag in (
+        (bz2.compress(html), b"BZh", "bzip2"),
+        (lzma.compress(html, format=lzma.FORMAT_XZ), b"\xfd7zXZ\x00",
+         "xz"),
+    ):
+        assert comp.startswith(magic)
+        kind, spans, err = extract_row(comp)
+        assert kind == "html" and err == "", tag
+        assert any("compressed page body" in s["text"] for s in spans)
+        kind, _spans, err = extract_row(magic + b"\x00" * 20)
+        assert kind == "invalid" and tag in err
+    # a compressed PDF payload rides the same sniff chain
+    from nidaba_ray import synth
+
+    pdf = synth.make_pdf_diff(7, "tiny compressed pdf body")
+    kind, spans, err = extract_row(bz2.compress(pdf))
+    assert kind == "pdf" and err == ""
