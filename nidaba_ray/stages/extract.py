@@ -255,6 +255,11 @@ def _extract_office(payload: bytes) -> tuple[str, list[dict], str]:
         if not spans:
             return "odt", [], "odt: no visible text"
         return "odt", spans, ""
+    if kind == "xlsx":
+        spans = _doc_spans(office.extract_xlsx_rows(payload), "xlsx")
+        if not spans:
+            return "xlsx", [], "xlsx: no visible text"
+        return "xlsx", spans, ""
     if kind == "epub":
         spans: list[dict] = []
         for chapter in office.epub_chapters(payload):

@@ -30,7 +30,7 @@ from html import unescape
 
 __all__ = ["ZIP_MAGIC", "sniff_office", "extract_docx_paragraphs",
            "epub_chapters", "extract_odt_paragraphs",
-           "extract_rtf_paragraphs", "is_rtf"]
+           "extract_rtf_paragraphs", "extract_xlsx_rows", "is_rtf"]
 
 ZIP_MAGIC = b"PK\x03\x04"
 RTF_MAGIC = b"{\\rtf"
@@ -58,6 +58,8 @@ def sniff_office(payload: bytes) -> str | None:
         return None
     if "word/document.xml" in names:
         return "docx"
+    if "xl/workbook.xml" in names:
+        return "xlsx"
     if "META-INF/container.xml" in names:
         return "epub"
     if "content.xml" in names:
@@ -243,3 +245,74 @@ def epub_chapters(payload: bytes) -> list[bytes]:
             return chapters
     except (zipfile.BadZipFile, KeyError, OSError) as e:
         raise ValueError(f"epub: {e}") from None
+
+
+# ---------------------------------------------------------------------------
+# XLSX (OOXML SpreadsheetML) — the spreadsheet member of the zip
+# office family (round 5). Each sheet ROW becomes one text line:
+# cells joined with single spaces, in document order; shared strings
+# (t="s") resolve through xl/sharedStrings.xml, inline strings
+# through their <is><t> runs, every other cell type renders its raw
+# <v> text (numbers stay exactly as serialized — deterministic).
+# Sheets walk in filename order with a numeric-suffix sort
+# (sheet2 < sheet10) — a documented simplification of workbook-rels
+# order that matches every mainstream writer's physical layout.
+# ---------------------------------------------------------------------------
+
+_SI_RE = re.compile(rb"<si>.*?</si>", re.S)
+_T_RE = re.compile(rb"<t(?: [^>]*)?>(.*?)</t>", re.S)
+_ROW_RE = re.compile(rb"<row[ >].*?</row>|<row[^>]*/>", re.S)
+_CELL_RE = re.compile(rb"<c(?: ([^>]*))?>(.*?)</c>|<c(?: ([^>]*))?/>",
+                      re.S)
+_V_RE = re.compile(rb"<v(?: [^>]*)?>(.*?)</v>", re.S)
+_TYPE_RE = re.compile(rb"(?:^|\s)t\s*=\s*[\"']([^\"']+)[\"']")
+_SHEET_NAME_RE = re.compile(r"^xl/worksheets/sheet(\d+)\.xml$")
+
+
+def extract_xlsx_rows(payload: bytes) -> list[str]:
+    """XLSX bytes → one text line per non-empty sheet row."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            names = z.namelist()
+            shared: list[str] = []
+            if "xl/sharedStrings.xml" in names:
+                ss = z.read("xl/sharedStrings.xml")
+                for si in _SI_RE.finditer(ss):
+                    shared.append("".join(
+                        unescape(m.group(1).decode("utf-8"))
+                        for m in _T_RE.finditer(si.group(0))))
+            sheets = sorted(
+                (int(m.group(1)), n) for n in names
+                if (m := _SHEET_NAME_RE.match(n)))
+            out: list[str] = []
+            for _idx, sheet_name in sheets:
+                body = z.read(sheet_name)
+                for rm in _ROW_RE.finditer(body):
+                    cells: list[str] = []
+                    for cm in _CELL_RE.finditer(rm.group(0)):
+                        attrs = cm.group(1) or cm.group(3) or b""
+                        inner = cm.group(2) or b""
+                        tm = _TYPE_RE.search(attrs)
+                        ctype = tm.group(1) if tm else b""
+                        if ctype == b"s":
+                            vm = _V_RE.search(inner)
+                            if vm:
+                                idx = int(vm.group(1))
+                                if 0 <= idx < len(shared):
+                                    cells.append(shared[idx])
+                        elif ctype == b"inlineStr" or b"<is>" in inner:
+                            cells.append("".join(
+                                unescape(m.group(1).decode("utf-8"))
+                                for m in _T_RE.finditer(inner)))
+                        else:
+                            vm = _V_RE.search(inner)
+                            if vm:
+                                cells.append(unescape(
+                                    vm.group(1).decode("utf-8")))
+                    line = " ".join(c for c in cells if c).strip()
+                    if line:
+                        out.append(line)
+            return out
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError,
+            OverflowError) as e:
+        raise ValueError(f"xlsx: {e}") from None

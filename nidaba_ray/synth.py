@@ -473,6 +473,41 @@ def make_pdf_twofont(doc_id: int, text: str) -> bytes:
     )
 
 
+def make_xlsx(doc_id: int, text: str) -> bytes:
+    """OOXML SpreadsheetML container: one sheet row per paragraph,
+    the paragraph split into 1-3 shared-string cells at deterministic
+    word boundaries; extraction (cells joined with single spaces) is
+    the identity on ``text``."""
+    import html as _html
+    import io
+    import zipfile
+
+    shared: list[str] = []
+    rows_xml: list[str] = []
+    for i, p in enumerate(paragraphs_for(doc_id, text)):
+        words = p.split(" ")
+        k = 1 + (doc_id + i) % 3
+        step = max(1, -(-len(words) // k))
+        cells = []
+        for j in range(0, len(words), step):
+            cells.append(
+                f'<c r="X{i}" t="s"><v>{len(shared)}</v></c>')
+            shared.append(" ".join(words[j:j + step]))
+        rows_xml.append(f'<row r="{i + 1}">' + "".join(cells) + "</row>")
+    sst = "<sst>" + "".join(
+        f'<si><t xml:space="preserve">{_html.escape(s)}</t></si>'
+        for s in shared) + "</sst>"
+    sheet = ("<worksheet><sheetData>" + "".join(rows_xml)
+             + "</sheetData></worksheet>")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        _zip_add(z, "[Content_Types].xml", b"<Types/>")
+        _zip_add(z, "xl/workbook.xml", b"<workbook/>")
+        _zip_add(z, "xl/sharedStrings.xml", sst.encode("utf-8"))
+        _zip_add(z, "xl/worksheets/sheet1.xml", sheet.encode("utf-8"))
+    return buf.getvalue()
+
+
 def make_pdf_objstm(doc_id: int, text: str) -> bytes:
     """The :func:`make_pdf_twofont` document restructured the way
     modern writers (PDF 1.5+) emit it: the page dict and BOTH font

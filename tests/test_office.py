@@ -234,3 +234,77 @@ def test_odt_rtf_gzip_and_quarantine():
     # an empty-body odt quarantines with a reason
     kind, _, err = extract_row(make_odt(["<text:p></text:p>"]))
     assert kind == "odt" and "no visible text" in err
+
+
+# ---------------------------------------------------------------------------
+# XLSX (round-5 session 6)
+# ---------------------------------------------------------------------------
+
+def test_xlsx_identity_roundtrip():
+    """make_xlsx → extract_row is the identity on the source text
+    (the make_docx convention: shared-string cells rejoin with the
+    single spaces extraction uses)."""
+    from nidaba_ray.stages.extract import extract_row
+    from nidaba_ray.synth import make_xlsx
+
+    text = ("the quarterly numbers include revenue up nine percent "
+            "and margins holding at eleven point five while the "
+            "fleet ran at ninety three percent utilization all season")
+    for doc_id in (0, 1, 2, 7):
+        kind, spans, err = extract_row(make_xlsx(doc_id, text))
+        assert (kind, err) == ("xlsx", ""), doc_id
+        got = " ".join(s["text"] for s in spans)
+        assert got == text, doc_id
+
+
+def test_xlsx_cell_types_and_sheet_order():
+    import io
+    import zipfile
+
+    from nidaba_ray.stages.office import extract_xlsx_rows, sniff_office
+
+    def zadd(z, n, b):
+        zi = zipfile.ZipInfo(n, date_time=(1980, 1, 1, 0, 0, 0))
+        z.writestr(zi, b)
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zadd(z, "[Content_Types].xml", b"<Types/>")
+        zadd(z, "xl/workbook.xml", b"<workbook/>")
+        zadd(z, "xl/sharedStrings.xml",
+             b"<sst><si><t>Header &amp; title</t></si>"
+             b'<si><t xml:space="preserve">two </t><t>runs</t></si></sst>')
+        # sheet10 vs sheet2: numeric-suffix order, not lexicographic
+        zadd(z, "xl/worksheets/sheet10.xml",
+             b"<worksheet><sheetData><row><c t=\"s\"><v>1</v></c></row>"
+             b"</sheetData></worksheet>")
+        zadd(z, "xl/worksheets/sheet2.xml",
+             b'<worksheet><sheetData>'
+             b'<row r="1"><c t="s"><v>0</v></c><c><v>42.5</v></c></row>'
+             b'<row r="2"><c t="inlineStr"><is><t>inline cell</t></is>'
+             b"</c></row>"
+             b'<row r="3"/><row r="4"><c/></row>'
+             b"</sheetData></worksheet>")
+    payload = buf.getvalue()
+    assert sniff_office(payload) == "xlsx"
+    assert extract_xlsx_rows(payload) == [
+        "Header & title 42.5", "inline cell", "two runs"]
+
+
+def test_xlsx_malformed_quarantines():
+    import pytest as _pytest
+
+    from nidaba_ray.stages.extract import extract_row
+    from nidaba_ray.stages.office import extract_xlsx_rows
+
+    with _pytest.raises(ValueError):
+        extract_xlsx_rows(b"PK\x03\x04 not a zip at all")
+    # through the row kernel: a zip with a workbook but no rows
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", b"<workbook/>")
+    kind, spans, err = extract_row(buf.getvalue())
+    assert kind == "xlsx" and "no visible text" in err
