@@ -260,6 +260,12 @@ def _extract_office(payload: bytes) -> tuple[str, list[dict], str]:
         if not spans:
             return "xlsx", [], "xlsx: no visible text"
         return "xlsx", spans, ""
+    if kind == "pptx":
+        spans = _doc_spans(office.extract_pptx_paragraphs(payload),
+                           "pptx")
+        if not spans:
+            return "pptx", [], "pptx: no visible text"
+        return "pptx", spans, ""
     if kind == "epub":
         spans: list[dict] = []
         for chapter in office.epub_chapters(payload):

@@ -30,7 +30,8 @@ from html import unescape
 
 __all__ = ["ZIP_MAGIC", "sniff_office", "extract_docx_paragraphs",
            "epub_chapters", "extract_odt_paragraphs",
-           "extract_rtf_paragraphs", "extract_xlsx_rows", "is_rtf"]
+           "extract_rtf_paragraphs", "extract_xlsx_rows",
+           "extract_pptx_paragraphs", "is_rtf"]
 
 ZIP_MAGIC = b"PK\x03\x04"
 RTF_MAGIC = b"{\\rtf"
@@ -60,6 +61,8 @@ def sniff_office(payload: bytes) -> str | None:
         return "docx"
     if "xl/workbook.xml" in names:
         return "xlsx"
+    if "ppt/presentation.xml" in names:
+        return "pptx"
     if "META-INF/container.xml" in names:
         return "epub"
     if "content.xml" in names:
@@ -316,3 +319,43 @@ def extract_xlsx_rows(payload: bytes) -> list[str]:
     except (zipfile.BadZipFile, KeyError, OSError, ValueError,
             OverflowError) as e:
         raise ValueError(f"xlsx: {e}") from None
+
+
+# ---------------------------------------------------------------------------
+# PPTX (OOXML PresentationML) — completes the zip office trio. Each
+# slide paragraph (<a:p>) becomes one text line: its <a:t> runs
+# concatenate (DrawingML text has no tab elements worth spacing;
+# <a:br/> contributes a space). Slides walk in numeric-suffix order
+# (the xlsx convention).
+# ---------------------------------------------------------------------------
+
+_AP_RE = re.compile(rb"<a:p>.*?</a:p>|<a:p/>", re.S)
+_AT_RE = re.compile(rb"<a:t(?: [^>]*)?>(.*?)</a:t>|<a:br\s*/>", re.S)
+_SLIDE_NAME_RE = re.compile(r"^ppt/slides/slide(\d+)\.xml$")
+
+
+def extract_pptx_paragraphs(payload: bytes) -> list[str]:
+    """PPTX bytes → visible slide-paragraph texts in slide order."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as z:
+            names = z.namelist()
+            slides = sorted(
+                (int(m.group(1)), n) for n in names
+                if (m := _SLIDE_NAME_RE.match(n)))
+            out: list[str] = []
+            for _idx, name in slides:
+                body = z.read(name)
+                for pm in _AP_RE.finditer(body):
+                    runs = []
+                    for m in _AT_RE.finditer(pm.group(0)):
+                        if m.group(1) is None:   # <a:br/>
+                            runs.append(" ")
+                        else:
+                            runs.append(unescape(
+                                m.group(1).decode("utf-8", "strict")))
+                    text = "".join(runs).strip()
+                    if text:
+                        out.append(text)
+            return out
+    except (zipfile.BadZipFile, KeyError, OSError, ValueError) as e:
+        raise ValueError(f"pptx: {e}") from None

@@ -308,3 +308,38 @@ def test_xlsx_malformed_quarantines():
         z.writestr("xl/workbook.xml", b"<workbook/>")
     kind, spans, err = extract_row(buf.getvalue())
     assert kind == "xlsx" and "no visible text" in err
+
+
+def test_pptx_paragraphs_and_dispatch():
+    import io
+    import zipfile
+
+    from nidaba_ray.stages.extract import extract_row
+    from nidaba_ray.stages.office import (
+        extract_pptx_paragraphs,
+        sniff_office,
+    )
+
+    def zadd(z, n, b):
+        zi = zipfile.ZipInfo(n, date_time=(1980, 1, 1, 0, 0, 0))
+        z.writestr(zi, b)
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zadd(z, "[Content_Types].xml", b"<Types/>")
+        zadd(z, "ppt/presentation.xml", b"<presentation/>")
+        # slide10 after slide2 (numeric order)
+        zadd(z, "ppt/slides/slide10.xml",
+             b"<sld><a:p><a:t>Closing remarks</a:t></a:p></sld>")
+        zadd(z, "ppt/slides/slide2.xml",
+             b"<sld><a:p><a:t>Title of the talk</a:t></a:p>"
+             b"<a:p><a:t>first run</a:t><a:br/><a:t>second run"
+             b"</a:t></a:p><a:p></a:p></sld>")
+    payload = buf.getvalue()
+    assert sniff_office(payload) == "pptx"
+    assert extract_pptx_paragraphs(payload) == [
+        "Title of the talk", "first run second run", "Closing remarks"]
+    kind, spans, err = extract_row(payload)
+    assert (kind, err) == ("pptx", "")
+    assert [s["text"] for s in spans] == [
+        "Title of the talk", "first run second run", "Closing remarks"]
