@@ -39,7 +39,9 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
     Payload dialects (sniffed in order): gzip member (transparently
     inflated — CC WARC records are commonly per-record gzip), bzip2
     and xz members (dump mirrors — Wikipedia-style archives — serve
-    both; round 5), %PDF, UTF-8 HTML, latin-1 HTML fallback (only
+    both; round 5), %PDF, zip containers (docx/odt/xlsx/pptx/epub),
+    RTF, RSS/Atom/RDF feeds, plain text, UTF-8 HTML, latin-1 HTML
+    fallback (only
     when the decoded text has unambiguous html structure — a
     ``<html``/``<!doctype`` marker; a bare latin-1 decode never
     fails, so without the marker random binary would stop
@@ -93,16 +95,48 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
         # nor valid UTF-8 text are quarantined (declared-charset and
         # latin-1 fallbacks below require the page to identify itself:
         # a meta/xml charset declaration, or unambiguous html structure).
-        try:
-            text = payload.decode("utf-8")
-        except UnicodeDecodeError:
-            text = None
-            cs = _sniff_charset(payload[:2048])
-            if cs:
-                try:
-                    text = payload.decode(cs)
-                except (UnicodeDecodeError, LookupError):
-                    text = None
+        text = None
+        if payload[:3] == b"\xef\xbb\xbf":
+            payload = payload[3:]  # UTF-8 BOM: strip, decode strict below
+        elif payload[:2] in (b"\xff\xfe", b"\xfe\xff"):
+            # UTF-16 BOM (the "utf-16" codec consumes it). FF FE also
+            # prefixes UTF-32-LE — disambiguate on the next two bytes;
+            # UTF-32 pages are effectively absent from the web.
+            if payload[:2] == b"\xff\xfe" and payload[2:4] == b"\x00\x00":
+                return "invalid", [], "utf-32 payloads unsupported"
+            try:
+                text = payload.decode("utf-16")
+            except UnicodeDecodeError:
+                return "invalid", [], "utf-16: corrupt stream"
+        if text is None:
+            try:
+                text = payload.decode("utf-8")
+            except UnicodeDecodeError:
+                text = None
+                cs = _sniff_charset(payload[:2048])
+                if cs:
+                    try:
+                        text = payload.decode(cs)
+                    except (UnicodeDecodeError, LookupError):
+                        text = None
+            if text is None:
+                # BOM-less UTF-16 (IIS-era pages): a NUL-dense head is
+                # never valid in any listed 8-bit web charset, so the
+                # NUL stripe picks the endianness; the decode must then
+                # show unambiguous html structure (the latin-1 gate).
+                head = payload[:256]
+                if head.count(0) >= len(head) // 3:
+                    even_nul = head[0::2].count(0)
+                    enc = ("utf-16-be" if even_nul > head[1::2].count(0)
+                           else "utf-16-le")
+                    try:
+                        cand = payload.decode(enc)
+                    except UnicodeDecodeError:
+                        cand = None
+                    if cand is not None:
+                        lowc = cand[:512].lower()
+                        if "<html" in lowc or "<!doctype" in lowc:
+                            text = cand
             if text is None:
                 text = payload.decode("latin-1")
                 low512 = text[:512].lower()
@@ -112,6 +146,14 @@ def extract_row(payload: bytes) -> tuple[str, list[dict], str]:
         low = text[:512].lower()
         if "<" not in text:
             return _extract_plain_text(text, "payload is not markup")
+        if "<html" not in low and "<!doctype" not in low:
+            # syndication dialect: RSS/Atom/RDF roots never carry html
+            # markers, so sniffing here can't shadow a real page
+            from nidaba_ray.stages import feeds
+
+            fk = feeds.sniff_feed(low)
+            if fk:
+                return _extract_feed(text, fk)
         if "<html" not in low and "<!doctype" not in low and "<body" not in low \
                 and "<p" not in low and "<div" not in low:
             return _extract_plain_text(
@@ -224,6 +266,18 @@ def _doc_spans(paras: list[str], kind: str) -> list[dict]:
         }
         for i, t in enumerate(paras)
     ]
+
+
+def _extract_feed(text: str, fk: str) -> tuple[str, list[dict], str]:
+    """RSS/Atom/RDF syndication documents (stages/feeds.py) — channel
+    title + per-item title/body paragraphs, the PDF no-chrome span
+    convention."""
+    from nidaba_ray.stages import feeds
+
+    spans = _doc_spans(feeds.extract_feed_paragraphs(text, fk), "feed")
+    if not spans:
+        return "feed", [], "feed: no item text"
+    return "feed", spans, ""
 
 
 def _extract_rtf(payload: bytes) -> tuple[str, list[dict], str]:

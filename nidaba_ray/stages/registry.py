@@ -146,6 +146,11 @@ def _ensure_builtin() -> None:
     from nidaba_ray.stages.serialize import tei_metadata_rows
 
     register_stage("output.tei_metadata")(tei_metadata_rows)
+    from nidaba_ray.stages.serialize import (load_markdown_rows,
+                                             to_markdown_rows)
+
+    register_stage("output.markdown")(to_markdown_rows)
+    register_stage("input.markdown")(load_markdown_rows)
     register_stage("input.tei")(load_tei_rows)
     register_stage("input.hocr")(load_hocr_rows)
     register_stage("input.alto")(load_alto_rows)

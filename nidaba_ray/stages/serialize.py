@@ -18,7 +18,8 @@ from nidaba_ray.record import spans_to_jsonl
 __all__ = ["to_jsonl_rows", "to_text_rows", "explode_spans",
            "to_tei_rows", "to_hocr_rows", "to_alto_rows", "to_abbyy_rows",
            "load_tei_rows", "load_hocr_rows", "load_alto_rows",
-           "load_abbyy_rows", "tei_metadata_rows", "TEI_HEADER_FIELDS"]
+           "load_abbyy_rows", "tei_metadata_rows", "TEI_HEADER_FIELDS",
+           "to_markdown_rows", "load_markdown_rows"]
 
 
 def to_jsonl_rows(batch: pa.Table) -> pa.Table:
@@ -398,6 +399,139 @@ def load_abbyy_rows(batch: pa.Table, column: str = "abbyy") -> pa.Table:
                 int(block.get("l", "0")), int(block.get("r", "0")),
             ))
         langs.append(lang)
+        spans.append(ss)
+        texts.append(spans_to_text(ss))
+    return _loaded_table(urls, langs, spans, texts, provs)
+
+
+# ---------------------------------------------------------------------------
+# Markdown dialect (round-5 session 7) — the training-data-friendly
+# human-readable serialization. Unlike the XML dialects the container
+# has no attribute slots, so each block is preceded by one
+# ``<!-- nb:block ... -->`` comment carrying the lossless span fields,
+# and the block text renders as real markdown by kind (headings →
+# ``#``, li → ``- ``, blockquote → ``> ``, pre → fenced code; other
+# kinds render as plain paragraphs — the kind still round-trips via
+# the comment). Escaping contract (all invertible, property-tested):
+# comment fields HTML-escape ``& " >``; any content line that would
+# read as an nb: comment gains one leading backslash.
+# ---------------------------------------------------------------------------
+
+_MD_HEADING_LEVEL = {f"h{i}": i for i in range(1, 7)}
+
+
+def _md_attr_escape(v: str) -> str:
+    return (v.replace("&", "&amp;").replace('"', "&quot;")
+             .replace(">", "&gt;"))
+
+
+def _md_attr_unescape(v: str) -> str:
+    return (v.replace("&gt;", ">").replace("&quot;", '"')
+             .replace("&amp;", "&"))
+
+
+def _md_escape_lines(text: str) -> list[str]:
+    out = []
+    for ln in text.split("\n"):
+        if ln.lstrip("\\").startswith("<!-- nb:"):
+            ln = "\\" + ln
+        out.append(ln)
+    return out
+
+
+def _md_unescape_lines(lines: list[str]) -> str:
+    out = []
+    for ln in lines:
+        if ln.startswith("\\") and ln.lstrip("\\").startswith("<!-- nb:"):
+            ln = ln[1:]
+        out.append(ln)
+    return "\n".join(out)
+
+
+def _md_render_block(s: dict) -> str:
+    hdr = (f'<!-- nb:block id={s["block_id"]} '
+           f'kind="{_md_attr_escape(s["kind"])}" depth={s["depth"]} '
+           f'start={s["start"]} end={s["end"]} -->')
+    lines = _md_escape_lines(s["text"])
+    kind = s["kind"]
+    if kind in _MD_HEADING_LEVEL:
+        lines[0] = "#" * _MD_HEADING_LEVEL[kind] + " " + lines[0]
+    elif kind == "li":
+        lines = ["- " + lines[0]] + ["  " + ln for ln in lines[1:]]
+    elif kind == "blockquote":
+        lines = ["> " + ln for ln in lines]
+    elif kind == "pre":
+        runs = _re_mod.findall(r"`+", s["text"])
+        fence = "`" * max(3, max((len(r) for r in runs), default=0) + 1)
+        lines = [fence] + lines + [fence]
+    return hdr + "\n" + "\n".join(lines) + "\n\n"
+
+
+def _md_parse_block(kind: str, chunk: str) -> str:
+    if chunk.endswith("\n\n"):
+        chunk = chunk[:-2]
+    lines = chunk.split("\n")
+    if kind in _MD_HEADING_LEVEL:
+        prefix = "#" * _MD_HEADING_LEVEL[kind] + " "
+        lines[0] = lines[0][len(prefix):]
+    elif kind == "li":
+        lines = [lines[0][2:]] + [ln[2:] for ln in lines[1:]]
+    elif kind == "blockquote":
+        lines = [ln[2:] for ln in lines]
+    elif kind == "pre":
+        lines = lines[1:-1]
+    return _md_unescape_lines(lines)
+
+
+import re as _re_mod
+
+_MD_DOC_RE = _re_mod.compile(
+    r'^<!-- nb:doc url="(.*?)" lang="(.*?)" -->$', _re_mod.M)
+_MD_BLOCK_RE = _re_mod.compile(
+    r'^<!-- nb:block id=(\d+) kind="(.*?)" depth=(-?\d+) '
+    r'start=(-?\d+) end=(-?\d+) -->\n', _re_mod.M)
+
+
+def to_markdown_rows(batch: pa.Table) -> pa.Table:
+    """One markdown document per row (url, markdown) — see the dialect
+    note above. Stateless ``map_batches`` projection; feed to
+    ``write_csv``/``write_parquet`` or the jsonl sink."""
+    urls = batch["url"].to_pylist()
+    langs = (batch["lang"].to_pylist()
+             if "lang" in batch.column_names else [""] * len(urls))
+    spans = batch["spans"].to_pylist()
+    docs = []
+    for u, l, ss in zip(urls, langs, spans):
+        parts = [f'<!-- nb:doc url="{_md_attr_escape(u)}" '
+                 f'lang="{_md_attr_escape(l or "")}" -->\n\n']
+        parts.extend(_md_render_block(s) for s in ss or [])
+        docs.append("".join(parts))
+    return pa.table({"url": pa.array(urls, pa.string()),
+                     "markdown": pa.array(docs, pa.string())})
+
+
+def load_markdown_rows(batch: pa.Table, column: str = "markdown") -> pa.Table:
+    """Parse the repo's markdown dialect back into the spans schema.
+    Markdown stores no provenance; the canonical text is reconstructed
+    from the spans in reading order (the hOCR-loader convention)."""
+    from nidaba_ray.record import spans_to_text
+
+    urls, langs, spans, texts, provs = [], [], [], [], []
+    for doc in batch[column].to_pylist():
+        dm = _MD_DOC_RE.search(doc)
+        urls.append(_md_attr_unescape(dm.group(1)) if dm else "")
+        langs.append(_md_attr_unescape(dm.group(2)) if dm else "")
+        provs.append([])
+        ss = []
+        matches = list(_MD_BLOCK_RE.finditer(doc))
+        for i, m in enumerate(matches):
+            nxt = matches[i + 1].start() if i + 1 < len(matches) else len(doc)
+            kind = _md_attr_unescape(m.group(2))
+            ss.append(_span(
+                int(m.group(1)), kind, int(m.group(3)),
+                _md_parse_block(kind, doc[m.end():nxt]),
+                int(m.group(4)), int(m.group(5)),
+            ))
         spans.append(ss)
         texts.append(spans_to_text(ss))
     return _loaded_table(urls, langs, spans, texts, provs)
