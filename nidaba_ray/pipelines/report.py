@@ -36,7 +36,7 @@ from nidaba_ray.functions.textops import (
     _gopher_signals,
 )
 
-__all__ = ["corpus_datacard", "DATACARD_SQL"]
+__all__ = ["corpus_datacard", "DATACARD_SQL", "key_skew", "key_skew_sql"]
 
 _GOPHER6 = ["f_word_count", "f_mean_word_len", "f_symbol_ratio",
             "f_bullet_ellipsis", "f_alpha_words", "f_stopwords"]
@@ -129,6 +129,65 @@ def corpus_datacard(sf_dir: str) -> pa.Table:
         {"lang": "string", "n_docs": "int64", "n_tokens": "int64",
          "n_uniq_texts": "int64"})
     return pa.Table.from_pandas(card, preserve_index=False)
+
+
+def key_skew(ds: rd.Dataset, key: str, k: int = 20,
+             hot_ppm: int = 10_000) -> pa.Table:
+    """Hot-key audit for a prospective partitioning key — the
+    pre-flight check the brief's "salt hot keys" advice needs: which
+    keys would dominate a ``groupby``/join shuffle on ``key``?
+
+    Returns the top-``k`` keys as (key, n_rows, share_ppm, is_hot):
+    integer parts-per-million share (``n*1e6 // total`` — exact, no
+    float drift) and is_hot = 1 when the share clears ``hot_ppm``
+    (default 1%). Ordered n_rows-desc then key-asc (total order).
+
+    Scale shape: a per-batch value_counts combiner (one row per
+    distinct key per batch) feeds ONE grouped sum at key cardinality;
+    the total is a scalar aggregate over those counts and only ``k``
+    rows ever reach the driver. Two passes over the counts Dataset,
+    zero passes over payload columns (callers should project to the
+    key column before calling)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key]).to_pandas().groupby(
+            key, as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False)
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby(key)
+                .aggregate(Sum("n", alias_name="n_rows"))
+                .materialize())
+    total = counts.sum("n_rows")
+    top = (counts
+           .sort(["n_rows", key], descending=[True, False])
+           .limit(k)
+           .to_pandas())
+    top["share_ppm"] = (top["n_rows"].astype("int64")
+                        * 1_000_000 // int(total)).astype("int64")
+    top["is_hot"] = (top["share_ppm"] >= hot_ppm).astype("int64")
+    return pa.Table.from_pandas(top, preserve_index=False)
+
+
+def key_skew_sql(table: str, key: str, k: int = 20,
+                 hot_ppm: int = 10_000) -> str:
+    """DuckDB replay of :func:`key_skew` (integer ppm arithmetic)."""
+    return f"""
+WITH counts AS (
+  SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM {table} GROUP BY {key}
+),
+tot AS (SELECT SUM(n_rows) AS t FROM counts)
+SELECT {key}, n_rows,
+       CAST(n_rows * 1000000 // t AS BIGINT) AS share_ppm,
+       CAST(CASE WHEN n_rows * 1000000 // t >= {hot_ppm}
+            THEN 1 ELSE 0 END AS BIGINT) AS is_hot
+FROM counts, tot
+ORDER BY n_rows DESC, {key} ASC
+LIMIT {k}
+"""
 
 
 DATACARD_SQL = f"""
