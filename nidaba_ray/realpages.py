@@ -4275,6 +4275,285 @@ bought only a fortnight [illegible].</p>
          "the night on her second anchor, her master crediting the "
          "new chain bought only a fortnight [illegible]."],
     ),
+    # 163. podcast episode page: show notes are content; the player
+    # strip and subscribe links are chrome.
+    _page(
+        "podcast_shownotes",
+        f"""<html><body><header><h1>Harborside Radio</h1>{_NAV}</header>
+<main><article>
+<h1>Episode forty two: the lighthouse keeper's ledger</h1>
+<p>This week we sit down with the last keeper of the outer light to
+read through the ledger he kept for thirty years, from fog bells
+rung by hand to the night the lamp converted to electricity.</p>
+<p>Along the way he explains why the station cat appears in the
+official log more often than the district inspector, and what the
+ledger's margins reveal about storms the newspapers never covered.</p>
+</article></main>
+<div class="player"><a href="/play">Play</a>
+<a href="/ep42.mp3">Download episode</a>
+<a href="/subscribe">Subscribe</a></div>
+{_FOOTER}</body></html>""",
+        ["Episode forty two: the lighthouse keeper's ledger",
+         "This week we sit down with the last keeper of the outer "
+         "light to read through the ledger he kept for thirty years, "
+         "from fog bells rung by hand to the night the lamp converted "
+         "to electricity.",
+         "Along the way he explains why the station cat appears in "
+         "the official log more often than the district inspector, "
+         "and what the ledger's margins reveal about storms the "
+         "newspapers never covered."],
+    ),
+    # 164. court opinion: numbered legal paragraphs are content; the
+    # case-tools strip is chrome.
+    _page(
+        "appellate_opinion",
+        f"""<html><body><header><h1>Appellate Reports</h1>{_NAV}</header>
+<main><article>
+<h1>Meridian Shipping against the Harbor Authority</h1>
+<p>1. The appellant challenges the authority's decision to close the
+east channel to vessels above forty meters, arguing the closure was
+adopted without the public notice the enabling statute requires.</p>
+<p>2. We conclude the notice published in the harbor gazette,
+although shorter than customary, identified the channel, the class
+of vessels affected, and the effective date, and therefore satisfied
+the statute's minimum requirements.</p>
+<p>3. The judgment of the lower tribunal is affirmed, and each party
+shall bear its own costs in this appeal.</p>
+</article></main>
+<div class="tools"><a href="/pdf">Download opinion</a>
+<a href="/cite">How to cite</a></div>
+{_FOOTER}</body></html>""",
+        ["Meridian Shipping against the Harbor Authority",
+         "1. The appellant challenges the authority's decision to "
+         "close the east channel to vessels above forty meters, "
+         "arguing the closure was adopted without the public notice "
+         "the enabling statute requires.",
+         "2. We conclude the notice published in the harbor gazette, "
+         "although shorter than customary, identified the channel, "
+         "the class of vessels affected, and the effective date, and "
+         "therefore satisfied the statute's minimum requirements.",
+         "3. The judgment of the lower tribunal is affirmed, and each "
+         "party shall bear its own costs in this appeal."],
+    ),
+    # 165. weather forecast: synopsis paragraph + outlook data table
+    # are content; the units toggle is chrome.
+    _page(
+        "weather_forecast",
+        f"""<html><body><header><h1>Coastal Weather</h1>{_NAV}</header>
+<main><article>
+<h1>Forecast for the harbor region</h1>
+<p>A slow moving front will keep showers in the area through the
+middle of the week, with the strongest winds arriving Tuesday night
+as the center passes north of the bay.</p>
+<table>
+<tr><th>Day of the week</th><th>Expected conditions for the day</th></tr>
+<tr><td>Monday</td><td>Morning fog burning off to hazy sunshine with
+light southerly winds</td></tr>
+<tr><td>Tuesday</td><td>Rain developing by afternoon and becoming
+heavy overnight with gusts near gale force</td></tr>
+<tr><td>Wednesday</td><td>Clearing slowly from the west with a choppy
+leftover swell outside the breakwater</td></tr>
+</table>
+</article></main>
+<div class="units"><a href="/units/c">Celsius</a>
+<a href="/units/f">Fahrenheit</a></div>
+{_FOOTER}</body></html>""",
+        ["Forecast for the harbor region",
+         "A slow moving front will keep showers in the area through "
+         "the middle of the week, with the strongest winds arriving "
+         "Tuesday night as the center passes north of the bay.",
+         "Day of the week", "Expected conditions for the day",
+         "Monday",
+         "Morning fog burning off to hazy sunshine with light "
+         "southerly winds",
+         "Tuesday",
+         "Rain developing by afternoon and becoming heavy overnight "
+         "with gusts near gale force",
+         "Wednesday",
+         "Clearing slowly from the west with a choppy leftover swell "
+         "outside the breakwater"],
+    ),
+    # 166. obituary: biography and service details are content; the
+    # condolence widgets are chrome.
+    _page(
+        "obituary",
+        f"""<html><body><header><h1>Town Record</h1>{_NAV}</header>
+<main><article>
+<h1>Margaret Ellison Hale, master shipwright</h1>
+<p>Margaret Ellison Hale, who ran the last wooden boatyard on the
+river for four decades and taught two generations of apprentices to
+steam oak frames, died Sunday at her home above the yard. She was
+ninety one years old.</p>
+<p>She is survived by her daughter, three grandchildren, and the
+forty seven boats of her design still registered in the harbor, a
+fact she recited more readily than any family news.</p>
+<p>A memorial gathering will be held at the boatyard loft on
+Saturday morning, and the family asks that donations go to the
+apprentice tool fund in place of flowers.</p>
+</article></main>
+<div class="share"><a href="/condolences">Share a memory</a>
+<a href="/flowers">Send flowers</a></div>
+{_FOOTER}</body></html>""",
+        ["Margaret Ellison Hale, master shipwright",
+         "Margaret Ellison Hale, who ran the last wooden boatyard on "
+         "the river for four decades and taught two generations of "
+         "apprentices to steam oak frames, died Sunday at her home "
+         "above the yard. She was ninety one years old.",
+         "She is survived by her daughter, three grandchildren, and "
+         "the forty seven boats of her design still registered in the "
+         "harbor, a fact she recited more readily than any family "
+         "news.",
+         "A memorial gathering will be held at the boatyard loft on "
+         "Saturday morning, and the family asks that donations go to "
+         "the apprentice tool fund in place of flowers."],
+    ),
+    # 167. museum exhibit page: description paragraphs + hours table
+    # are content; the ticket strip is chrome.
+    _page(
+        "exhibition_page",
+        f"""<html><body><header><h1>Maritime Museum</h1>{_NAV}</header>
+<main><article>
+<h1>Charts of the unseen coast, a special exhibition</h1>
+<p>The exhibition gathers sixty hand drawn charts from the survey of
+the outer banks, shown together for the first time since they were
+dispersed among private collections a century ago.</p>
+<p>Visitors can compare the surveyors' sounding notes with modern
+sonar imagery projected on the gallery floor, and a reading corner
+holds facsimiles sturdy enough for children to unroll.</p>
+<table>
+<tr><th>Day of visit</th><th>Gallery opening hours</th></tr>
+<tr><td>Weekdays</td><td>Ten in the morning until five in the
+afternoon with last entry at four</td></tr>
+<tr><td>Weekends</td><td>Nine in the morning until six in the
+evening including the reading corner</td></tr>
+</table>
+</article></main>
+<div class="tickets"><a href="/buy">Buy tickets</a>
+<a href="/member">Become a member</a></div>
+{_FOOTER}</body></html>""",
+        ["Charts of the unseen coast, a special exhibition",
+         "The exhibition gathers sixty hand drawn charts from the "
+         "survey of the outer banks, shown together for the first "
+         "time since they were dispersed among private collections a "
+         "century ago.",
+         "Visitors can compare the surveyors' sounding notes with "
+         "modern sonar imagery projected on the gallery floor, and a "
+         "reading corner holds facsimiles sturdy enough for children "
+         "to unroll.",
+         "Day of visit", "Gallery opening hours",
+         "Weekdays",
+         "Ten in the morning until five in the afternoon with last "
+         "entry at four",
+         "Weekends",
+         "Nine in the morning until six in the evening including the "
+         "reading corner"],
+    ),
+    # 168. scientific abstract landing page: title, author line, and
+    # abstract are content; download/cite buttons are chrome.
+    _page(
+        "paper_abstract",
+        f"""<html><body><header><h1>Journal of Coastal Studies</h1>{_NAV}
+</header>
+<main><article>
+<h1>Sediment transport under mixed tidal regimes in shallow
+estuaries</h1>
+<p>Ruth Calloway of the Estuarine Dynamics Laboratory and Niels
+Brandt of the Institute for Coastal Engineering, with field support
+from the harbor survey volunteers.</p>
+<p>We measured suspended sediment flux at twelve stations across two
+tidal cycles and find that flood dominance in the inner channels
+reverses under moderate river discharge, implying that dredging
+schedules tuned to average conditions underestimate shoaling in wet
+years. A simple two parameter correction reproduces the observed
+reversal in both survey seasons.</p>
+</article></main>
+<div class="actions"><a href="/pdf">Download PDF</a>
+<a href="/bibtex">Cite this article</a></div>
+{_FOOTER}</body></html>""",
+        ["Sediment transport under mixed tidal regimes in shallow "
+         "estuaries",
+         "Ruth Calloway of the Estuarine Dynamics Laboratory and "
+         "Niels Brandt of the Institute for Coastal Engineering, with "
+         "field support from the harbor survey volunteers.",
+         "We measured suspended sediment flux at twelve stations "
+         "across two tidal cycles and find that flood dominance in "
+         "the inner channels reverses under moderate river discharge, "
+         "implying that dredging schedules tuned to average "
+         "conditions underestimate shoaling in wet years. A simple "
+         "two parameter correction reproduces the observed reversal "
+         "in both survey seasons."],
+    ),
+    # 169. job posting: role description and responsibility list are
+    # content; the apply strip is chrome.
+    _page(
+        "trade_job_listing",
+        f"""<html><body><header><h1>Harbor Works Careers</h1>{_NAV}</header>
+<main><article>
+<h1>Senior rigger for the traditional fleet</h1>
+<p>The yard is hiring a senior rigger to maintain standing and
+running rigging across a fleet of nine gaff rigged workboats, with
+winters spent in the loft splicing and summers afloat on survey and
+delivery trips.</p>
+<ul>
+<li>Inspect and renew standing rigging on a rolling schedule agreed
+with the fleet surveyor each winter</li>
+<li>Teach the seasonal crew basic splicing, whipping, and the yard's
+standards for chafe protection</li>
+<li>Keep the rigging log current so the surveyor can trace every
+wire and lanyard to its installation date</li>
+</ul>
+<p>Applicants should have five years of traditional rigging
+experience and be comfortable working aloft in a bosun's chair.</p>
+</article></main>
+<div class="apply"><a href="/apply">Apply now</a>
+<a href="/benefits">Benefits</a></div>
+{_FOOTER}</body></html>""",
+        ["Senior rigger for the traditional fleet",
+         "The yard is hiring a senior rigger to maintain standing and "
+         "running rigging across a fleet of nine gaff rigged "
+         "workboats, with winters spent in the loft splicing and "
+         "summers afloat on survey and delivery trips.",
+         "Inspect and renew standing rigging on a rolling schedule "
+         "agreed with the fleet surveyor each winter",
+         "Teach the seasonal crew basic splicing, whipping, and the "
+         "yard's standards for chafe protection",
+         "Keep the rigging log current so the surveyor can trace "
+         "every wire and lanyard to its installation date",
+         "Applicants should have five years of traditional rigging "
+         "experience and be comfortable working aloft in a bosun's "
+         "chair."],
+    ),
+    # 170. auction lot listing: lot description and provenance are
+    # content; the bid box is chrome.
+    _page(
+        "auction_catalog_lot",
+        f"""<html><body><header><h1>Coastal Auctions</h1>{_NAV}</header>
+<main><article>
+<h1>Lot one twenty, ship portrait of the barque Meridian</h1>
+<p>Oil on canvas, signed lower right and dated, showing the barque
+under reduced sail off the outer light with the pilot cutter
+approaching on the starboard quarter. The original carved frame
+carries the builder's yard stamp on the reverse.</p>
+<p>Provenance, by descent in the family of the vessel's last master
+until the studio sale of nineteen seventy, then a private collection
+in the harbor town, and exhibited once at the maritime museum's
+centenary show.</p>
+</article></main>
+<div class="bid"><a href="/bid">Place a bid</a>
+<a href="/watch">Watch this lot</a>
+<a href="/shipping">Shipping costs</a></div>
+{_FOOTER}</body></html>""",
+        ["Lot one twenty, ship portrait of the barque Meridian",
+         "Oil on canvas, signed lower right and dated, showing the "
+         "barque under reduced sail off the outer light with the "
+         "pilot cutter approaching on the starboard quarter. The "
+         "original carved frame carries the builder's yard stamp on "
+         "the reverse.",
+         "Provenance, by descent in the family of the vessel's last "
+         "master until the studio sale of nineteen seventy, then a "
+         "private collection in the harbor town, and exhibited once "
+         "at the maritime museum's centenary show."],
+    ),
 ]
 
 
