@@ -33,6 +33,10 @@ _PAIRS_SCHEMA = pa.schema(
 _HAMMING_SCHEMA = pa.schema(
     [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("hamming", pa.int64())]
 )
+_CONTAINMENT_SCHEMA = pa.schema(
+    [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+     ("containment", pa.float64())]
+)
 _DUP_GROUPS_SCHEMA = pa.schema(
     [("fp", pa.string()), ("n_docs", pa.int64()), ("first_doc", pa.int64())]
 )
@@ -303,18 +307,23 @@ def minhash_candidates(sf_dir: str, num_partitions: int = 16) -> rd.Dataset:
 
 def _verify_jaccard_pairs(
     uniq: rd.Dataset, sf_dir: str, threshold: float,
-    docs: rd.Dataset | None = None,
+    docs: rd.Dataset | None = None, measure: str = "jaccard",
 ) -> pa.Table:
-    """EXACT n-gram Jaccard verification of a distinct candidate-pair
-    Dataset: two hash joins of the pair list against the corpus, with
-    the (pairs-sized) candidate id set broadcast as a pre-filter so
-    only candidate documents are shuffled — the driver holds ids only,
-    never texts (the 10^12-scale shape). Shared by the MinHash-LSH and
-    prefix-filter paths; ``docs`` overrides the corpus source (the
-    cross-crawl prober passes new-crawl ∪ candidate-filtered prior)."""
+    """EXACT n-gram set-similarity verification of a distinct
+    candidate-pair Dataset: two hash joins of the pair list against
+    the corpus, with the (pairs-sized) candidate id set broadcast as a
+    pre-filter so only candidate documents are shuffled — the driver
+    holds ids only, never texts (the 10^12-scale shape). Shared by the
+    MinHash-LSH and prefix-filter paths; ``docs`` overrides the corpus
+    source (the cross-crawl prober passes new-crawl ∪
+    candidate-filtered prior). ``measure`` picks the similarity:
+    ``"jaccard"`` (symmetric, |∩|/|∪|) or ``"containment"``
+    (directional, |∩|/|S(doc_a)| — doc_a is the contained side)."""
+    schema = (_PAIRS_SCHEMA if measure == "jaccard"
+              else _CONTAINMENT_SCHEMA)
     n_pairs = uniq.count()
     if n_pairs == 0:
-        return _PAIRS_SCHEMA.empty_table()
+        return schema.empty_table()
 
     # candidate id set — ≤ 2×|pairs| ints, tiny relative to the corpus
     ids: set[int] = set()
@@ -380,7 +389,10 @@ def _verify_jaccard_pairs(
             sa = np.frombuffer(ra, dtype=np.uint64)
             sb = np.frombuffer(rb, dtype=np.uint64)
             inter = np.intersect1d(sa, sb, assume_unique=True).size
-            j = inter / max(1, sa.size + sb.size - inter)
+            if measure == "containment":
+                j = inter / max(1, sa.size)
+            else:
+                j = inter / max(1, sa.size + sb.size - inter)
             if j >= threshold:
                 out_a.append(a_id)
                 out_b.append(b_id)
@@ -389,12 +401,12 @@ def _verify_jaccard_pairs(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
                 "doc_b": pa.array(out_b, pa.int64()),
-                "jaccard": pa.array(out_j, pa.float64()),
+                schema.names[2]: pa.array(out_j, pa.float64()),
             }
         )
 
     out = with_b.map_batches(verify, batch_format="pyarrow").to_pandas()
-    out = ensure_columns(out, _PAIRS_SCHEMA)
+    out = ensure_columns(out, schema)
     # callers may pass locally-deduplicated (not globally distinct)
     # pair lists — duplicates verify to identical rows, dropped here on
     # the pairs-sized result (cheaper than a row-cardinality groupby
@@ -736,6 +748,126 @@ FROM inter
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}
+ORDER BY doc_a, doc_b
+"""
+
+
+def ngram_containment_pairs(sf_dir: str,
+                            threshold: float = 0.8) -> pa.Table:
+    """EXACT asymmetric containment join: (doc_a, doc_b, containment)
+    with C(a→b) = |S(a)∩S(b)| / |S(a)| ≥ threshold and a ≠ b — doc_a
+    is (mostly) CONTAINED in doc_b. The one-sided measure Jaccard
+    can't express: a short article wholesale-included in a long
+    aggregator page has tiny Jaccard but containment ≈ 1, the shape
+    quote-inclusion / wrapper-page detection needs.
+
+    Prefix filtering still applies, one-sided: if C(a→b) ≥ t then at
+    most ⌊(1−t)·|S(a)|⌋ of a's shingles miss b, so one of a's first
+    ``|S| − ⌈t·|S|⌉ + 1`` shingles (ANY fixed total order — the
+    hot-demoted order of :func:`ngram_jaccard_pairs_exact` reused) is
+    in b. The contained side therefore emits only prefixes; the
+    CONTAINER side must index its FULL shingle set (containment puts
+    no bound on where the witness sits in b's order). The join input
+    is probe-prefix × full-index — linear in shingle rows, never
+    quadratic; the candidate filter keeps |S(b)| ≥ t·|S(a)| (the
+    one-sided length filter: the intersection can't exceed |S(b)|).
+    Skew note: hot shingles drop out of probe prefixes but stay in
+    the index; an index key's row list is inverted-index sized and
+    meets only rare probes, so the join OUTPUT stays flat — at true
+    corpus scale drop universal shingles from both sides (documented
+    epsilon) if an index key's partition outgrows a block.
+    Verification reuses the pairs-sized broadcast-prefilter joins
+    (:func:`_verify_jaccard_pairs`, measure="containment")."""
+    import math
+
+    hot = _hot_shingles(sf_dir)
+
+    def _ordered(text: str) -> tuple[np.ndarray, int]:
+        sh = np.unique(shingle_hashes(text))
+        if len(hot):
+            is_hot = np.isin(sh, hot)
+            return np.concatenate([sh[~is_hot], sh[is_hot]]), len(sh)
+        return sh, len(sh)
+
+    def probe_rows(batch: pa.Table) -> pa.Table:
+        sh_col, doc_col, n_col = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            ordered, n = _ordered(text)
+            plen = n - math.ceil(threshold * n) + 1
+            for h in ordered[:plen]:
+                sh_col.append(int(h))
+                doc_col.append(doc_id)
+                n_col.append(n)
+        return pa.table({
+            "shingle": pa.array(
+                np.array(sh_col, dtype=np.uint64).view(np.int64)),
+            "doc_id": pa.array(doc_col, pa.int64()),
+            "n_sh": pa.array(n_col, pa.int32()),
+        })
+
+    def index_rows(batch: pa.Table) -> pa.Table:
+        sh_col, doc_col, n_col = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(),
+                                batch["text"].to_pylist()):
+            sh = np.unique(shingle_hashes(text))
+            for h in sh:
+                sh_col.append(int(h))
+                doc_col.append(doc_id)
+                n_col.append(len(sh))
+        return pa.table({
+            "shingle": pa.array(
+                np.array(sh_col, dtype=np.uint64).view(np.int64)),
+            "doc_id": pa.array(doc_col, pa.int64()),
+            "n_sh": pa.array(n_col, pa.int32()),
+        })
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    probe = docs.map_batches(probe_rows, batch_format="pyarrow")
+    index = docs.map_batches(index_rows, batch_format="pyarrow")
+    joined = probe.join(
+        index, "inner", join_partitions(8), on=("shingle",),
+        left_suffix="_a", right_suffix="_b",
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.not_equal(batch["doc_id_a"], batch["doc_id_b"]),
+            # one-sided length filter (ε keeps exact boundaries)
+            pc.greater_equal(
+                pc.cast(batch["n_sh_b"], pa.float64()),
+                pc.subtract(
+                    pc.multiply(pc.cast(batch["n_sh_a"], pa.float64()),
+                                pa.scalar(float(threshold))),
+                    pa.scalar(1e-9),
+                ),
+            ),
+        )
+        b = batch.filter(mask)
+        return pa.table(
+            {"doc_a": b["doc_id_a"], "doc_b": b["doc_id_b"]}
+        ).group_by(["doc_a", "doc_b"]).aggregate([])  # local distinct
+
+    pairs = joined.map_batches(to_pairs, batch_format="pyarrow").materialize()
+    return _verify_jaccard_pairs(pairs, sf_dir, threshold,
+                                 measure="containment")
+
+
+def ngram_containment_sql(threshold: float = 0.8) -> str:
+    """Oracle for :func:`ngram_containment_pairs`: the one-sided
+    prefix join is lossless, so brute-force directional all-pairs SQL
+    over the distinct shingle strings is a true oracle."""
+    return f"""
+WITH {_SHINGLE_SQL_CTE.strip()},
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, ROUND(c * 1.0 / sa.n, 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+WHERE c * 1.0 / sa.n >= {threshold}
 ORDER BY doc_a, doc_b
 """
 
