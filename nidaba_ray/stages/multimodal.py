@@ -37,7 +37,7 @@ __all__ = [
     "synth_media_batch", "decode_image", "decode_audio",
     "iter_video_frames",
     "ImageDecoder", "AudioFeatures", "VideoFrameSampler",
-    "MediaFeatureExtractor",
+    "MediaFeatureExtractor", "probe_media", "MediaProbe",
 ]
 
 IMG_MAGIC = b"FAKEIMG\x00"
@@ -503,3 +503,232 @@ class MediaFeatureExtractor:
                 "feat_micro": pa.array(out_feat, pa.int64()),
             }
         )
+
+
+# ---------------------------------------------------------------------------
+# Header-only media probe (round-5 session 7) — the triage operator a
+# 100 TB media crawl runs BEFORE any decode farm: container, kind,
+# codec, dimensions, duration from headers alone, including the two
+# dominant web formats whose payload codecs are deliberately out of
+# scope (MP4/H.26x, MP3 — see algorithms/mp4.py / mp3.py docstrings).
+# Cost per row is a few header reads; no pixel/sample pass ever runs.
+# ---------------------------------------------------------------------------
+
+
+def probe_media(payload: bytes) -> dict:
+    """One payload → {container, kind, codec, width, height,
+    sample_rate, duration_ms, n_units}. Fields a container's header
+    does not carry stay 0/''; n_units is frames (video), samples
+    (audio) or pages/frames (multi-image). ValueError on anything
+    unrecognized or malformed (the per-row quarantine contract)."""
+    from nidaba_ray.algorithms import mp3 as mp3mod
+    from nidaba_ray.algorithms import mp4 as mp4mod
+    from nidaba_ray.algorithms.aiff import _unpack_extended, is_aiff
+    from nidaba_ray.algorithms.avi import _parse_hdrl, _walk, is_avi
+    from nidaba_ray.algorithms.flac import is_flac
+    from nidaba_ray.algorithms.gif import gif_n_frames, is_gif
+    from nidaba_ray.algorithms.jpeg import is_jpeg
+    from nidaba_ray.algorithms.png import PNG_SIG
+    from nidaba_ray.algorithms.tiff import _read_ifd, _tag, is_tiff
+    from nidaba_ray.algorithms.wav import _parse_fmt, is_wav
+    from nidaba_ray.algorithms.webp import is_webp
+
+    out = {"container": "", "kind": "", "codec": "", "width": 0,
+           "height": 0, "sample_rate": 0, "duration_ms": 0, "n_units": 0}
+    p = payload or b""
+
+    if mp4mod.is_mp4(p):
+        info = mp4mod.mp4_probe(p)
+        vid = next((t for t in info["tracks"] if t["kind"] == "vide"), None)
+        aud = next((t for t in info["tracks"] if t["kind"] == "soun"), None)
+        lead = vid or aud or (info["tracks"][0] if info["tracks"] else None)
+        out.update(container="mp4",
+                   kind="video" if vid else ("audio" if aud else "other"),
+                   codec=(lead or {}).get("codec", ""),
+                   duration_ms=info["duration_ms"])
+        if vid:
+            out.update(width=vid["width"], height=vid["height"],
+                       n_units=vid["n_samples"])
+        if aud:
+            out["sample_rate"] = aud["timescale"]
+            if not vid:
+                out["n_units"] = aud["n_samples"]
+        return out
+    if mp3mod.is_mp3(p):
+        info = mp3mod.mp3_probe(p)
+        out.update(container="mp3", kind="audio", codec="mp3",
+                   sample_rate=info["sample_rate"],
+                   duration_ms=info["duration_ms"],
+                   n_units=info["n_frames"])
+        return out
+    if p[:8] == PNG_SIG:
+        if len(p) < 24:
+            raise ValueError("png: truncated IHDR")
+        out.update(container="png", kind="image", codec="png",
+                   width=int.from_bytes(p[16:20], "big"),
+                   height=int.from_bytes(p[20:24], "big"), n_units=1)
+        return out
+    if is_gif(p):
+        n = gif_n_frames(p)
+        out.update(container="gif",
+                   kind="video" if n > 1 else "image", codec="gif",
+                   width=int.from_bytes(p[6:8], "little"),
+                   height=int.from_bytes(p[8:10], "little"), n_units=n)
+        return out
+    if p[:2] == b"BM":
+        if len(p) < 26:
+            raise ValueError("bmp: truncated header")
+        out.update(container="bmp", kind="image", codec="bmp",
+                   width=abs(int.from_bytes(p[18:22], "little",
+                                            signed=True)),
+                   height=abs(int.from_bytes(p[22:26], "little",
+                                             signed=True)), n_units=1)
+        return out
+    if is_jpeg(p):
+        pos = 2
+        while pos + 4 <= len(p):
+            if p[pos] != 0xFF:
+                raise ValueError("jpeg: lost marker sync")
+            marker = p[pos + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                out.update(container="jpeg", kind="image", codec="jpeg",
+                           height=int.from_bytes(p[pos + 5:pos + 7], "big"),
+                           width=int.from_bytes(p[pos + 7:pos + 9], "big"),
+                           n_units=1)
+                return out
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            pos += 2 + int.from_bytes(p[pos + 2:pos + 4], "big")
+        raise ValueError("jpeg: no SOF marker")
+    if is_tiff(p):
+        from nidaba_ray.algorithms.tiff import tiff_n_pages
+
+        bo = "<" if p[:2] == b"II" else ">"
+        tags = _read_ifd(p, bo)
+        out.update(container="tiff", kind="image", codec="tiff",
+                   width=int(_tag(tags, 256)[0]),
+                   height=int(_tag(tags, 257)[0]),
+                   n_units=tiff_n_pages(p))
+        return out
+    if is_webp(p):
+        if len(p) < 25 or p[12:16] != b"VP8L":
+            raise ValueError("webp: only VP8L probed")
+        bits = int.from_bytes(p[21:25], "little")
+        out.update(container="webp", kind="image", codec="vp8l",
+                   width=(bits & 0x3FFF) + 1,
+                   height=((bits >> 14) & 0x3FFF) + 1, n_units=1)
+        return out
+    if is_wav(p):
+        rate, block_align, n_frames = 0, 0, 0
+        pos = 12
+        while pos + 8 <= len(p):
+            cid = p[pos:pos + 4]
+            size = int.from_bytes(p[pos + 4:pos + 8], "little")
+            if cid == b"fmt ":
+                _fmt, _ch, rate, block_align, _bits = _parse_fmt(
+                    p[pos + 8:pos + 8 + size])
+            elif cid == b"data" and block_align:
+                n_frames = size // block_align
+            pos += 8 + size + (size % 2)
+        if not rate:
+            raise ValueError("wav: no fmt chunk")
+        out.update(container="wav", kind="audio", codec="pcm",
+                   sample_rate=rate, n_units=n_frames,
+                   duration_ms=n_frames * 1000 // rate)
+        return out
+    if is_aiff(p):
+        pos = 12
+        while pos + 8 <= len(p):
+            cid = p[pos:pos + 4]
+            size = int.from_bytes(p[pos + 4:pos + 8], "big")
+            if cid == b"COMM":
+                body = p[pos + 8:pos + 8 + size]
+                n_frames = int.from_bytes(body[2:6], "big")
+                rate = int(round(_unpack_extended(body[8:18])))
+                out.update(container="aiff", kind="audio", codec="pcm",
+                           sample_rate=rate, n_units=n_frames,
+                           duration_ms=n_frames * 1000 // max(1, rate))
+                return out
+            pos += 8 + size + (size % 2)
+        raise ValueError("aiff: no COMM chunk")
+    if is_flac(p):
+        if len(p) < 4 + 4 + 34:
+            raise ValueError("flac: truncated STREAMINFO")
+        si = p[8:42]  # first metadata block must be STREAMINFO
+        word = int.from_bytes(si[10:18], "big")
+        rate = word >> 44
+        total = word & ((1 << 36) - 1)
+        out.update(container="flac", kind="audio", codec="flac",
+                   sample_rate=rate, n_units=total,
+                   duration_ms=total * 1000 // max(1, rate))
+        return out
+    if is_avi(p):
+        info = {}
+        for cid, off, sz in _walk(p, 12, len(p)):
+            if cid == b"LIST" and p[off:off + 4] == b"hdrl":
+                info = _parse_hdrl(p, off + 4, sz - 4)
+                break
+        if not info:
+            raise ValueError("avi: no hdrl list")
+        fps = info.get("fps", 0.0)
+        n = info.get("total_frames", 0)
+        out.update(container="avi", kind="video",
+                   codec=(info.get("handler") or b"").decode("latin-1"),
+                   width=info.get("width", 0), height=info.get("height", 0),
+                   n_units=n,
+                   duration_ms=int(n * 1000 / fps) if fps else 0)
+        return out
+    if p[:8] == IMG_MAGIC:
+        w, h = struct.unpack("<HH", p[8:12])
+        out.update(container="fakeimg", kind="image", codec="fake",
+                   width=w, height=h, n_units=1)
+        return out
+    if p[:8] == AUD_MAGIC:
+        (n,) = struct.unpack("<I", p[8:12])
+        out.update(container="fakeaud", kind="audio", codec="fake",
+                   n_units=n)
+        return out
+    if p[:8] == VID_MAGIC:
+        (n,) = struct.unpack("<H", p[8:10])
+        out.update(container="fakevid", kind="video", codec="fake",
+                   n_units=n)
+        return out
+    raise ValueError("unrecognized media container")
+
+
+class MediaProbe:
+    """Actor-pool stage: header-only triage rows per media payload —
+    (media_id, container, kind, codec, width, height, sample_rate,
+    duration_ms, n_units, error). Per-row quarantine like every media
+    stage; safe at large batch sizes because no decode runs."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["media_id"].to_pylist()
+        cols = {k: [] for k in ("container", "kind", "codec", "width",
+                                "height", "sample_rate", "duration_ms",
+                                "n_units", "error")}
+        for p in batch["payload"].to_pylist():
+            try:
+                info = probe_media(p or b"")
+                err = ""
+            except Exception as e:  # per-row isolation
+                info = {"container": "", "kind": "", "codec": "",
+                        "width": 0, "height": 0, "sample_rate": 0,
+                        "duration_ms": 0, "n_units": 0}
+                err = f"{type(e).__name__}: {e}"
+            for k, v in info.items():
+                cols[k].append(v)
+            cols["error"].append(err)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "container": pa.array(cols["container"], pa.string()),
+            "kind": pa.array(cols["kind"], pa.string()),
+            "codec": pa.array(cols["codec"], pa.string()),
+            "width": pa.array(cols["width"], pa.int32()),
+            "height": pa.array(cols["height"], pa.int32()),
+            "sample_rate": pa.array(cols["sample_rate"], pa.int64()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+            "n_units": pa.array(cols["n_units"], pa.int64()),
+            "error": pa.array(cols["error"], pa.string()),
+        })

@@ -171,6 +171,10 @@ def _ensure_builtin() -> None:
                    num_cpus=1)(ImageDecoder)
     register_stage("media.audio", batch_size=64, concurrency=(1, 4),
                    num_cpus=1)(AudioFeatures)
+    from nidaba_ray.stages.multimodal import MediaProbe
+
+    register_stage("media.probe", batch_size=256, concurrency=(1, 4),
+                   num_cpus=1)(MediaProbe)
     register_stage("media.frames", batch_size=64, concurrency=(1, 4),
                    num_cpus=1)(VideoFrameSampler)
     from nidaba_ray.functions.scrub import (
