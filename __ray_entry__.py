@@ -3,15 +3,16 @@
 ``entry()`` runs the flagship extraction pipeline on sf0.001;
 ``queries()`` exposes every implemented operator from SURVEY.md §2
 (plus the training-data ops); ``oracle_sql()`` gives the DuckDB
-equivalent for every SQL-expressible query (49 of 50 — round 5
-promoted the flagship fixture goldens, the block-quality logistic,
-the fixed-point-trained partitioned IVF and the streaming-source
-stats by inlining frozen constants / unrolling the integer training
-in SQL; round 4 promoted the near-dup family, winnowing, language-ID,
-embedding near-dup and the HLL sketch). The one key without an oracle
-entry (``media_features``) is genuinely non-SQL-expressible — its
-features read real decoder output and baseline JPEG decode is lossy —
-and gets the weaker rows-only check plus reference-vector pytest pins.
+equivalent for EVERY query (50 of 50 — round 5 promoted the flagship
+fixture goldens, the block-quality logistic, the fixed-point-trained
+partitioned IVF, the streaming-source stats, and finally the media
+family: ``media_probe`` rolls up header-only container metadata whose
+every field is integer arithmetic in the generating doc_id, so the
+whole rollup replays in SQL — the generator-replay idiom. The decode-
+feature variant ``media_features`` stays implemented with
+reference-vector pytest pins; pixel/sample features read lossy decoder
+output and remain non-SQL-expressible, which is why the PROBE is the
+driver entry).
 
 Ray is initialised by the driver BEFORE this module is imported: no
 ``ray.init`` / ``ray.shutdown`` here or anywhere in nidaba_ray.
@@ -178,18 +179,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     deterministic SOURCE generator (never the extractor) —
         #     expected tokens are the seeded randint draws
         "streaming_extract_stats": crawl.streaming_extract_stats,
-        # ===== rows-only (1) — genuinely non-SQL-expressible: the
-        # media features read real PNG/JPEG/WAV decoder output, and
-        # baseline JPEG decode is lossy (no SQL replay exists); rows +
-        # roundtrip/reference-vector pytest pins instead
-        "media_features": media.media_features,
+        # --- media family, promoted round 5: header-only probe rollup
+        #     (container/dims/duration over every container incl. the
+        #     never-decoded mp4/mp3) — all fields are doc_id arithmetic,
+        #     replayed in SQL by the generator-replay idiom. The decode-
+        #     feature variant media_features stays pytest-pinned
+        #     (lossy decoder output has no SQL replay) — see docstring.
+        "media_probe": media.media_probe_summary,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from nidaba_ray import realpages
     from nidaba_ray.functions import ann, dedup, dsir, textops
-    from nidaba_ray.pipelines import conformance, curate
+    from nidaba_ray.pipelines import conformance, curate, media
     from nidaba_ray.relational import queries as rel
     from nidaba_ray.relational import windows as win
     from nidaba_ray.sources import crawl
@@ -245,6 +248,5 @@ def oracle_sql() -> dict[str, str]:
         "block_quality_scores": quality.block_quality_sql(),
         "ann_topk_ivf_partitioned": ann.ann_ivf_sql(),
         "streaming_extract_stats": crawl.streaming_stats_sql(),
-        # no oracle (non-SQL-expressible → rows-only check):
-        #   media_features (lossy JPEG decode has no SQL replay)
+        "media_probe": media.media_probe_sql(),
     }

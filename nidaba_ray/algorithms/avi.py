@@ -167,6 +167,7 @@ def _parse_hdrl(data: bytes, start: int, size: int) -> dict:
             usec, _, _, _, total, _, _, _, w, h = struct.unpack(
                 "<IIIIIIIIII", data[off:off + 40])
             info.update(width=w, height=h, total_frames=total,
+                        usec_per_frame=usec,
                         fps=(1_000_000 / usec if usec else 0.0))
         elif cid == b"LIST" and data[off:off + 4] == b"strl":
             for scid, soff, ssz in _walk(data, off + 4, off + sz):

@@ -671,13 +671,15 @@ def probe_media(payload: bytes) -> dict:
                 break
         if not info:
             raise ValueError("avi: no hdrl list")
-        fps = info.get("fps", 0.0)
+        usec = info.get("usec_per_frame", 0)
         n = info.get("total_frames", 0)
         out.update(container="avi", kind="video",
                    codec=(info.get("handler") or b"").decode("latin-1"),
                    width=info.get("width", 0), height=info.get("height", 0),
                    n_units=n,
-                   duration_ms=int(n * 1000 / fps) if fps else 0)
+                   # exact integer µs math — no float in a value the
+                   # SQL replay must reproduce
+                   duration_ms=n * usec // 1000)
         return out
     if p[:8] == IMG_MAGIC:
         w, h = struct.unpack("<HH", p[8:12])
