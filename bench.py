@@ -148,6 +148,14 @@ TIMED_QUERIES = [
     # round-5 session-6, appended LAST: the per-lang data card (one
     # combiner pass + one (lang, fp) distinct shuffle)
     "corpus_datacard",
+    # round-5 session-7 additions, appended LAST (same warm-worker
+    # protocol): header-only media triage over the synthetic media
+    # corpus incl. the never-decoded mp4/mp3 rows (the new oracle-
+    # bearing driver entry), and inbound-anchor-text aggregation over
+    # the synthetic pages corpus (harvest combiner + one grouped sum +
+    # the per-host top-1 reduce)
+    "media_probe",
+    "host_top_anchor",
 ]
 
 
@@ -260,6 +268,7 @@ def _extra_timed() -> dict:
         "pagerank_pages": _pagerank_pages,
         "bm25_topk": _bm25_topk,
         "corpus_datacard": _corpus_datacard,
+        "host_top_anchor": _host_top_anchor,
     }
 
 
@@ -279,6 +288,13 @@ def _pagerank_pages(sf_dir: str):
     from nidaba_ray.functions.pagerank import pagerank_pages
 
     return pagerank_pages(sf_dir)
+
+
+def _host_top_anchor(sf_dir: str):
+    from nidaba_ray.functions.linkgraph import top_anchor_per_host
+    from nidaba_ray.synth import pages_dataset_from_documents
+
+    return top_anchor_per_host(pages_dataset_from_documents(sf_dir))
 
 
 def _lang_seg_summary(sf_dir: str):
