@@ -136,3 +136,29 @@ def test_probe_agrees_with_decoders():
     samples, rate = decode_wav(wav)
     info = probe_media(wav)
     assert info["n_units"] == len(samples) and info["sample_rate"] == rate
+
+
+def test_media_triage_example_spec(ray_session):
+    """examples/media_triage.yaml: the probe as a compiled spec over a
+    mixed media table (mp4 + png + corrupt row)."""
+    import ray.data as rd
+
+    from nidaba_ray.algorithms.mp4 import encode_mp4_skeleton
+    from nidaba_ray.algorithms.png import encode_png
+    from nidaba_ray.stages import registry
+
+    spec = registry.load_spec("examples/media_triage.yaml")
+    t = pa.table({
+        "media_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([
+            encode_mp4_skeleton([{"kind": "soun", "codec": "mp4a",
+                                  "n_samples": 5}]),
+            encode_png(_img()),
+            b"\x00junk",
+        ], pa.binary()),
+    })
+    out = (registry.compile_pipeline(rd.from_arrow(t), spec)
+           .to_pandas().sort_values("media_id"))
+    assert out["container"].tolist() == ["mp4", "png", ""]
+    assert out["kind"].tolist() == ["audio", "image", ""]
+    assert (out["error"] != "").tolist() == [False, False, True]
