@@ -242,6 +242,16 @@ def _extract_plain_text(text: str, gate_error: str) -> tuple:
     printable = sum(ch.isprintable() or ch in "\n\t\r " for ch in text)
     if printable / len(text) < 0.97 or text.count(" ") < 3:
         return "invalid", [], gate_error
+    # markdown dialect (round-5 session 7): documentation corpora serve
+    # text/markdown — strip the syntax down to prose instead of keeping
+    # "# Heading" / [text](url) literally. Only after the plain gate
+    # passed, and only on unambiguous markers (stages/mdtext.py).
+    from nidaba_ray.stages import mdtext
+
+    if mdtext.looks_like_markdown(text):
+        spans = _doc_spans(mdtext.markdown_paragraphs(text), "markdown")
+        if spans:
+            return "markdown", spans, ""
     paras = [_WS_RUN_RE.sub(" ", p).strip()
              for p in _PARA_SPLIT_RE.split(text)]
     spans = _doc_spans([p for p in paras if p], "text")
