@@ -4554,6 +4554,324 @@ centenary show.</p>
          "private collection in the harbor town, and exhibited once "
          "at the maritime museum's centenary show."],
     ),
+    # 171. hotel listing: description + amenities list are content;
+    # the booking widget is chrome.
+    _page(
+        "hotel_listing",
+        f"""<html><body><header><h1>Harbor Stays</h1>{_NAV}</header>
+<main><article>
+<h1>The Pilot House Inn, waterfront rooms above the chandlery</h1>
+<p>Nine rooms in a converted sail loft overlooking the inner harbor,
+each named for a vessel built in the yard next door and furnished
+with pieces from the old chart room.</p>
+<ul>
+<li>Breakfast is served in the loft kitchen from seven until the
+last guest finishes, with bread from the bakery across the lane</li>
+<li>Bicycles and a small dinghy are free to guests who sign the
+harbor master's book at the front desk</li>
+<li>The corner rooms carry the original winch beams and sleep three
+comfortably with a folding berth</li>
+</ul>
+<p>Check in runs from two in the afternoon, and the night porter
+keeps the side door until the last ferry lands.</p>
+</article></main>
+<div class="booking"><a href="/book">Check availability</a>
+<a href="/rates">Rates</a> <a href="/map">Map</a></div>
+{_FOOTER}</body></html>""",
+        ["The Pilot House Inn, waterfront rooms above the chandlery",
+         "Nine rooms in a converted sail loft overlooking the inner "
+         "harbor, each named for a vessel built in the yard next door "
+         "and furnished with pieces from the old chart room.",
+         "Breakfast is served in the loft kitchen from seven until "
+         "the last guest finishes, with bread from the bakery across "
+         "the lane",
+         "Bicycles and a small dinghy are free to guests who sign "
+         "the harbor master's book at the front desk",
+         "The corner rooms carry the original winch beams and sleep "
+         "three comfortably with a folding berth",
+         "Check in runs from two in the afternoon, and the night "
+         "porter keeps the side door until the last ferry lands."],
+    ),
+    # 172. medical leaflet: dosage paragraphs + warnings list are
+    # content; the pharmacy locator strip is chrome.
+    _page(
+        "medical_leaflet",
+        f"""<html><body><header><h1>Medicines Information</h1>{_NAV}
+</header>
+<main><article>
+<h1>Seasickness tablets, patient information leaflet</h1>
+<p>Take one tablet with water half an hour before departure, and a
+second tablet after six hours if the crossing continues. Do not take
+more than three tablets in any twenty four hour period.</p>
+<ul>
+<li>Do not drive or operate winches until you know how the tablets
+affect you, as drowsiness is common in the first hours</li>
+<li>Ask a pharmacist before use if you take medicines for blood
+pressure or for an irregular heartbeat</li>
+<li>Keep the blister strip in the carton so the expiry date stays
+with the tablets in a shared first aid kit</li>
+</ul>
+<p>Side effects are usually mild and pass within a day. Stop taking
+the tablets and seek advice if a rash or blurred vision develops.</p>
+</article></main>
+<div class="locator"><a href="/find">Find a pharmacy</a>
+<a href="/report">Report a side effect</a></div>
+{_FOOTER}</body></html>""",
+        ["Seasickness tablets, patient information leaflet",
+         "Take one tablet with water half an hour before departure, "
+         "and a second tablet after six hours if the crossing "
+         "continues. Do not take more than three tablets in any "
+         "twenty four hour period.",
+         "Do not drive or operate winches until you know how the "
+         "tablets affect you, as drowsiness is common in the first "
+         "hours",
+         "Ask a pharmacist before use if you take medicines for "
+         "blood pressure or for an irregular heartbeat",
+         "Keep the blister strip in the carton so the expiry date "
+         "stays with the tablets in a shared first aid kit",
+         "Side effects are usually mild and pass within a day. Stop "
+         "taking the tablets and seek advice if a rash or blurred "
+         "vision develops."],
+    ),
+    # 173. patent page: abstract + numbered claims are content; the
+    # espacenet-style tool strip is chrome.
+    _page(
+        "patent_claims",
+        f"""<html><body><header><h1>Patent Register</h1>{_NAV}</header>
+<main><article>
+<h1>Self tailing winch with a replaceable gripper ring</h1>
+<p>Abstract. A sailing winch in which the self tailing jaws carry a
+removable elastomer ring, so that wear from modern braided lines can
+be corrected by replacing the ring rather than machining the jaw
+faces, extending the service life of the winch body.</p>
+<p>Claim 1. A winch comprising a drum, a pair of tailing jaws, and a
+gripper ring seated in a circumferential groove of at least one jaw,
+wherein the ring is retained by the groove without adhesive and is
+removable by hand after the jaw cap is lifted.</p>
+<p>Claim 2. The winch of claim 1, wherein the ring carries radial
+ribs whose spacing matches the lay of a braided line of between
+eight and fourteen millimeters diameter.</p>
+</article></main>
+<div class="tools"><a href="/pdf">Original document</a>
+<a href="/family">Patent family</a> <a href="/legal">Legal status</a></div>
+{_FOOTER}</body></html>""",
+        ["Self tailing winch with a replaceable gripper ring",
+         "Abstract. A sailing winch in which the self tailing jaws "
+         "carry a removable elastomer ring, so that wear from modern "
+         "braided lines can be corrected by replacing the ring rather "
+         "than machining the jaw faces, extending the service life of "
+         "the winch body.",
+         "Claim 1. A winch comprising a drum, a pair of tailing jaws, "
+         "and a gripper ring seated in a circumferential groove of at "
+         "least one jaw, wherein the ring is retained by the groove "
+         "without adhesive and is removable by hand after the jaw cap "
+         "is lifted.",
+         "Claim 2. The winch of claim 1, wherein the ring carries "
+         "radial ribs whose spacing matches the lay of a braided line "
+         "of between eight and fourteen millimeters diameter."],
+    ),
+    # 174. security advisory: summary + mitigation list are content;
+    # the severity badge strip is chrome.
+    _page(
+        "security_advisory",
+        f"""<html><body><header><h1>Security Advisories</h1>{_NAV}</header>
+<main><article>
+<h1>Advisory, authentication bypass in the harbor booking portal</h1>
+<p>A crafted session cookie allows a visitor to view another
+account's mooring reservations. The flaw affects portal releases
+from the spring update onward and was reported through the
+coordinated disclosure program.</p>
+<ul>
+<li>Upgrade to the patched release published this morning, which
+rejects cookies whose signature scope does not match the account</li>
+<li>Until the upgrade is applied, disable the remember me option so
+sessions expire when the browser closes</li>
+<li>Review the access log for reservation views from unfamiliar
+addresses and rotate credentials where they appear</li>
+</ul>
+<p>No payment data is exposed by this flaw, as card handling runs on
+a separate service with its own session scheme.</p>
+</article></main>
+<div class="badges"><a href="/cvss">Severity details</a>
+<a href="/feed">Advisory feed</a></div>
+{_FOOTER}</body></html>""",
+        ["Advisory, authentication bypass in the harbor booking "
+         "portal",
+         "A crafted session cookie allows a visitor to view another "
+         "account's mooring reservations. The flaw affects portal "
+         "releases from the spring update onward and was reported "
+         "through the coordinated disclosure program.",
+         "Upgrade to the patched release published this morning, "
+         "which rejects cookies whose signature scope does not match "
+         "the account",
+         "Until the upgrade is applied, disable the remember me "
+         "option so sessions expire when the browser closes",
+         "Review the access log for reservation views from "
+         "unfamiliar addresses and rotate credentials where they "
+         "appear",
+         "No payment data is exposed by this flaw, as card handling "
+         "runs on a separate service with its own session scheme."],
+    ),
+    # 175. bug tracker issue: report body + reproduction list and a
+    # maintainer reply are content; label/assignee widgets are chrome.
+    _page(
+        "bug_tracker_issue",
+        f"""<html><body><header><h1>Issue Tracker</h1>{_NAV}</header>
+<main><article>
+<h1>Tide widget shows yesterday's curve after midnight</h1>
+<p>When the page stays open across midnight, the tide curve keeps
+drawing yesterday's data until a manual refresh, so the morning high
+water appears six hours off for early readers.</p>
+<ul>
+<li>Open the harbor page in the evening and leave the tab in the
+background overnight without reloading</li>
+<li>Check the curve after midnight and compare it against the
+printed almanac for the new day</li>
+<li>The date label under the curve still shows the previous day,
+which confirms the stale dataset rather than a drawing bug</li>
+</ul>
+<p>Maintainer reply. Confirmed, the refresh timer is cleared when
+the tab loses focus and never rescheduled. A fix that reschedules on
+the visibility event is in review and will ship with the next weekly
+build.</p>
+</article></main>
+<div class="meta"><a href="/labels/bug">bug</a>
+<a href="/milestone/weekly">weekly</a> <a href="/assign">Assign</a></div>
+{_FOOTER}</body></html>""",
+        ["Tide widget shows yesterday's curve after midnight",
+         "When the page stays open across midnight, the tide curve "
+         "keeps drawing yesterday's data until a manual refresh, so "
+         "the morning high water appears six hours off for early "
+         "readers.",
+         "Open the harbor page in the evening and leave the tab in "
+         "the background overnight without reloading",
+         "Check the curve after midnight and compare it against the "
+         "printed almanac for the new day",
+         "The date label under the curve still shows the previous "
+         "day, which confirms the stale dataset rather than a drawing "
+         "bug",
+         "Maintainer reply. Confirmed, the refresh timer is cleared "
+         "when the tab loses focus and never rescheduled. A fix that "
+         "reschedules on the visibility event is in review and will "
+         "ship with the next weekly build."],
+    ),
+    # 176. product comparison: intro + comparison table with wordy
+    # cells are content; the buy buttons are chrome.
+    _page(
+        "product_comparison",
+        f"""<html><body><header><h1>Gear Reviews</h1>{_NAV}</header>
+<main><article>
+<h1>Two anchor windlasses compared after a season of use</h1>
+<p>We fitted the two most requested vertical windlasses to sister
+ships and logged every retrieval for a season, from weed filled
+harbors to the deep anchorage behind the island.</p>
+<table>
+<tr><th>What we measured</th><th>Coastal Lifter result</th>
+<th>Deep Haul result</th></tr>
+<tr><td>Retrieval of forty meters of chain</td>
+<td>Just under two minutes with no stalls in ordinary mud</td>
+<td>Two and a half minutes but untroubled by the weed mat</td></tr>
+<tr><td>Noise measured at the forward berth</td>
+<td>Noticeably quiet, conversation continued at the bow</td>
+<td>A deep growl that woke the off watch every time</td></tr>
+</table>
+<p>Either unit will serve a cruising boat well, but the quieter
+motor earns the smaller foredeck locker it demands.</p>
+</article></main>
+<div class="buy"><a href="/buy/cl">Buy Coastal Lifter</a>
+<a href="/buy/dh">Buy Deep Haul</a></div>
+{_FOOTER}</body></html>""",
+        ["Two anchor windlasses compared after a season of use",
+         "We fitted the two most requested vertical windlasses to "
+         "sister ships and logged every retrieval for a season, from "
+         "weed filled harbors to the deep anchorage behind the "
+         "island.",
+         "What we measured", "Coastal Lifter result",
+         "Deep Haul result",
+         "Retrieval of forty meters of chain",
+         "Just under two minutes with no stalls in ordinary mud",
+         "Two and a half minutes but untroubled by the weed mat",
+         "Noise measured at the forward berth",
+         "Noticeably quiet, conversation continued at the bow",
+         "A deep growl that woke the off watch every time",
+         "Either unit will serve a cruising boat well, but the "
+         "quieter motor earns the smaller foredeck locker it "
+         "demands."],
+    ),
+    # 177. gardening guide: month-by-month advice paragraphs are
+    # content; the zone selector is chrome.
+    _page(
+        "garden_guide",
+        f"""<html><body><header><h1>Coastal Gardens</h1>{_NAV}</header>
+<main><article>
+<h1>Planting the salt wind border, month by month</h1>
+<p>March. Set out the sea thrift and the dwarf pines while the
+ground is still cool, and stake anything taller than a bucket
+against the equinox gales that funnel up the estuary.</p>
+<p>May. Sow the annual poppies directly where they are to flower,
+thinning to a hand's width once the first true leaves show, and
+start feeding the fig against the south wall every other week.</p>
+<p>September. Lift and divide the crocosmia before the rains, and
+take cuttings of the fuchsia hedge to overwinter on the porch, as
+one year in three the salt burn takes the outer meter of growth.</p>
+</article></main>
+<div class="zones"><a href="/zone/9">Zone nine</a>
+<a href="/zone/10">Zone ten</a></div>
+{_FOOTER}</body></html>""",
+        ["Planting the salt wind border, month by month",
+         "March. Set out the sea thrift and the dwarf pines while "
+         "the ground is still cool, and stake anything taller than a "
+         "bucket against the equinox gales that funnel up the "
+         "estuary.",
+         "May. Sow the annual poppies directly where they are to "
+         "flower, thinning to a hand's width once the first true "
+         "leaves show, and start feeding the fig against the south "
+         "wall every other week.",
+         "September. Lift and divide the crocosmia before the rains, "
+         "and take cuttings of the fuchsia hedge to overwinter on "
+         "the porch, as one year in three the salt burn takes the "
+         "outer meter of growth."],
+    ),
+    # 178. language lesson: dialogue paragraphs + vocabulary table
+    # are content; the audio controls are chrome.
+    _page(
+        "language_lesson",
+        f"""<html><body><header><h1>Learn Harbor French</h1>{_NAV}</header>
+<main><article>
+<h1>Lesson four, asking for a berth at the capitainerie</h1>
+<p>In this dialogue a visiting skipper radios the harbor office on
+channel nine and asks for a visitor berth for two nights, giving the
+boat's length and draft when the officer asks.</p>
+<table>
+<tr><th>French phrase from the dialogue</th>
+<th>English meaning in context</th></tr>
+<tr><td>Avez vous une place visiteur pour deux nuits</td>
+<td>Do you have a visitor berth for two nights</td></tr>
+<tr><td>Quel est votre tirant d'eau</td>
+<td>What is your draft below the waterline</td></tr>
+</table>
+<p>Practice note. The officer will usually answer faster than the
+recording, so learners should repeat the dialogue until the numbers
+come without counting on fingers.</p>
+</article></main>
+<div class="audio"><a href="/play">Play dialogue</a>
+<a href="/slow">Play slowly</a></div>
+{_FOOTER}</body></html>""",
+        ["Lesson four, asking for a berth at the capitainerie",
+         "In this dialogue a visiting skipper radios the harbor "
+         "office on channel nine and asks for a visitor berth for "
+         "two nights, giving the boat's length and draft when the "
+         "officer asks.",
+         "French phrase from the dialogue",
+         "English meaning in context",
+         "Avez vous une place visiteur pour deux nuits",
+         "Do you have a visitor berth for two nights",
+         "Quel est votre tirant d'eau",
+         "What is your draft below the waterline",
+         "Practice note. The officer will usually answer faster than "
+         "the recording, so learners should repeat the dialogue until "
+         "the numbers come without counting on fingers."],
+    ),
 ]
 
 
