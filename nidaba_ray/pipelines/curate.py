@@ -659,3 +659,97 @@ bad AS (
 SELECT doc_id, source, lang FROM documents
 WHERE source NOT IN (SELECT source FROM bad)
 """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split (round-5 session 7) — the op every
+# training pipeline runs last: assign each document a split from a
+# hashed bucket so the assignment is a pure function of the doc key
+# (identical across reruns, parallelism levels and cluster sizes), and
+# MONOTONE under quota growth: buckets are ordered test < val < train,
+# so raising a holdout quota only ever MOVES train docs into the
+# holdout — a doc already in test/val never flips (no eval
+# contamination when the split is retuned). md5-only per the repo
+# determinism invariant; exact integer per-10k quotas.
+# ---------------------------------------------------------------------------
+
+SPLIT_PM = {"test": 100, "val": 100}  # per-10000; remainder = train
+
+
+def _split_key(doc_ids) -> list[int]:
+    return [
+        int.from_bytes(
+            hashlib.md5(f"split:{d}".encode()).digest()[:8], "big") % 10000
+        for d in doc_ids
+    ]
+
+
+def split_assign(sf_dir: str, pm: dict[str, int] | None = None
+                 ) -> rd.Dataset:
+    """(doc_id, lang, split) rows; split ∈ {test, val, train} by the
+    hashed per-10k bucket. Shuffle-free one-pass map; SQL-replayable
+    (:func:`split_sql`)."""
+    q = SPLIT_PM if pm is None else pm
+    t_test, t_val = q["test"], q["test"] + q["val"]
+
+    def fn(batch: pa.Table) -> pa.Table:
+        buckets = _split_key(batch["doc_id"].to_pylist())
+        split = ["test" if b < t_test else "val" if b < t_val else "train"
+                 for b in buckets]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "lang": batch["lang"],
+            "split": pa.array(split, pa.string()),
+        })
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    ).map_batches(fn, batch_format="pyarrow")
+
+
+def split_counts(sf_dir: str, pm: dict[str, int] | None = None
+                 ) -> pa.Table:
+    """Per-(lang, split) document counts — the split audit table; a
+    per-batch combiner then one tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(
+            ["lang", "split"], as_index=False).size()
+        return pa.Table.from_pandas(
+            df.rename(columns={"size": "n"}), preserve_index=False)
+
+    g = (split_assign(sf_dir, pm)
+         .map_batches(partial, batch_format="pyarrow")
+         .groupby(["lang", "split"])
+         .aggregate(Sum("n", alias_name="n_docs"))
+         .to_pandas()
+         .sort_values(["lang", "split"]).reset_index(drop=True))
+    return pa.Table.from_pandas(
+        g.astype({"lang": "string", "split": "string", "n_docs": "int64"}),
+        preserve_index=False)
+
+
+def split_sql(pm: dict[str, int] | None = None) -> str:
+    q = SPLIT_PM if pm is None else pm
+    t_test, t_val = q["test"], q["test"] + q["val"]
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN b < {t_test} THEN 'test'
+            WHEN b < {t_val} THEN 'val'
+            ELSE 'train' END AS split
+FROM (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 16)
+         )::UBIGINT % 10000 AS b
+  FROM documents
+)
+"""
+
+
+def split_counts_sql(pm: dict[str, int] | None = None) -> str:
+    return f"""
+WITH s AS ({split_sql(pm)})
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s GROUP BY lang, split ORDER BY lang, split
+"""
