@@ -29,7 +29,8 @@ from urllib.parse import urlsplit
 
 import pyarrow as pa
 
-__all__ = ["parse_robots", "RobotsMatcher", "robots_filter_batch"]
+__all__ = ["parse_robots", "robots_extras", "RobotsMatcher",
+           "robots_filter_batch"]
 
 
 def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
@@ -80,6 +81,65 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     if best is not None:
         return best
     return star if star is not None else []
+
+
+def robots_extras(text: str, agent: str = "*"
+                  ) -> tuple[list[str], int]:
+    """The two de-facto fields RFC 9309 leaves undefined but every
+    crawl scheduler reads: ``(sitemaps, crawl_delay_ms)``. Sitemap
+    lines are GLOBAL (outside group scope per the sitemaps.org
+    convention — all of them are returned, in file order, deduped);
+    Crawl-delay is GROUP-scoped with the same longest-token group
+    selection as the access rules, returned in integer milliseconds
+    (fractional seconds truncate; absent/invalid → 0)."""
+    agent = agent.lower()
+    sitemaps: list[str] = []
+    seen: set[str] = set()
+    # (agents, delay_ms) per group, mirroring parse_robots's grouping
+    groups: list[tuple[list[str], int]] = []
+    cur_agents: list[str] = []
+    cur_delay = 0
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, value = line.partition(":")
+        key = key.strip().lower()
+        value = value.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((cur_agents, cur_delay))
+                cur_agents, cur_delay, in_rules = [], 0, False
+            cur_agents.append(value.lower())
+        elif key == "sitemap":
+            if value and value not in seen:
+                seen.add(value)
+                sitemaps.append(value)
+        elif key in ("allow", "disallow"):
+            in_rules = True
+        elif key == "crawl-delay" and cur_agents:
+            in_rules = True
+            try:
+                cur_delay = int(float(value) * 1000)
+            except ValueError:
+                pass
+    if cur_agents:
+        groups.append((cur_agents, cur_delay))
+
+    best_delay = None
+    best_len = -1
+    star = None
+    for agents, delay in groups:
+        for ua in agents:
+            if ua == "*":
+                if star is None:
+                    star = delay
+            elif ua and ua in agent and len(ua) > best_len:
+                best_delay, best_len = delay, len(ua)
+    if best_delay is not None:
+        return sitemaps, best_delay
+    return sitemaps, (star if star is not None else 0)
 
 
 def _compile(pattern: str) -> re.Pattern:

@@ -561,6 +561,15 @@ def probe_media(payload: bytes) -> dict:
                    duration_ms=info["duration_ms"],
                    n_units=info["n_frames"])
         return out
+    from nidaba_ray.algorithms.ogg import is_ogg, ogg_probe
+
+    if is_ogg(p):
+        info = ogg_probe(p)
+        out.update(container="ogg", kind="audio", codec=info["codec"],
+                   sample_rate=info["sample_rate"],
+                   duration_ms=info["duration_ms"],
+                   n_units=info["n_samples"])
+        return out
     if p[:8] == PNG_SIG:
         if len(p) < 24:
             raise ValueError("png: truncated IHDR")

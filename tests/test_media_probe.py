@@ -93,3 +93,49 @@ def test_mp3_malformed_quarantines():
     with pytest.raises(ValueError):
         mp3_probe(b"")  # no frames
     assert not is_mp3(b"fLaC....")
+
+
+def test_ogg_opus_probe():
+    from nidaba_ray.algorithms.ogg import encode_ogg_skeleton, is_ogg, ogg_probe
+
+    p = encode_ogg_skeleton("opus", channels=2, rate=44100,
+                            pre_skip=312, n_samples=96000)
+    assert is_ogg(p)
+    info = ogg_probe(p)
+    assert info["codec"] == "opus" and info["channels"] == 2
+    assert info["sample_rate"] == 44100 and info["pre_skip"] == 312
+    assert info["n_samples"] == 96000  # 48 kHz granule clock
+    assert info["duration_ms"] == 2000 and info["n_pages"] == 2
+
+
+def test_ogg_vorbis_probe():
+    from nidaba_ray.algorithms.ogg import encode_ogg_skeleton, ogg_probe
+
+    p = encode_ogg_skeleton("vorbis", channels=1, rate=22050,
+                            n_samples=44100)
+    info = ogg_probe(p)
+    assert info["codec"] == "vorbis" and info["channels"] == 1
+    assert info["sample_rate"] == 22050
+    assert info["duration_ms"] == 2000
+
+
+def test_ogg_malformed_quarantines():
+    from nidaba_ray.algorithms.ogg import encode_ogg_skeleton, ogg_probe
+
+    good = encode_ogg_skeleton("opus")
+    with pytest.raises(ValueError):
+        ogg_probe(good[:-5])  # truncated body
+    with pytest.raises(ValueError):
+        ogg_probe(good + b"junk")  # lost sync after last page
+    with pytest.raises(ValueError):
+        ogg_probe(b"NotOgg")
+
+
+def test_probe_media_routes_ogg():
+    from nidaba_ray.algorithms.ogg import encode_ogg_skeleton
+    from nidaba_ray.stages.multimodal import probe_media
+
+    info = probe_media(encode_ogg_skeleton("opus", n_samples=48000))
+    assert (info["container"], info["kind"], info["codec"]) == \
+        ("ogg", "audio", "opus")
+    assert info["duration_ms"] == 1000 and info["n_units"] == 48000

@@ -115,3 +115,34 @@ def test_registry_stage(ray_session, tmp_path):
             "robots": {"x.example": "User-agent: *\nDisallow: /no\n"}}}],
     ).to_pandas()
     assert out["url"].tolist() == ["https://x.example/keep"]
+
+
+def test_robots_extras_sitemaps_and_delay():
+    from nidaba_ray.functions.robots import robots_extras
+
+    txt = """
+# harbor site
+Sitemap: https://ex.com/sitemap.xml
+User-agent: googlebot
+Crawl-delay: 2
+Disallow: /private
+User-agent: *
+Crawl-delay: 0.5
+Disallow: /tmp
+Sitemap: https://ex.com/news.xml
+Sitemap: https://ex.com/sitemap.xml
+"""
+    maps, delay = robots_extras(txt, "googlebot-news")
+    assert maps == ["https://ex.com/sitemap.xml",
+                    "https://ex.com/news.xml"]  # global, file order, deduped
+    assert delay == 2000  # longest-token group wins
+    maps2, delay2 = robots_extras(txt, "otherbot")
+    assert maps2 == maps and delay2 == 500  # star group, fractional
+    assert robots_extras("User-agent: *\nDisallow:", "x")[1] == 0
+
+
+def test_robots_extras_invalid_delay_is_zero():
+    from nidaba_ray.functions.robots import robots_extras
+
+    txt = "User-agent: *\nCrawl-delay: soon\nDisallow: /x"
+    assert robots_extras(txt, "anybot") == ([], 0)
