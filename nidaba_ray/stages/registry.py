@@ -200,6 +200,9 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.mojibake import mojibake_fix_batch
 
     register_stage("clean.mojibake")(mojibake_fix_batch)
+    from nidaba_ray.functions.typography import typography_batch
+
+    register_stage("clean.typography")(typography_batch)
     from nidaba_ray.functions.urls import url_dedup_stage
 
     # the first dataset-level stage: a grouped global dedup, not a
