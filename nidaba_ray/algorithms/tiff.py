@@ -147,7 +147,14 @@ def _read_ifd(data: bytes, bo: str, page: int = 0):
     chain = _ifd_offsets(data, bo, limit=page + 1)
     if len(chain) <= page:
         raise ValueError(f"TIFF has no page {page}")
-    off = chain[page]
+    return read_ifd_at(data, bo, chain[page])
+
+
+def read_ifd_at(data: bytes, bo: str, off: int):
+    """IFD at an explicit offset → the same {tag: (type, count,
+    values_or_raw)} mapping — shared with the EXIF harvester, whose
+    sub-IFD pointers (ExifIFD, GPSIFD) are offsets into the same TIFF
+    blob rather than members of the page chain."""
     (n_entries,) = struct.unpack(bo + "H", data[off:off + 2])
     tags = {}
     pos = off + 2
