@@ -203,6 +203,9 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.typography import typography_batch
 
     register_stage("clean.typography")(typography_batch)
+    from nidaba_ray.functions.pagemeta import page_meta_batch
+
+    register_stage("extract.meta")(page_meta_batch)
     from nidaba_ray.functions.urls import url_dedup_stage
 
     # the first dataset-level stage: a grouped global dedup, not a
