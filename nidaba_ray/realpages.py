@@ -4872,6 +4872,276 @@ come without counting on fingers.</p>
          "the recording, so learners should repeat the dialogue until "
          "the numbers come without counting on fingers."],
     ),
+    # 179. grant announcement: award paragraphs are content; the
+    # application portal strip is chrome.
+    _page(
+        "grant_announcement",
+        f"""<html><body><header><h1>Harbor Foundation</h1>{_NAV}</header>
+<main><article>
+<h1>Small grants awarded for waterfront restoration</h1>
+<p>The foundation has awarded twelve small grants this cycle, with
+the largest going to the rowing club for the rebuild of its launch
+float, carried away in the winter storms.</p>
+<p>Two grants support training, paying the certification fees of
+volunteer skippers who take school groups out on the water, and a
+third funds the oral history project recording the last generation
+of fish buyers.</p>
+<p>The next application window opens in the autumn, and the trustees
+encourage first time applicants to attend the drop in session at the
+library before writing.</p>
+</article></main>
+<div class="portal"><a href="/apply">Application portal</a>
+<a href="/criteria">Criteria</a></div>
+{_FOOTER}</body></html>""",
+        ["Small grants awarded for waterfront restoration",
+         "The foundation has awarded twelve small grants this cycle, "
+         "with the largest going to the rowing club for the rebuild "
+         "of its launch float, carried away in the winter storms.",
+         "Two grants support training, paying the certification fees "
+         "of volunteer skippers who take school groups out on the "
+         "water, and a third funds the oral history project recording "
+         "the last generation of fish buyers.",
+         "The next application window opens in the autumn, and the "
+         "trustees encourage first time applicants to attend the drop "
+         "in session at the library before writing."],
+    ),
+    # 180. exhibition catalogue essay with footnote-style asides kept
+    # inline; the purchase strip is chrome.
+    _page(
+        "catalogue_essay",
+        f"""<html><body><header><h1>Gallery Catalogue</h1>{_NAV}</header>
+<main><article>
+<h1>Painting the working harbor, an essay from the catalogue</h1>
+<p>The painters who set up their easels on the coal quay were not
+romantics. Their letters complain about the dust, the noise, and the
+foreman who moved them on, and their canvases show cranes where a
+softer school would have put clouds.</p>
+<p>What survives in these pictures is schedule rather than weather,
+the tide tables legible in the water line on the pilings, and it is
+this exactness that makes the series valuable to historians of the
+port as well as to collectors.</p>
+</article></main>
+<div class="purchase"><a href="/shop">Buy the catalogue</a>
+<a href="/prints">Order prints</a></div>
+{_FOOTER}</body></html>""",
+        ["Painting the working harbor, an essay from the catalogue",
+         "The painters who set up their easels on the coal quay were "
+         "not romantics. Their letters complain about the dust, the "
+         "noise, and the foreman who moved them on, and their "
+         "canvases show cranes where a softer school would have put "
+         "clouds.",
+         "What survives in these pictures is schedule rather than "
+         "weather, the tide tables legible in the water line on the "
+         "pilings, and it is this exactness that makes the series "
+         "valuable to historians of the port as well as to "
+         "collectors."],
+    ),
+    # 181. sports league standings with explanatory paragraph; the
+    # round selector is chrome.
+    _page(
+        "league_standings",
+        f"""<html><body><header><h1>Sailing League</h1>{_NAV}</header>
+<main><article>
+<h1>Standings after the fifth round of the harbor series</h1>
+<p>Light air in the fifth round compressed the fleet, and the two
+leading boats now carry equal points into the final weekend, with
+the tie to be broken by their head to head results.</p>
+<table>
+<tr><th>Boat and skipper</th><th>Points after five rounds</th></tr>
+<tr><td>Meridian, sailed by the yard crew</td>
+<td>Eleven points after discarding the third race</td></tr>
+<tr><td>Petrel, the sailing school entry</td>
+<td>Eleven points with no discard used yet</td></tr>
+<tr><td>Cormorant, last year's champions</td>
+<td>Fifteen points after a gear failure in round two</td></tr>
+</table>
+</article></main>
+<div class="rounds"><a href="/r4">Round four</a>
+<a href="/r5">Round five</a></div>
+{_FOOTER}</body></html>""",
+        ["Standings after the fifth round of the harbor series",
+         "Light air in the fifth round compressed the fleet, and the "
+         "two leading boats now carry equal points into the final "
+         "weekend, with the tie to be broken by their head to head "
+         "results.",
+         "Boat and skipper", "Points after five rounds",
+         "Meridian, sailed by the yard crew",
+         "Eleven points after discarding the third race",
+         "Petrel, the sailing school entry",
+         "Eleven points with no discard used yet",
+         "Cormorant, last year's champions",
+         "Fifteen points after a gear failure in round two"],
+    ),
+    # 182. building permit decision: determination paragraphs are
+    # content; the appeals strip is chrome.
+    _page(
+        "permit_decision",
+        f"""<html><body><header><h1>Planning Portal</h1>{_NAV}</header>
+<main><article>
+<h1>Decision notice, boathouse extension at the south slip</h1>
+<p>Permission is granted for the single story extension to the
+boathouse, subject to the roofline remaining below the harbor wall
+parapet and the cladding matching the tarred boards of the existing
+building.</p>
+<p>The committee noted the objection concerning loss of the slipway
+view and concluded that the revised plans, which pulled the seaward
+wall back two meters, answer it adequately.</p>
+<p>Work must begin within three years of this notice, and the
+conditions attached to drainage must be discharged before the floor
+slab is poured.</p>
+</article></main>
+<div class="appeals"><a href="/appeal">How to appeal</a>
+<a href="/docs">Application documents</a></div>
+{_FOOTER}</body></html>""",
+        ["Decision notice, boathouse extension at the south slip",
+         "Permission is granted for the single story extension to "
+         "the boathouse, subject to the roofline remaining below the "
+         "harbor wall parapet and the cladding matching the tarred "
+         "boards of the existing building.",
+         "The committee noted the objection concerning loss of the "
+         "slipway view and concluded that the revised plans, which "
+         "pulled the seaward wall back two meters, answer it "
+         "adequately.",
+         "Work must begin within three years of this notice, and the "
+         "conditions attached to drainage must be discharged before "
+         "the floor slab is poured."],
+    ),
+    # 183. scholarship listing: award description + eligibility list
+    # are content; the deadline countdown is chrome.
+    _page(
+        "scholarship_listing",
+        f"""<html><body><header><h1>Maritime College</h1>{_NAV}</header>
+<main><article>
+<h1>The pilot's daughter scholarship for navigation students</h1>
+<p>Endowed by the family of the port's first woman pilot, the award
+covers tuition and sea time fees for one student each year who
+intends to sit the coastal skipper examinations.</p>
+<ul>
+<li>Applicants must have completed the first year navigation course
+with a pass in chartwork and tides</li>
+<li>Preference is given to candidates who crew on the sail training
+vessel or volunteer with the sea cadets</li>
+<li>The award may be held alongside other bursaries provided total
+support does not exceed full fees</li>
+</ul>
+<p>Applications close at the end of the spring term and interviews
+are held aboard the training vessel during the first fine week.</p>
+</article></main>
+<div class="deadline"><a href="/apply">Apply now</a>
+<a href="/past">Past recipients</a></div>
+{_FOOTER}</body></html>""",
+        ["The pilot's daughter scholarship for navigation students",
+         "Endowed by the family of the port's first woman pilot, the "
+         "award covers tuition and sea time fees for one student each "
+         "year who intends to sit the coastal skipper examinations.",
+         "Applicants must have completed the first year navigation "
+         "course with a pass in chartwork and tides",
+         "Preference is given to candidates who crew on the sail "
+         "training vessel or volunteer with the sea cadets",
+         "The award may be held alongside other bursaries provided "
+         "total support does not exceed full fees",
+         "Applications close at the end of the spring term and "
+         "interviews are held aboard the training vessel during the "
+         "first fine week."],
+    ),
+    # 184. repair shop estimate explainer: process paragraphs are
+    # content; the booking widget is chrome.
+    _page(
+        "repair_estimate_guide",
+        f"""<html><body><header><h1>Engine Works</h1>{_NAV}</header>
+<main><article>
+<h1>How we price a winter engine overhaul</h1>
+<p>Every overhaul starts with a compression test and an oil analysis,
+and the estimate you receive is built from those numbers rather than
+from the engine's age, because a well run old engine often measures
+better than a neglected young one.</p>
+<p>The written estimate separates parts, labor, and yard services,
+and any item that inspection later shows to be unnecessary is struck
+from the invoice, never silently replaced with something else.</p>
+<p>If opening the engine reveals work beyond the estimate, we stop
+and call before proceeding, with photographs of what we found sent
+the same day.</p>
+</article></main>
+<div class="booking"><a href="/book">Book a survey</a>
+<a href="/rates">Hourly rates</a></div>
+{_FOOTER}</body></html>""",
+        ["How we price a winter engine overhaul",
+         "Every overhaul starts with a compression test and an oil "
+         "analysis, and the estimate you receive is built from those "
+         "numbers rather than from the engine's age, because a well "
+         "run old engine often measures better than a neglected young "
+         "one.",
+         "The written estimate separates parts, labor, and yard "
+         "services, and any item that inspection later shows to be "
+         "unnecessary is struck from the invoice, never silently "
+         "replaced with something else.",
+         "If opening the engine reveals work beyond the estimate, we "
+         "stop and call before proceeding, with photographs of what "
+         "we found sent the same day."],
+    ),
+    # 185. nature observation log: dated sighting paragraphs are
+    # content; the submission form link strip is chrome.
+    _page(
+        "nature_log",
+        f"""<html><body><header><h1>Estuary Watch</h1>{_NAV}</header>
+<main><article>
+<h1>Observation log for the outer estuary, early spring</h1>
+<p>Second of March. The first sandwich terns of the year fishing off
+the spit by mid morning, nine birds counted, and the wintering
+brent geese still present in the eelgrass bay.</p>
+<p>Eleventh of March. A porpoise with a calf worked the tide line
+off the bar for most of the ebb, the first calf recorded here since
+the survey began.</p>
+<p>Twenty ninth of March. Wheatears on the shingle ridge and the
+geese gone overnight, the bay suddenly quiet ahead of the first
+spring sailing races.</p>
+</article></main>
+<div class="submit"><a href="/report">Report a sighting</a>
+<a href="/species">Species list</a></div>
+{_FOOTER}</body></html>""",
+        ["Observation log for the outer estuary, early spring",
+         "Second of March. The first sandwich terns of the year "
+         "fishing off the spit by mid morning, nine birds counted, "
+         "and the wintering brent geese still present in the eelgrass "
+         "bay.",
+         "Eleventh of March. A porpoise with a calf worked the tide "
+         "line off the bar for most of the ebb, the first calf "
+         "recorded here since the survey began.",
+         "Twenty ninth of March. Wheatears on the shingle ridge and "
+         "the geese gone overnight, the bay suddenly quiet ahead of "
+         "the first spring sailing races."],
+    ),
+    # 186. community notice board with several short notices: each
+    # notice paragraph is content; the posting rules strip is chrome.
+    _page(
+        "notice_board",
+        f"""<html><body><header><h1>Village Notice Board</h1>{_NAV}</header>
+<main><article>
+<h1>Notices for the week beginning Monday</h1>
+<p>The ferry will run a reduced timetable on Thursday while the
+linkspan is greased, with the first and last sailings unchanged and
+the midday rotation suspended.</p>
+<p>A set of oars marked with red whipping was left on the town
+pontoon after the regatta, and can be claimed from the harbor office
+during opening hours.</p>
+<p>The shanty choir resumes Tuesday rehearsals in the sail loft and
+welcomes new singers, particularly anyone who can hold the low line
+in the rounds.</p>
+</article></main>
+<div class="rules"><a href="/post">Post a notice</a>
+<a href="/rules">Posting rules</a></div>
+{_FOOTER}</body></html>""",
+        ["Notices for the week beginning Monday",
+         "The ferry will run a reduced timetable on Thursday while "
+         "the linkspan is greased, with the first and last sailings "
+         "unchanged and the midday rotation suspended.",
+         "A set of oars marked with red whipping was left on the town "
+         "pontoon after the regatta, and can be claimed from the "
+         "harbor office during opening hours.",
+         "The shanty choir resumes Tuesday rehearsals in the sail "
+         "loft and welcomes new singers, particularly anyone who can "
+         "hold the low line in the rounds."],
+    ),
 ]
 
 
