@@ -74,14 +74,17 @@ def sniff_feed(low_head: str) -> str | None:
 
 def _field_paragraphs(raw: str) -> list[str]:
     """One escaped/CDATA body field → clean text paragraphs."""
-    # CDATA content is verbatim (no entity decode inside); escaped
-    # content needs exactly one unescape pass. Handle the common case
-    # of a single wrapping CDATA, else unescape the whole field.
-    m = _CDATA_RE.search(raw)
-    if m is not None:
-        inner = "".join(_CDATA_RE.findall(raw))
-    else:
-        inner = _html.unescape(raw)
+    # CDATA content is verbatim (no entity decode inside); everything
+    # OUTSIDE the CDATA sections gets exactly one unescape pass —
+    # mixed fields keep both parts, in order.
+    parts = []
+    pos = 0
+    for m in _CDATA_RE.finditer(raw):
+        parts.append(_html.unescape(raw[pos:m.start()]))
+        parts.append(m.group(1))
+        pos = m.end()
+    parts.append(_html.unescape(raw[pos:]))
+    inner = "".join(parts)
     inner = _BLOCK_BREAK_RE.sub("\n\n", inner)
     inner = _TAG_RE.sub(" ", inner)
     paras = []

@@ -125,3 +125,11 @@ def test_gzipped_feed_inflates_first():
 
     kind, spans, err = extract_row(gzip.compress(ATOM))
     assert kind == "feed" and err == "" and len(spans) == 6
+
+
+def test_mixed_cdata_and_escaped_content():
+    rss = ("<rss><channel><title>T</title><item><title>i</title>"
+           "<description><![CDATA[part one ]]>&amp; escaped "
+           "<![CDATA[part two]]></description></item></channel></rss>")
+    assert extract_feed_paragraphs(rss, "rss") == [
+        "T", "i", "part one & escaped part two"]
