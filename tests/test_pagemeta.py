@@ -87,3 +87,21 @@ def test_registered():
     from nidaba_ray.stages.registry import list_stages
 
     assert "extract.meta" in list_stages()
+
+
+def test_index_metadata_example_spec(ray_session):
+    import ray.data as rd
+
+    from nidaba_ray.stages import registry
+
+    spec = registry.load_spec("examples/index_metadata.yaml")
+    t = pa.table({
+        "url": pa.array(["https://a.com/1"]),
+        "html": pa.array(
+            [b"<head><title>One</title>"
+             b'<meta name="description" content="d1"></head>'],
+            pa.binary()),
+    })
+    out = registry.compile_pipeline(rd.from_arrow(t), spec).to_pandas()
+    assert out.loc[0, "title"] == "One"
+    assert out.loc[0, "description"] == "d1"
