@@ -5142,6 +5142,283 @@ in the rounds.</p>
          "loft and welcomes new singers, particularly anyone who can "
          "hold the low line in the rounds."],
     ),
+    # 187. about-us mission page: mission paragraphs are content; the
+    # careers/press strip is chrome.
+    _page(
+        "about_us_mission",
+        f"""<html><body><header><h1>Harbor Supply Co</h1>{_NAV}</header>
+<main><article>
+<h1>About the company, a chandlery with a workshop at its heart</h1>
+<p>The shop began as a rigger's bench at the back of the fish market,
+and everything we sell still has to pass the bench test: if the
+workshop will not use it on a customer's boat, it does not go on the
+shelf.</p>
+<p>We keep the old skills paid for by the new trade, so the profit
+on electronics underwrites the splicing apprentices, and every sale
+of a chart plotter keeps a palm and needle in somebody's hand.</p>
+</article></main>
+<div class="corp"><a href="/careers">Careers</a>
+<a href="/press">Press kit</a> <a href="/wholesale">Wholesale</a></div>
+{_FOOTER}</body></html>""",
+        ["About the company, a chandlery with a workshop at its heart",
+         "The shop began as a rigger's bench at the back of the fish "
+         "market, and everything we sell still has to pass the bench "
+         "test: if the workshop will not use it on a customer's boat, "
+         "it does not go on the shelf.",
+         "We keep the old skills paid for by the new trade, so the "
+         "profit on electronics underwrites the splicing apprentices, "
+         "and every sale of a chart plotter keeps a palm and needle "
+         "in somebody's hand."],
+    ),
+    # 188. fishing report: dated condition paragraphs are content;
+    # the license-sales strip is chrome.
+    _page(
+        "fishing_report",
+        f"""<html><body><header><h1>Estuary Angling</h1>{_NAV}</header>
+<main><article>
+<h1>Weekly fishing report for the estuary marks</h1>
+<p>The flood tide fished best at the rail bridge this week, with
+school bass to two pounds taking small soft plastics in the last
+hour before high water, and nothing at all showing on the ebb.</p>
+<p>Out on the bar the smoothhound packs have arrived early, and crab
+baits fished at range picked up fish to seven pounds on the evening
+tides, though weed made the last hour hard work.</p>
+<p>The harbor wall remains slow for everything except mullet, which
+are shoaling thickly around the fish quay outfall and ignoring
+every bait thrown at them, as usual.</p>
+</article></main>
+<div class="sales"><a href="/license">Buy a license</a>
+<a href="/marks">Map of marks</a></div>
+{_FOOTER}</body></html>""",
+        ["Weekly fishing report for the estuary marks",
+         "The flood tide fished best at the rail bridge this week, "
+         "with school bass to two pounds taking small soft plastics "
+         "in the last hour before high water, and nothing at all "
+         "showing on the ebb.",
+         "Out on the bar the smoothhound packs have arrived early, "
+         "and crab baits fished at range picked up fish to seven "
+         "pounds on the evening tides, though weed made the last hour "
+         "hard work.",
+         "The harbor wall remains slow for everything except mullet, "
+         "which are shoaling thickly around the fish quay outfall and "
+         "ignoring every bait thrown at them, as usual."],
+    ),
+    # 189. book review: review paragraphs + verdict are content; the
+    # buy links are chrome.
+    _page(
+        "book_review",
+        f"""<html><body><header><h1>Coastal Review of Books</h1>{_NAV}
+</header>
+<main><article>
+<h1>Review, The Last Sail Loft by the harbor's own historian</h1>
+<p>The book's best chapters follow a single mainsail through the
+loft, from the bolt of cloth to the bend of the yard, and the author
+resists the temptation to mourn: the loft closes, but the skills
+scatter into yards that still use them.</p>
+<p>Less successful is the closing argument about heritage funding,
+which reads like the grant application it probably once was, and
+sits awkwardly against the plain carpentry of the earlier prose.</p>
+<p>Verdict: worth the cover price for the mainsail chapters alone,
+and the photographs, many never printed before, earn the hardback
+edition.</p>
+</article></main>
+<div class="buy"><a href="/shop">Buy from the museum shop</a>
+<a href="/library">Reserve at the library</a></div>
+{_FOOTER}</body></html>""",
+        ["Review, The Last Sail Loft by the harbor's own historian",
+         "The book's best chapters follow a single mainsail through "
+         "the loft, from the bolt of cloth to the bend of the yard, "
+         "and the author resists the temptation to mourn: the loft "
+         "closes, but the skills scatter into yards that still use "
+         "them.",
+         "Less successful is the closing argument about heritage "
+         "funding, which reads like the grant application it probably "
+         "once was, and sits awkwardly against the plain carpentry of "
+         "the earlier prose.",
+         "Verdict: worth the cover price for the mainsail chapters "
+         "alone, and the photographs, many never printed before, earn "
+         "the hardback edition."],
+    ),
+    # 190. radio schedule: program table with wordy cells is content;
+    # the listen-live strip is chrome.
+    _page(
+        "radio_schedule",
+        f"""<html><body><header><h1>Harbor Radio</h1>{_NAV}</header>
+<main><article>
+<h1>Saturday schedule on the harbor frequency</h1>
+<p>Weekend programming leans maritime, and the shipping forecast
+repeats after every news summary for crews without long wave.</p>
+<table>
+<tr><th>Broadcast slot</th><th>Program and presenter</th></tr>
+<tr><td>Six until nine in the morning</td>
+<td>Dawn watch with the fish market prices read live from the
+auction floor</td></tr>
+<tr><td>Nine until noon</td>
+<td>Request show for the ferry crews and the lighthouse relief</td></tr>
+<tr><td>Noon until three</td>
+<td>The long interview, this week with the retiring pilot</td></tr>
+</table>
+</article></main>
+<div class="listen"><a href="/live">Listen live</a>
+<a href="/podcasts">Podcasts</a></div>
+{_FOOTER}</body></html>""",
+        ["Saturday schedule on the harbor frequency",
+         "Weekend programming leans maritime, and the shipping "
+         "forecast repeats after every news summary for crews without "
+         "long wave.",
+         "Broadcast slot", "Program and presenter",
+         "Six until nine in the morning",
+         "Dawn watch with the fish market prices read live from the "
+         "auction floor",
+         "Nine until noon",
+         "Request show for the ferry crews and the lighthouse relief",
+         "Noon until three",
+         "The long interview, this week with the retiring pilot"],
+    ),
+    # 191. marina rules: numbered rules list is content; the berth
+    # application strip is chrome.
+    _page(
+        "marina_rules",
+        f"""<html><body><header><h1>Marina Office</h1>{_NAV}</header>
+<main><article>
+<h1>Rules for berth holders, summer season</h1>
+<ul>
+<li>Rule one. Speed within the marina is dead slow, and a wake that
+rocks the finger pontoons is by definition too fast whatever the
+log reads</li>
+<li>Rule two. Halyards must be frapped away from masts by the
+evening of arrival, and the office will frap a ringing halyard
+after one warning at the owner's cost</li>
+<li>Rule three. Shore power leads must carry a current rating tag,
+and daisy chained extensions will be unplugged without notice</li>
+<li>Rule four. The fuel berth is for fueling only, and waiting for
+crew, ice, or the tide on it forfeits a week of visitor
+privileges</li>
+</ul>
+<p>The full bylaws are posted in the office window, and the rules
+above are the four the staff spend their summers repeating.</p>
+</article></main>
+<div class="berths"><a href="/apply">Apply for a berth</a>
+<a href="/waitlist">Waiting list</a></div>
+{_FOOTER}</body></html>""",
+        ["Rules for berth holders, summer season",
+         "Rule one. Speed within the marina is dead slow, and a wake "
+         "that rocks the finger pontoons is by definition too fast "
+         "whatever the log reads",
+         "Rule two. Halyards must be frapped away from masts by the "
+         "evening of arrival, and the office will frap a ringing "
+         "halyard after one warning at the owner's cost",
+         "Rule three. Shore power leads must carry a current rating "
+         "tag, and daisy chained extensions will be unplugged without "
+         "notice",
+         "Rule four. The fuel berth is for fueling only, and waiting "
+         "for crew, ice, or the tide on it forfeits a week of visitor "
+         "privileges",
+         "The full bylaws are posted in the office window, and the "
+         "rules above are the four the staff spend their summers "
+         "repeating."],
+    ),
+    # 192. sermon text: homily paragraphs are content; the service
+    # times strip is chrome.
+    _page(
+        "sermon_text",
+        f"""<html><body><header><h1>Seamen's Chapel</h1>{_NAV}</header>
+<main><article>
+<h1>Sunday homily, on patience and the foul tide</h1>
+<p>Every sailor in this chapel has spent an hour stemming a foul
+tide, making no ground over the land while the water ran fast under
+the keel, and every sailor knows the temptation of that hour, which
+is to put the helm over and run back the easy way.</p>
+<p>Patience is not the absence of effort but the holding of a
+course, and the tide that sets against us this year will turn, as
+tides do, by no effort of ours except that we are still there,
+still under way, when it turns.</p>
+</article></main>
+<div class="services"><a href="/times">Service times</a>
+<a href="/mission">Seafarers' mission</a></div>
+{_FOOTER}</body></html>""",
+        ["Sunday homily, on patience and the foul tide",
+         "Every sailor in this chapel has spent an hour stemming a "
+         "foul tide, making no ground over the land while the water "
+         "ran fast under the keel, and every sailor knows the "
+         "temptation of that hour, which is to put the helm over and "
+         "run back the easy way.",
+         "Patience is not the absence of effort but the holding of a "
+         "course, and the tide that sets against us this year will "
+         "turn, as tides do, by no effort of ours except that we are "
+         "still there, still under way, when it turns."],
+    ),
+    # 193. auction results: sold-lot table with wordy cells is
+    # content; the next-sale strip is chrome.
+    _page(
+        "auction_results",
+        f"""<html><body><header><h1>Coastal Auctions</h1>{_NAV}</header>
+<main><article>
+<h1>Results of the spring marine sale</h1>
+<p>The spring sale totalled strongly against estimate, with the
+ship portraits leading as usual and the navigation instruments
+finding new buyers from outside the trade.</p>
+<table>
+<tr><th>Lot sold</th><th>Result against estimate</th></tr>
+<tr><td>Portrait of the barque Meridian</td>
+<td>Sold at nearly twice the high estimate after a telephone
+battle</td></tr>
+<tr><td>Brass station pointer in fitted case</td>
+<td>Sold within estimate to a collector of survey instruments</td></tr>
+<tr><td>Archive of pilotage certificates</td>
+<td>Passed unsold and returned to the vendor's family</td></tr>
+</table>
+</article></main>
+<div class="next"><a href="/consign">Consign for autumn</a>
+<a href="/catalogue">Autumn catalogue</a></div>
+{_FOOTER}</body></html>""",
+        ["Results of the spring marine sale",
+         "The spring sale totalled strongly against estimate, with "
+         "the ship portraits leading as usual and the navigation "
+         "instruments finding new buyers from outside the trade.",
+         "Lot sold", "Result against estimate",
+         "Portrait of the barque Meridian",
+         "Sold at nearly twice the high estimate after a telephone "
+         "battle",
+         "Brass station pointer in fitted case",
+         "Sold within estimate to a collector of survey instruments",
+         "Archive of pilotage certificates",
+         "Passed unsold and returned to the vendor's family"],
+    ),
+    # 194. science-fair abstracts page: multiple short project
+    # abstracts under h2 headings are content; the judging strip is
+    # chrome.
+    _page(
+        "science_fair_abstracts",
+        f"""<html><body><header><h1>School Science Fair</h1>{_NAV}</header>
+<main><article>
+<h1>Project abstracts, senior division</h1>
+<h2>Does the harbor breathe, measuring dissolved oxygen over a tide</h2>
+<p>We logged dissolved oxygen at the pontoon every twenty minutes
+for a week and found a daily cycle that follows the tide more
+closely than the sun, suggesting the mudflats drive the harbor's
+oxygen budget.</p>
+<h2>Rust racing, which sacrificial anode lasts longest</h2>
+<p>Five anode alloys spent the winter bolted to the same steel
+plate under the fish quay, and the cheapest zinc lost the least
+mass, which was not what the chandlery catalog predicted.</p>
+</article></main>
+<div class="judging"><a href="/rubric">Judging rubric</a>
+<a href="/winners">Past winners</a></div>
+{_FOOTER}</body></html>""",
+        ["Project abstracts, senior division",
+         "Does the harbor breathe, measuring dissolved oxygen over a "
+         "tide",
+         "We logged dissolved oxygen at the pontoon every twenty "
+         "minutes for a week and found a daily cycle that follows the "
+         "tide more closely than the sun, suggesting the mudflats "
+         "drive the harbor's oxygen budget.",
+         "Rust racing, which sacrificial anode lasts longest",
+         "Five anode alloys spent the winter bolted to the same steel "
+         "plate under the fish quay, and the cheapest zinc lost the "
+         "least mass, which was not what the chandlery catalog "
+         "predicted."],
+    ),
 ]
 
 
