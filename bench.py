@@ -156,6 +156,10 @@ TIMED_QUERIES = [
     # the per-host top-1 reduce)
     "media_probe",
     "host_top_anchor",
+    # round-5 session-7, appended LAST: directional containment join
+    # (probe-prefix × full-index, one-sided length filter) — read
+    # against ngram_jaccard_pairs_exact for the asymmetric-index cost
+    "containment_pairs",
 ]
 
 
@@ -269,6 +273,7 @@ def _extra_timed() -> dict:
         "bm25_topk": _bm25_topk,
         "corpus_datacard": _corpus_datacard,
         "host_top_anchor": _host_top_anchor,
+        "containment_pairs": _containment_pairs,
     }
 
 
@@ -295,6 +300,12 @@ def _host_top_anchor(sf_dir: str):
     from nidaba_ray.synth import pages_dataset_from_documents
 
     return top_anchor_per_host(pages_dataset_from_documents(sf_dir))
+
+
+def _containment_pairs(sf_dir: str):
+    from nidaba_ray.functions.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(sf_dir, threshold=0.8)
 
 
 def _lang_seg_summary(sf_dir: str):
