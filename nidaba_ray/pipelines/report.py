@@ -36,7 +36,8 @@ from nidaba_ray.functions.textops import (
     _gopher_signals,
 )
 
-__all__ = ["corpus_datacard", "DATACARD_SQL", "key_skew", "key_skew_sql"]
+__all__ = ["corpus_datacard", "DATACARD_SQL", "key_skew",
+           "key_skew_sql", "boilerplate_top", "boilerplate_top_sql"]
 
 _GOPHER6 = ["f_word_count", "f_mean_word_len", "f_symbol_ratio",
             "f_bullet_ellipsis", "f_alpha_words", "f_stopwords"]
@@ -227,4 +228,59 @@ SELECT lang, n_docs, n_tokens, n_uniq_texts,
        ROUND(CAST(gopher_pass AS DOUBLE) / n_docs, 4)
          AS gopher_pass_frac
 FROM per ORDER BY lang
+"""
+
+
+def boilerplate_top(ds: rd.Dataset, k: int = 20, min_df: int = 2,
+                    column: str = "text") -> pa.Table:
+    """Most-repeated cross-document lines — the diagnostic that tells
+    you what ``dedup_paragraphs`` WOULD remove before you run it
+    (cookie banners, footers, share bars surface immediately).
+
+    Scale shape: per-batch distinct-line counts (each doc contributes
+    a line once) shuffle as (line, n) partials — only DISTINCT line
+    text travels, never documents — then one grouped sum and a
+    top-k sort (df desc, line asc; k rows to the driver)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[column].to_pylist():
+            counts.update(set((t or "").split("\n")))
+        counts.pop("", None)
+        lines, ns = zip(*counts.items()) if counts else ((), ())
+        return pa.table({"line": pa.array(list(lines), pa.string()),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    top = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("line")
+             .aggregate(Sum("n", alias_name="df"))
+             .filter(expr=f"df >= {int(min_df)}")
+             .sort(["df", "line"], descending=[True, False])
+             .limit(k)
+             .to_pandas())
+    return pa.Table.from_pandas(
+        top.astype({"line": "string", "df": "int64"}),
+        preserve_index=False)
+
+
+def boilerplate_top_sql(table: str = "documents", k: int = 20,
+                        min_df: int = 2, column: str = "text",
+                        id_col: str = "doc_id") -> str:
+    """DuckDB replay: split on chr(10), count distinct docs per line."""
+    return f"""
+WITH lines AS (
+  SELECT DISTINCT {id_col} AS doc, unnest(string_split({column}, chr(10))) AS line
+  FROM {table}
+),
+counts AS (
+  SELECT line, CAST(COUNT(*) AS BIGINT) AS df
+  FROM lines WHERE line <> '' GROUP BY line
+)
+SELECT line, df FROM counts
+WHERE df >= {int(min_df)}
+ORDER BY df DESC, line ASC
+LIMIT {int(k)}
 """

@@ -206,6 +206,9 @@ def _ensure_builtin() -> None:
     from nidaba_ray.functions.pagemeta import page_meta_batch
 
     register_stage("extract.meta")(page_meta_batch)
+    from nidaba_ray.functions.dehyphen import dehyphenate_batch
+
+    register_stage("clean.dehyphenate")(dehyphenate_batch)
     from nidaba_ray.functions.urls import url_dedup_stage
 
     # the first dataset-level stage: a grouped global dedup, not a
